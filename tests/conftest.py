@@ -1,0 +1,57 @@
+"""Test harness: force an 8-virtual-device CPU platform before jax imports.
+
+Multi-chip sharding behavior is validated on these virtual devices
+(SURVEY.md section 4 "multi-chip behavior testable on CPU"); real-TPU runs
+happen via bench.py / the driver.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize imports jax's config module at interpreter
+# startup with JAX_PLATFORMS=axon already in the env, so the env var above
+# is too late — override the live config value too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset(tmp_path_factory):
+    """Fake 4-class folder tree (SURVEY.md §4: hermetic dataset fixture).
+
+    Mirrors the reference layout: root/<class>/<name>.jpg with
+    filename-stem text. Images are small random JPEGs.
+    """
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("dataset")
+    rng = np.random.default_rng(0)
+    names = {
+        "black": ["coffee_cup_01", "styrofoam_plate_7", "greasy-pizza-box_2"],
+        "blue": ["water_bottle_12", "newspaper_4", "tin_can_99"],
+        "green": ["banana_peel_3", "apple_core_8", "yard_waste_1"],
+        "ttr": ["battery_pack_5", "paint_can_2", "old_phone_11"],
+    }
+    for cls, files in names.items():
+        d = root / cls
+        d.mkdir()
+        for i, stem in enumerate(files):
+            h, w = int(rng.integers(40, 90)), int(rng.integers(40, 90))
+            arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{stem}.jpg")
+    return root

@@ -1,0 +1,41 @@
+"""Mesh / sharding utilities on the 8-virtual-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from garbage_classification_rca_tpu.parallel import mesh as pm
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_parse_mesh_shape():
+    assert pm.parse_mesh_shape("data:-1", 8) == {"data": 8}
+    assert pm.parse_mesh_shape("data:4,model:2", 8) == {"data": 4, "model": 2}
+    assert pm.parse_mesh_shape("data:-1,model:2", 8) == {"model": 2, "data": 4}
+
+
+def test_sharded_forward_matches_single_device():
+    mesh = pm.make_mesh("data:8")
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32))
+    x = np.random.default_rng(1).normal(size=(32, 16)).astype(np.float32)
+
+    @jax.jit
+    def fwd(w, xb):
+        return xb @ w
+
+    want = np.asarray(fwd(w, jnp.asarray(x)))
+    xs = jax.device_put(jnp.asarray(x), pm.batch_sharding(mesh))
+    ws = pm.shard_params(mesh, w)
+    got = np.asarray(fwd(ws, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pad_batch_to_multiple():
+    batch = {"a": np.ones((13, 3)), "b": np.zeros((13,))}
+    padded, n = pm.pad_batch_to_multiple(batch, 8)
+    assert n == 13
+    assert padded["a"].shape == (16, 3)
+    assert padded["b"].shape == (16,)

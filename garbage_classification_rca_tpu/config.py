@@ -126,9 +126,12 @@ class ArchRunSpec:
 # reference: main_image.py:269-359 (train) and
 # calculate_test_accuracy_image.py:152-216 (eval batch sizes)
 IMAGE_ARCHS: dict[str, ArchRunSpec] = {
-    "b0":            ArchRunSpec((224, 224), 128, 64, 0, 256),
-    "b4":            ArchRunSpec((380, 380), 128, 16, 6, 128),
-    "b5":            ArchRunSpec((456, 456), 64, 8, 12, 64),
+    # input_size is (H, W); the eff-net entries are non-square, from the
+    # reference's eff_net_sizes dict (main_image.py:49-58, stored (W, H)
+    # and read WIDTH=size[0], HEIGHT=size[1]).
+    "b0":            ArchRunSpec((224, 256), 128, 64, 0, 256),
+    "b4":            ArchRunSpec((380, 384), 128, 16, 6, 128),
+    "b5":            ArchRunSpec((456, 489), 64, 8, 12, 64),
     "eff_v2_small":  ArchRunSpec((384, 384), 128, 16, 6, 128),
     "eff_v2_medium": ArchRunSpec((480, 480), 128, 24, 12, 64),
     "eff_v2_large":  ArchRunSpec((480, 480), 64, 8, 24, 32),

@@ -1,0 +1,150 @@
+"""Batched host->device input pipeline.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=N,
+pin_memory=True)`` (main_image.py:495-517) with:
+
+  * a thread pool decoding/resizing images into fixed-shape uint8 arrays
+    (threads, not processes: PIL/cv2 release the GIL in their C cores),
+  * fixed-shape batches — the dataset tail is padded to the full batch and
+    masked downstream (no recompiles, no ragged collectives),
+  * an async device-put double buffer so H2D copies overlap compute.
+
+Batch dict layout mirrors the reference sample structure
+(CustomImageTextFolder.py:338-343) flattened to device-friendly arrays:
+  image: uint8 [B, H, W, 3]       (normalize fused on device)
+  input_ids / attention_mask: int32 [B, L]   (when text is requested)
+  label: int32 [B]
+  valid: int32 [B]  (1 = real sample, 0 = tail padding)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .images import eval_preprocess_image
+from .manifest import Manifest, Sample
+from .tokenizer import BaseTokenizer
+
+
+def batch_indices(n: int, batch_size: int, *, shuffle: bool,
+                  seed: int = 0, order: Optional[np.ndarray] = None
+                  ) -> List[np.ndarray]:
+    """Static-shape batch plan: every batch has `batch_size` entries; the
+    tail repeats index 0 with valid=0 downstream."""
+    idx = np.arange(n) if order is None else np.asarray(order)
+    if shuffle:
+        idx = np.random.default_rng(seed).permutation(idx)
+    out = []
+    for start in range(0, len(idx), batch_size):
+        chunk = idx[start:start + batch_size]
+        out.append(chunk)
+    return out
+
+
+class ImageTextBatcher:
+    """Decodes batches of (image, text, label) on host threads."""
+
+    def __init__(self, manifest: Manifest, image_size: Tuple[int, int],
+                 tokenizer: Optional[BaseTokenizer] = None,
+                 seq_len: int = 64, extended_desc: bool = False,
+                 workers: int = 8, with_images: bool = True):
+        self.m = manifest
+        self.image_size = image_size
+        self.tokenizer = tokenizer
+        self.seq_len = seq_len
+        self.extended = extended_desc
+        self.with_images = with_images
+        self.pool = cf.ThreadPoolExecutor(max_workers=workers) if with_images else None
+
+    def close(self):
+        if self.pool:
+            self.pool.shutdown(wait=False)
+
+    def make_batch(self, indices: np.ndarray, batch_size: int) -> Dict[str, np.ndarray]:
+        n = len(indices)
+        padded = np.concatenate([indices, np.zeros(batch_size - n, np.int64)]) \
+            if n < batch_size else indices
+        samples = [self.m.samples[i] for i in padded]
+        batch: Dict[str, np.ndarray] = {
+            "label": np.asarray([s.label for s in samples], np.int32),
+            "valid": np.asarray([1] * n + [0] * (batch_size - n), np.int32),
+        }
+        if self.with_images:
+            h, w = self.image_size
+            imgs = list(self.pool.map(
+                lambda s: eval_preprocess_image(s.image_path, (h, w)), samples))
+            batch["image"] = np.stack(imgs).astype(np.uint8)
+        if self.tokenizer is not None:
+            texts = [s.effective_text(self.extended) for s in samples]
+            enc = self.tokenizer.encode_batch(texts, self.seq_len)
+            batch["input_ids"] = enc.input_ids
+            batch["attention_mask"] = enc.attention_mask
+        return batch
+
+    def iter_batches(self, batch_size: int, *, shuffle: bool = False,
+                     seed: int = 0, order: Optional[np.ndarray] = None,
+                     prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield fixed-shape batches, preparing `prefetch` batches ahead on a
+        background thread."""
+        plans = batch_indices(len(self.m), batch_size, shuffle=shuffle,
+                              seed=seed, order=order)
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for plan in plans:
+                    if stop.is_set():
+                        return
+                    q.put(self.make_batch(plan, batch_size))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(host_iter, mesh=None, depth: int = 2):
+    """Move host batches to device ahead of consumption (double buffer).
+
+    With a mesh, the leading dim is sharded over axis 'data'; otherwise a
+    plain device_put. Overlaps H2D DMA with TPU compute.
+    """
+    import jax
+    from ..parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(b):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), b)
+        return jax.tree_util.tree_map(jax.device_put, b)
+
+    buf: List = []
+    it = iter(host_iter)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

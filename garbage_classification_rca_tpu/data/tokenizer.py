@@ -1,0 +1,291 @@
+"""Host-side tokenizers producing fixed-length int32 arrays.
+
+The reference tokenizes per-sample inside ``__getitem__`` with HF
+``encode_plus(max_length, truncation=True, padding='max_length')``
+(CustomImageTextFolder.py:301-336). Here tokenization is a host-side
+batch step; the device pipeline only ever sees ``[B, L]`` int32
+``input_ids`` / ``attention_mask`` (SURVEY.md §2.2: tokens enter the
+device pipeline as fixed-length int32 arrays).
+
+Zero-egress reality: HF hub downloads are unavailable, so we ship
+self-contained implementations that read vocab files from disk:
+
+  * :class:`WordPieceTokenizer` — BERT-style ``vocab.txt`` (bert,
+    distilbert, mobilebert),
+  * :class:`ByteLevelBPETokenizer` — GPT-2-style ``vocab.json`` +
+    ``merges.txt`` (gpt2, and with <s>/</s> specials roberta, bart),
+  * :class:`HashTokenizer` — deterministic hashing fallback so tests,
+    benches and synthetic runs are hermetic when no vocab ships.
+
+``get_tokenizer(model_name, vocab_dir)`` picks the right scheme +
+special-token convention per text tower (reference text_models.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import unicodedata
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Encoded:
+    input_ids: np.ndarray       # [B, L] int32
+    attention_mask: np.ndarray  # [B, L] int32
+
+
+class BaseTokenizer:
+    pad_id: int
+
+    def encode_one(self, text: str, max_len: int) -> Tuple[List[int], List[int]]:
+        raise NotImplementedError
+
+    def encode_batch(self, texts: Sequence[str], max_len: int) -> Encoded:
+        ids = np.full((len(texts), max_len), self.pad_id, np.int32)
+        mask = np.zeros((len(texts), max_len), np.int32)
+        for i, t in enumerate(texts):
+            tid, tm = self.encode_one(t, max_len)
+            ids[i, :len(tid)] = tid
+            mask[i, :len(tm)] = tm
+        return Encoded(ids, mask)
+
+
+# ---------------------------------------------------------------------------
+# basic whitespace+punctuation pre-tokenizer (BERT BasicTokenizer subset)
+# ---------------------------------------------------------------------------
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
+    if lowercase:
+        text = text.lower()
+    out: List[str] = []
+    buf = ""
+    for ch in text:
+        if ch.isspace():
+            if buf:
+                out.append(buf)
+                buf = ""
+        elif _is_punct(ch):
+            if buf:
+                out.append(buf)
+                buf = ""
+            out.append(ch)
+        else:
+            buf += ch
+    if buf:
+        out.append(buf)
+    return out
+
+
+class WordPieceTokenizer(BaseTokenizer):
+    """Greedy longest-match-first WordPiece over a BERT vocab.txt."""
+
+    def __init__(self, vocab: Dict[str, int], lowercase: bool = True):
+        self.vocab = vocab
+        self.lowercase = lowercase
+        self.pad_id = vocab.get("[PAD]", 0)
+        self.cls_id = vocab.get("[CLS]")
+        self.sep_id = vocab.get("[SEP]")
+        self.unk_id = vocab.get("[UNK]")
+
+    @classmethod
+    def from_vocab_file(cls, path: str, lowercase: bool = True):
+        vocab = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, lowercase)
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > 100:
+            return [self.unk_id]
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode_one(self, text: str, max_len: int):
+        ids = [self.cls_id]
+        for w in basic_tokenize(text, self.lowercase):
+            ids.extend(self._wordpiece(w))
+        ids = ids[:max_len - 1] + [self.sep_id]
+        return ids, [1] * len(ids)
+
+
+class ByteLevelBPETokenizer(BaseTokenizer):
+    """GPT-2-style byte-level BPE (vocab.json + merges.txt).
+
+    With bos/eos set, emits RoBERTa/BART-style ``<s> ... </s>``.
+    GPT-2 itself uses no specials and pads with eos (reference
+    text_models.py:138,156: pad_token = eos_token).
+    """
+
+    def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
+                 bos: Optional[str] = None, eos: Optional[str] = None,
+                 pad: Optional[str] = None):
+        self.vocab = vocab
+        self.ranks = {m: i for i, m in enumerate(merges)}
+        self.bos_id = vocab[bos] if bos else None
+        self.eos_id = vocab[eos] if eos else None
+        self.pad_id = vocab[pad] if pad else (self.eos_id or 0)
+        self.byte_enc = _bytes_to_unicode()
+        self.cache: Dict[str, List[str]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_json: str, merges_txt: str, **kw):
+        with open(vocab_json, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_txt, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                a, b = line.split()
+                merges.append((a, b))
+        return cls(vocab, merges, **kw)
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self.cache:
+            return self.cache[token]
+        word = list(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.ranks.get(p, 1 << 30))
+            if best not in self.ranks:
+                break
+            a, b = best
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        self.cache[token] = word
+        return word
+
+    def encode_one(self, text: str, max_len: int):
+        import regex as re_mod  # transformers dep, present in image
+        pat = re_mod.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+        ids: List[int] = []
+        for tok in pat.findall(text):
+            btok = "".join(self.byte_enc[b] for b in tok.encode("utf-8"))
+            ids.extend(self.vocab[t] for t in self._bpe(btok) if t in self.vocab)
+        n_special = int(self.bos_id is not None) + int(self.eos_id is not None)
+        ids = ids[:max_len - n_special]
+        if self.bos_id is not None:
+            ids = [self.bos_id] + ids
+        if self.eos_id is not None:
+            ids = ids + [self.eos_id]
+        return ids, [1] * len(ids)
+
+
+def _bytes_to_unicode() -> Dict[int, str]:
+    bs = (list(range(ord("!"), ord("~") + 1)) +
+          list(range(ord("\xa1"), ord("\xac") + 1)) +
+          list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+class HashTokenizer(BaseTokenizer):
+    """Deterministic hashing tokenizer — hermetic fallback when no vocab
+    files ship. Stable across processes (FNV-1a, not Python hash())."""
+
+    def __init__(self, vocab_size: int = 30522, cls_id: int = 101,
+                 sep_id: int = 102, pad_id: int = 0, reserved: int = 1000):
+        self.vocab_size = vocab_size
+        self.cls_id = cls_id
+        self.sep_id = sep_id
+        self.pad_id = pad_id
+        self.reserved = reserved
+
+    @staticmethod
+    def _fnv1a(s: str) -> int:
+        h = 0xcbf29ce484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def encode_one(self, text: str, max_len: int):
+        ids = [self.cls_id]
+        span = self.vocab_size - self.reserved
+        for w in basic_tokenize(text):
+            ids.append(self.reserved + self._fnv1a(w) % span)
+        ids = ids[:max_len - 1] + [self.sep_id]
+        return ids, [1] * len(ids)
+
+
+# reference text_models.py — per-tower max token sizes (config defaults)
+MAX_TOKEN_SIZES = {
+    "distilbert": 512, "bert": 512, "mobilebert": 512,
+    "roberta": 514, "bart": 1024, "gpt2": 1024,
+}
+
+# practical sequence length for the garbage texts (a few words or one
+# caption sentence). The reference pads to the full max_position_embeddings
+# (512-1024) and burns FLOPs on padding; we default to a 64-token bucket —
+# a pure-performance win with identical results for in-range texts. Pass
+# ``full_parity=True`` to reproduce reference padding exactly.
+DEFAULT_SEQ_LEN = 64
+
+
+def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseTokenizer:
+    """Pick scheme + specials per text tower; fall back to HashTokenizer."""
+    wordpiece = {"distilbert", "bert", "mobilebert"}
+    if vocab_dir:
+        if model_name in wordpiece:
+            p = os.path.join(vocab_dir, "vocab.txt")
+            if os.path.exists(p):
+                return WordPieceTokenizer.from_vocab_file(p)
+        else:
+            vj = os.path.join(vocab_dir, "vocab.json")
+            mt = os.path.join(vocab_dir, "merges.txt")
+            if os.path.exists(vj) and os.path.exists(mt):
+                if model_name in ("roberta", "bart"):
+                    return ByteLevelBPETokenizer.from_files(
+                        vj, mt, bos="<s>", eos="</s>", pad="<pad>")
+                return ByteLevelBPETokenizer.from_files(vj, mt)
+    if model_name in ("roberta", "bart"):
+        return HashTokenizer(vocab_size=50265, cls_id=0, sep_id=2, pad_id=1)
+    if model_name == "gpt2":
+        return HashTokenizer(vocab_size=50257, cls_id=50256, sep_id=50256,
+                             pad_id=50256)
+    return HashTokenizer()
+
+
+def max_token_size(model_name: str) -> int:
+    return MAX_TOKEN_SIZES[model_name]

@@ -1,0 +1,173 @@
+"""Vision Transformer B/16 and L/16 (torchvision-compatible weights).
+
+Capability parity with reference models.py:222-258 (``VisionB16`` /
+``VisionL16``: stock torchvision ``vit_b_16`` / ``vit_l_16`` with
+``heads.head`` replaced by ``Linear(hidden, num_classes)``).
+
+TPU-first implementation notes:
+  * patchify is a single strided conv lowered onto the MXU;
+  * attention is one fused QKV projection + ``jax.nn.dot_product_attention``
+    -style einsums (kept explicit for weight-layout clarity);
+  * LayerNorm eps 1e-6 (torchvision ``partial(nn.LayerNorm, eps=1e-6)``);
+  * fp32 softmax / layernorm inside bf16 compute.
+
+Converter maps the torchvision state_dict layout:
+  class_token, conv_proj.{weight,bias}, encoder.pos_embedding,
+  encoder.layers.encoder_layer_{i}.{ln_1,ln_2}.{weight,bias},
+  ...self_attention.{in_proj_weight,in_proj_bias,out_proj.weight,out_proj.bias},
+  ...mlp.{linear_1,linear_2}.{weight,bias}, encoder.ln.{weight,bias},
+  heads.head.{weight,bias}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nn import core as nn
+from ..registry import ModelDef
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    layers: int = 12
+    heads: int = 12
+    hidden: int = 768
+    mlp: int = 3072
+    ln_eps: float = 1e-6
+
+
+CONFIGS = {
+    "transformer_B16": ViTConfig(),
+    "transformer_L16": ViTConfig(layers=24, heads=16, hidden=1024, mlp=4096),
+}
+
+
+def init(key, cfg: ViTConfig, num_classes: int = 4, dtype=jnp.float32):
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    keys = jax.random.split(key, 4 + cfg.layers)
+    params = {
+        "conv_proj": nn.init_conv(keys[0], cfg.patch_size, cfg.patch_size, 3,
+                                  cfg.hidden, dtype=dtype, bias=True),
+        # torchvision: class_token zeros-init, pos_embedding N(0, 0.02)
+        "class_token": jnp.zeros((1, 1, cfg.hidden), dtype),
+        "pos_embedding": jax.random.normal(
+            keys[1], (1, n_patches + 1, cfg.hidden), dtype) * 0.02,
+        "ln": nn.init_layernorm(cfg.hidden, dtype),
+        "head": nn.init_linear(keys[2], cfg.hidden, num_classes, dtype),
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        k1, k2, k3, k4 = jax.random.split(keys[4 + i], 4)
+        params["layers"].append({
+            "ln_1": nn.init_layernorm(cfg.hidden, dtype),
+            "qkv": nn.init_linear(k1, cfg.hidden, 3 * cfg.hidden, dtype),
+            "out": nn.init_linear(k2, cfg.hidden, cfg.hidden, dtype),
+            "ln_2": nn.init_layernorm(cfg.hidden, dtype),
+            "fc1": nn.init_linear(k3, cfg.hidden, cfg.mlp, dtype),
+            "fc2": nn.init_linear(k4, cfg.mlp, cfg.hidden, dtype),
+        })
+    return params, {}
+
+
+def _encoder_layer(p, x, heads: int, eps: float):
+    b, n, d = x.shape
+    h = nn.layernorm(p["ln_1"], x, eps=eps)
+    qkv = nn.linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = d // heads
+    q = q.reshape(b, n, heads, hd)
+    k = k.reshape(b, n, heads, hd)
+    v = v.reshape(b, n, heads, hd)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+    x = x + nn.linear(p["out"], att)
+    h = nn.layernorm(p["ln_2"], x, eps=eps)
+    h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
+    return x + h
+
+
+def features(params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """NHWC image -> CLS feature [B, hidden]."""
+    b = x.shape[0]
+    h = nn.conv2d(params["conv_proj"], x, stride=cfg.patch_size)
+    h = h.reshape(b, -1, cfg.hidden)                       # [B, N, D]
+    cls = jnp.broadcast_to(params["class_token"].astype(h.dtype),
+                           (b, 1, cfg.hidden))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["pos_embedding"].astype(h.dtype)
+    for lp in params["layers"]:
+        h = _encoder_layer(lp, h, cfg.heads, cfg.ln_eps)
+    h = nn.layernorm(params["ln"], h, eps=cfg.ln_eps)
+    return h[:, 0]
+
+
+def apply(params, state, x, *, cfg: ViTConfig, train: bool = False,
+          rng: Optional[jax.Array] = None):
+    del train, rng  # ViT here has no dropout at inference-parity settings
+    feats = features(params, x, cfg)
+    return nn.linear(params["head"], feats), state
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (torchvision vit_b_16 / vit_l_16 layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_torch(sd: dict, name: str, num_classes: int = 4):
+    """Map a torchvision ViT state_dict (numpy-valued) to our pytree."""
+    cfg = CONFIGS[name]
+    g = lambda k: jnp.asarray(sd[k])
+    params = {
+        "conv_proj": {"w": jnp.transpose(g("conv_proj.weight"), (2, 3, 1, 0)),
+                      "b": g("conv_proj.bias")},
+        "class_token": g("class_token"),
+        "pos_embedding": g("encoder.pos_embedding"),
+        "ln": {"scale": g("encoder.ln.weight"), "bias": g("encoder.ln.bias")},
+        "head": {"w": g("heads.head.weight").T, "b": g("heads.head.bias")},
+        "layers": [],
+    }
+    if params["head"]["w"].shape[1] != num_classes:
+        raise ValueError(
+            f"checkpoint head has {params['head']['w'].shape[1]} classes, "
+            f"expected {num_classes}")
+    for i in range(cfg.layers):
+        pre = f"encoder.layers.encoder_layer_{i}."
+        params["layers"].append({
+            "ln_1": {"scale": g(pre + "ln_1.weight"), "bias": g(pre + "ln_1.bias")},
+            "qkv": {"w": g(pre + "self_attention.in_proj_weight").T,
+                    "b": g(pre + "self_attention.in_proj_bias")},
+            "out": {"w": g(pre + "self_attention.out_proj.weight").T,
+                    "b": g(pre + "self_attention.out_proj.bias")},
+            "ln_2": {"scale": g(pre + "ln_2.weight"), "bias": g(pre + "ln_2.bias")},
+            "fc1": {"w": g(pre + "mlp.linear_1.weight").T,
+                    "b": g(pre + "mlp.linear_1.bias")},
+            "fc2": {"w": g(pre + "mlp.linear_2.weight").T,
+                    "b": g(pre + "mlp.linear_2.bias")},
+        })
+    return params, {}
+
+
+def model_def(name: str) -> ModelDef:
+    cfg = CONFIGS[name]
+
+    def _init(key, num_classes=4, dtype=jnp.float32):
+        return init(key, cfg, num_classes, dtype)
+
+    def _apply(params, state, x, *, train=False, rng=None):
+        return apply(params, state, x, cfg=cfg, train=train, rng=rng)
+
+    return ModelDef(
+        name=name, init=_init, apply=_apply,
+        input_size=(cfg.image_size, cfg.image_size),
+        feature_dim=cfg.hidden,
+        convert_torch=lambda sd, num_classes=4: convert_torch(sd, name, num_classes),
+        extras={"cfg": cfg},
+    )

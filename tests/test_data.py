@@ -1,0 +1,136 @@
+"""Data layer: manifest walk, text preprocessing parity, pad-to-AR geometry,
+tokenizers, batching (SURVEY.md §4 gap-fill tests)."""
+
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.data.manifest import (
+    pre_process_text, build_manifest, find_classes)
+from garbage_classification_rca_tpu.data.images import (
+    pad_to_aspect_ratio, eval_preprocess_image, normalize_on_device)
+from garbage_classification_rca_tpu.data.pipeline import ImageTextBatcher, batch_indices
+from garbage_classification_rca_tpu.data.sampler import imbalanced_sample_order
+from garbage_classification_rca_tpu.data.tokenizer import (
+    WordPieceTokenizer, HashTokenizer, get_tokenizer)
+
+
+@pytest.mark.parametrize("raw,want", [
+    ("Water_Bottle_12", "water bottle"),
+    ("greasy-pizza-box_2", "greasypizzabox"),   # '-' is a symbol, stripped
+    ("tin_can_99", "tin can"),
+    ("ALL_CAPS_7x", "all caps x"),
+    ("123", ""),
+])
+def test_pre_process_text_parity(raw, want):
+    # reference CustomImageTextFolder.py:29-42
+    assert pre_process_text(raw) == want
+
+
+def test_manifest_walk(tiny_dataset):
+    m = build_manifest(str(tiny_dataset))
+    assert m.classes == ["black", "blue", "green", "ttr"]
+    assert len(m) == 12
+    assert m.class_counts() == [3, 3, 3, 3]
+    np.testing.assert_allclose(m.class_weights(), [1.0] * 4)
+    s = m.samples[0]
+    assert s.label == 0 and s.text  # filename-derived text non-empty
+
+
+def test_manifest_missing_class_raises(tmp_path):
+    (tmp_path / "black").mkdir()
+    with pytest.raises(FileNotFoundError):
+        build_manifest(str(tmp_path))
+
+
+def test_pad_to_ar_square():
+    img = np.ones((40, 80, 3), np.uint8)
+    out = pad_to_aspect_ratio(img, 1.0)      # wants H/W == 1
+    assert out.shape == (80, 80, 3)          # reference pads H here
+    # zero padding split evenly
+    assert out[:20].sum() == 0 and out[-20:].sum() == 0
+    assert out[20:60].sum() == img.sum()
+
+
+def test_pad_to_ar_odd_pixel_parity():
+    # int(pad/2) both sides: odd pad loses one pixel (reference quirk,
+    # keep_aspect_ratio.py:40-48)
+    img = np.ones((41, 80, 3), np.uint8)
+    out = pad_to_aspect_ratio(img, 1.0)
+    assert out.shape == (79, 80, 3)          # 41 + 2*int(39/2) = 79
+
+
+def test_eval_preprocess_shapes(tiny_dataset):
+    m = build_manifest(str(tiny_dataset))
+    img = eval_preprocess_image(m.samples[0].image_path, (224, 224))
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+    img2 = eval_preprocess_image(m.samples[0].image_path, (224, 256))
+    assert img2.shape == (224, 256, 3)
+
+
+def test_normalize_on_device_matches_albumentations_math():
+    import jax.numpy as jnp
+    x = np.random.default_rng(0).integers(0, 256, (2, 4, 4, 3)).astype(np.uint8)
+    got = np.asarray(normalize_on_device(jnp.asarray(x)))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    want = (x.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wordpiece_tokenizer():
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "water", "bottle", "tin",
+         "can", "##s", "bat", "##tery"])}
+    tok = WordPieceTokenizer(vocab)
+    ids, mask = tok.encode_one("water bottles", 16)
+    assert ids == [2, 4, 5, 8, 3]            # CLS water bottle ##s SEP
+    assert mask == [1] * 5
+    enc = tok.encode_batch(["tin can", "battery"], 8)
+    assert enc.input_ids.shape == (2, 8)
+    assert enc.input_ids[0].tolist()[:4] == [2, 6, 7, 3]
+    assert enc.input_ids[1].tolist()[:4] == [2, 9, 10, 3]
+    assert enc.attention_mask.sum(1).tolist() == [4, 4]
+
+
+def test_hash_tokenizer_deterministic():
+    tok = get_tokenizer("distilbert")
+    assert isinstance(tok, HashTokenizer)
+    a = tok.encode_batch(["water bottle"], 8).input_ids
+    b = tok.encode_batch(["water bottle"], 8).input_ids
+    np.testing.assert_array_equal(a, b)
+    assert a[0, 0] == 101  # CLS
+
+
+def test_batcher_fixed_shapes_and_tail_mask(tiny_dataset):
+    m = build_manifest(str(tiny_dataset))
+    tok = get_tokenizer("distilbert")
+    b = ImageTextBatcher(m, (64, 64), tokenizer=tok, seq_len=16, workers=2)
+    batches = list(b.iter_batches(8, shuffle=False))
+    b.close()
+    assert len(batches) == 2
+    for batch in batches:
+        assert batch["image"].shape == (8, 64, 64, 3)
+        assert batch["input_ids"].shape == (8, 16)
+    # tail: 12 samples -> second batch has 4 valid
+    assert batches[1]["valid"].sum() == 4
+    assert batches[0]["valid"].sum() == 8
+
+
+def test_imbalanced_sampler_rebalances(tiny_dataset):
+    m = build_manifest(str(tiny_dataset))
+    # skew: drop most of class 0 from a copy of samples
+    import copy
+    m2 = copy.copy(m)
+    m2.samples = [s for s in m.samples if s.label != 0] + \
+        [s for s in m.samples if s.label == 0][:1]
+    order = imbalanced_sample_order(m2, seed=0, num_samples=4000)
+    labels = np.asarray([m2.samples[i].label for i in order])
+    counts = np.bincount(labels, minlength=4)
+    # with replacement + inverse-frequency weights all classes ~uniform
+    assert counts.min() > 0.8 * counts.max()
+
+
+def test_batch_indices_cover_all():
+    plans = batch_indices(13, 4, shuffle=True, seed=1)
+    got = np.sort(np.concatenate(plans))
+    np.testing.assert_array_equal(got, np.arange(13))

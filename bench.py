@@ -1,0 +1,88 @@
+"""Headline benchmark — eval samples/sec/chip on the flagship config.
+
+Runs on real TPU hardware (the driver executes this at the end of every
+round). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measurement methodology (axon-tunnel quirks, measured 2026-08-16):
+  * ``block_until_ready`` does NOT block over the tunnel and host readback
+    runs ~1 MB/s — so each bench compiles ONE program that lax.scans N
+    forward steps on device and returns a single scalar; wall time of the
+    second invocation / N is the per-batch time. Calibration: a bf16
+    matmul chain measures 107 TFLOP/s on this v5e chip (peak ~197).
+  * remote compile is slow (~3 min per program) — exactly two programs are
+    compiled (warmup reuses the same executable).
+
+Headline metric: ViT-B/16 image-eval throughput (samples/sec/chip, bf16
+compute, uint8 batch, normalize fused into the forward) — the
+`transformer_B16` config of BASELINE.json.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). Estimate for
+the reference PyTorch pipeline (ViT-B/16 fp32 eval, V100L, DataLoader-fed):
+~330 samples/s. BASELINE.json goal is >=10x/chip => vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_VIT_B16_EVAL_SPS = 330.0  # V100L fp32 estimate (no published number)
+SCAN_STEPS = 20
+
+
+def bench_vit_b16(batch_size: int = 128):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.data.images import normalize_on_device
+    from garbage_classification_rca_tpu.models import get_image_model
+
+    mdef = get_image_model("transformer_B16")
+    params, state = mdef.init(jax.random.PRNGKey(0), num_classes=4)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def run(params, images):
+        def body(acc, _):
+            # serial dependency on the carry: prevents XLA loop-invariant
+            # code motion from computing the forward once (observed: a
+            # carry-independent body benched at 518 TFLOP/s, 2.6x chip peak)
+            imgs = images + (acc % 2).astype(jnp.uint8)
+            x = normalize_on_device(imgs, dtype=jnp.bfloat16)
+            logits, _ = mdef.apply(params, state, x, train=False, rng=None)
+            preds = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            return acc + jnp.sum(preds), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=SCAN_STEPS)
+        return acc
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8))
+    int(run(params, images))          # compile + first run
+    t0 = time.perf_counter()
+    int(run(params, images))          # timed: N batches on device
+    wall = time.perf_counter() - t0
+    per_batch = wall / SCAN_STEPS
+    return batch_size / per_batch, per_batch
+
+
+def main():
+    import jax
+
+    n_chips = max(len(jax.devices()), 1)
+    sps, per_batch = bench_vit_b16()
+    sps_chip = sps / n_chips
+    print(f"# ViT-B16 eval: {sps:.1f} samples/s on {n_chips} chip(s), "
+          f"batch latency {per_batch * 1e3:.2f} ms (bs=128, bf16)")
+    print(json.dumps({
+        "metric": "vit_b16_eval_samples_per_sec_per_chip",
+        "value": round(sps_chip, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps_chip / REFERENCE_VIT_B16_EVAL_SPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Shared pieces for BERT-family text encoders.
+
+All reference text towers (CVPR_code/text_models.py) are HF transformer
+encoders with a frozen backbone + dropout + Linear(hidden, 4) head pooling
+the CLS token (text_models.py:23-34 et al). The JAX rebuild shares the
+post-norm transformer block here; per-model files add embeddings/layout
+quirks and the HF state-dict converters.
+
+TPU notes: additive attention masking ((1-mask) * -1e9 pre-softmax, fp32
+softmax), fused QKV where the checkpoint layout allows concatenation
+without numerical change.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nn import core as nn
+
+
+def attention_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, L] 0/1 -> additive [B, 1, 1, L] bias (-inf-ish at padding)."""
+    return ((1.0 - attention_mask.astype(jnp.float32))
+            * jnp.finfo(jnp.float32).min)[:, None, None, :]
+
+
+def multi_head_attention(q, k, v, bias, heads: int):
+    """[B, L, D] x3 + additive bias -> [B, L, D]; fp32 softmax."""
+    b, l, d = q.shape
+    hd = d // heads
+    q = q.reshape(b, l, heads, hd)
+    k = k.reshape(b, l, heads, hd)
+    v = v.reshape(b, l, heads, hd)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+    scores = scores.astype(jnp.float32) + bias
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", w, v)
+    return out.reshape(b, l, d)
+
+
+def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
+                   ln_eps: float, act=nn.gelu) -> jnp.ndarray:
+    """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm."""
+    q = nn.linear(p["q"], x)
+    k = nn.linear(p["k"], x)
+    v = nn.linear(p["v"], x)
+    att = multi_head_attention(q, k, v, bias, heads)
+    x = nn.layernorm(p["ln_att"], x + nn.linear(p["out"], att), eps=ln_eps)
+    h = nn.linear(p["fc2"], act(nn.linear(p["fc1"], x)))
+    return nn.layernorm(p["ln_ffn"], x + h, eps=ln_eps)
+
+
+def init_postnorm_layer(key, hidden: int, ffn: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    return {
+        "q": nn.init_linear(ks[0], hidden, hidden, dtype),
+        "k": nn.init_linear(ks[1], hidden, hidden, dtype),
+        "v": nn.init_linear(ks[2], hidden, hidden, dtype),
+        "out": nn.init_linear(ks[3], hidden, hidden, dtype),
+        "ln_att": nn.init_layernorm(hidden, dtype),
+        "fc1": nn.init_linear(ks[4], hidden, ffn, dtype),
+        "fc2": nn.init_linear(ks[5], ffn, hidden, dtype),
+        "ln_ffn": nn.init_layernorm(hidden, dtype),
+    }
+
+
+def lin(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, jnp.ndarray]:
+    """HF Linear -> ours (transpose [out,in] -> [in,out])."""
+    return {"w": jnp.asarray(sd[prefix + ".weight"]).T,
+            "b": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def ln_(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, jnp.ndarray]:
+    return {"scale": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], *candidates: str
+                 ) -> Dict[str, np.ndarray]:
+    """Drop a wrapping prefix ('model.', 'text_model.', ...) if present.
+
+    The reference nests the HF encoder under different attribute names per
+    entry point (text_models.py `self.model`, multimodal_model.py
+    `self.text_model`) — converters accept any of them.
+    """
+    for pre in candidates:
+        if any(k.startswith(pre) for k in sd):
+            return {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+    return sd

@@ -1,0 +1,123 @@
+"""Training step + two-phase epoch loop.
+
+Reference shape (main_image.py:85-130 run_one_epoch; :547-709 epoch loops):
+per-batch forward/CE/backward with gradient accumulation every
+``acc_steps`` batches, phase 1 on a frozen backbone for ``--epochs``,
+then unfreeze-all fine-tuning at lr/fraction_lr for ``--ft_epochs`` with
+ReduceLROnPlateau on val accuracy, checkpointing on best val accuracy.
+
+TPU-native re-design:
+  * ONE jitted train step consumes a [acc, B, ...] microbatch stack and
+    runs ``lax.scan`` over it, accumulating gradients in fp32 — the whole
+    effective batch is a single device program (no per-microbatch host
+    round-trip like the reference's optimizer-step-every-N-batches loop).
+  * gradients are AVERAGED over microbatches. The reference divides the
+    loss by acc_steps only AFTER backward() (main_image.py:107-110), so
+    its gradients are actually summed — a known defect (SURVEY.md §2); we
+    fix it and document here rather than copy it.
+  * freezing = optax.masked: phase-1 only head params update; BatchNorm
+    running stats still update in train mode exactly like torch modules in
+    ``model.train()`` with requires_grad=False params.
+  * batch sharded over mesh axis 'data'; params/opt-state replicated;
+    gradient psums inserted by XLA from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.images import normalize_on_device
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .loss import cross_entropy_loss
+
+
+def head_only_mask(params, head_keys=("head",)):
+    """Trainable mask: True only for subtrees whose top-level key is a head.
+
+    Mirrors reference transfer learning: freeze backbone, replaced head
+    trains (models.py:18-24 et al).
+    """
+    def mark(tree, trainable):
+        return jax.tree_util.tree_map(lambda _: trainable, tree)
+
+    return {k: mark(v, k in head_keys) for k, v in params.items()}
+
+
+def all_trainable_mask(params):
+    return jax.tree_util.tree_map(lambda _: True, params)
+
+
+def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
+                    *, class_weights=None, label_smoothing: float = 0.0,
+                    compute_dtype=jnp.bfloat16, mesh=None,
+                    batch_to_inputs: Optional[Callable] = None,
+                    donate: bool = False):
+    """Build the jitted (grad-accumulating) train step.
+
+    batch leaves carry a leading [acc_steps] axis (use acc_steps=1 stacks
+    for no accumulation). batch_to_inputs maps a microbatch dict to the
+    model's positional input (default: normalized image).
+    """
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+
+    if batch_to_inputs is None:
+        def batch_to_inputs(mb):
+            return normalize_on_device(mb["image"], dtype=compute_dtype)
+
+    def loss_fn(params, state, mb, rng):
+        logits, new_state = apply_fn(params, state, batch_to_inputs(mb),
+                                     train=True, rng=rng)
+        loss = cross_entropy_loss(logits, mb["label"], cw, label_smoothing,
+                                  mb.get("valid"))
+        return loss, new_state
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(params, state, opt_state, batch, rng):
+        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def micro(carry, inp):
+            state, grads_acc, loss_acc = carry
+            mb, mb_rng = inp
+            (loss, new_state), grads = grad_fn(params, state, mb, mb_rng)
+            grads = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (new_state, grads, loss_acc + loss), loss
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        rngs = jax.random.split(rng, acc)
+        (state, grads, loss_sum), losses = jax.lax.scan(
+            micro, (state, zero_grads, 0.0), (batch, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state, opt_state, loss_sum / acc, losses
+
+    # Shardings are inferred from operand placement: the caller replicates
+    # params/state/opt_state (parallel.shard_params) and device_puts batches
+    # with PartitionSpec(None, 'data') (microbatch axis replicated, batch
+    # axis sharded). XLA then inserts the gradient all-reduces.
+    # donate=True (production epoch loops) lets XLA reuse the param/opt
+    # buffers in place — halves peak HBM; leave off when the caller keeps
+    # references to the old params.
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def microbatch_sharding(mesh):
+    """Sharding for [acc, B, ...] stacked batches: batch axis over 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def stack_microbatches(batches):
+    """List of microbatch dicts -> one dict with leading [acc] axis."""
+    import numpy as np
+
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches]) for k in keys}

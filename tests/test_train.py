@@ -1,0 +1,149 @@
+"""Training stack: torch-parity CE loss, grad-accum scan step, freezing,
+plateau scheduler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from garbage_classification_rca_tpu.train.loss import cross_entropy_loss
+from garbage_classification_rca_tpu.train.optim import (
+    make_optimizer, PlateauScheduler, set_learning_rate, get_learning_rate)
+from garbage_classification_rca_tpu.train.loop import (
+    make_train_step, head_only_mask, all_trainable_mask, stack_microbatches)
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("weights,smoothing", [
+    (None, 0.0), ([2.0, 0.5, 1.0, 1.5], 0.0),
+    (None, 0.1), ([2.0, 0.5, 1.0, 1.5], 0.1),
+])
+def test_cross_entropy_matches_torch(weights, smoothing):
+    logits = RNG.normal(size=(16, 4)).astype(np.float32)
+    labels = RNG.integers(0, 4, 16)
+    tw = None if weights is None else torch.tensor(weights)
+    want = torch.nn.CrossEntropyLoss(weight=tw, label_smoothing=smoothing)(
+        torch.tensor(logits), torch.tensor(labels)).item()
+    got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   weights, smoothing))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cross_entropy_valid_mask():
+    logits = RNG.normal(size=(8, 4)).astype(np.float32)
+    labels = RNG.integers(0, 4, 8)
+    valid = np.array([1, 1, 1, 1, 1, 0, 0, 0])
+    got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                   valid=jnp.asarray(valid)))
+    want = float(cross_entropy_loss(jnp.asarray(logits[:5]),
+                                    jnp.asarray(labels[:5])))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _toy_model():
+    def apply(params, state, x, *, train=False, rng=None):
+        return x @ params["backbone"]["w"] + params["head"]["b"], state
+    params = {"backbone": {"w": jnp.asarray(RNG.normal(size=(6, 4)).astype(np.float32))},
+              "head": {"b": jnp.zeros((4,), jnp.float32)}}
+    return apply, params
+
+
+def test_sgd_step_matches_torch():
+    """One SGD(weight_decay) step must match torch exactly."""
+    apply, params = _toy_model()
+    x = RNG.normal(size=(1, 8, 6)).astype(np.float32)   # [acc=1, B, D]
+    y = RNG.integers(0, 4, (1, 8)).astype(np.int32)
+
+    opt = make_optimizer("sgd", lr=0.1, reg=0.01)
+    opt_state = opt.init(params)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"])
+    p2, _, _, loss, _ = step(params, {}, opt_state,
+                             {"x": jnp.asarray(x), "label": jnp.asarray(y)},
+                             jax.random.PRNGKey(0))
+
+    tw = torch.tensor(np.asarray(params["backbone"]["w"]), requires_grad=True)
+    tb = torch.tensor(np.asarray(params["head"]["b"]), requires_grad=True)
+    topt = torch.optim.SGD([tw, tb], lr=0.1, weight_decay=0.01)
+    tloss = torch.nn.CrossEntropyLoss()(
+        torch.tensor(x[0]) @ tw + tb, torch.tensor(y[0], dtype=torch.long))
+    tloss.backward()
+    topt.step()
+    np.testing.assert_allclose(float(loss), tloss.item(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2["backbone"]["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["head"]["b"]),
+                               tb.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accumulation_averages():
+    """acc=4 microbatches of 4 == one batch of 16 (fixed semantics)."""
+    apply, params = _toy_model()
+    x = RNG.normal(size=(16, 6)).astype(np.float32)
+    y = RNG.integers(0, 4, 16).astype(np.int32)
+    opt = make_optimizer("sgd", lr=0.1, reg=0.0)
+
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"])
+    pA, _, _, lossA, _ = step(params, {}, opt.init(params),
+                              {"x": jnp.asarray(x[None]), "label": jnp.asarray(y[None])},
+                              jax.random.PRNGKey(0))
+    pB, _, _, lossB, _ = step(params, {}, opt.init(params),
+                              {"x": jnp.asarray(x.reshape(4, 4, 6)),
+                               "label": jnp.asarray(y.reshape(4, 4))},
+                              jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(lossA), float(lossB), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pA["backbone"]["w"]),
+                               np.asarray(pB["backbone"]["w"]), rtol=1e-5)
+
+
+def test_freezing_masks():
+    apply, params = _toy_model()
+    mask = head_only_mask(params)
+    assert mask["backbone"]["w"] is False and mask["head"]["b"] is True
+    opt = make_optimizer("sgd", lr=0.5, reg=0.0, trainable_mask=mask)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"])
+    x = RNG.normal(size=(1, 8, 6)).astype(np.float32)
+    y = RNG.integers(0, 4, (1, 8)).astype(np.int32)
+    p2, _, _, _, _ = step(params, {}, opt.init(params),
+                          {"x": jnp.asarray(x), "label": jnp.asarray(y)},
+                          jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(p2["backbone"]["w"]),
+                                  np.asarray(params["backbone"]["w"]))
+    assert not np.allclose(np.asarray(p2["head"]["b"]),
+                           np.asarray(params["head"]["b"]))
+
+
+def test_plateau_scheduler_matches_torch():
+    tp = torch.optim.SGD([torch.zeros(1, requires_grad=True)], lr=1.0)
+    ts = torch.optim.lr_scheduler.ReduceLROnPlateau(tp, "max", factor=0.2)
+    ours = PlateauScheduler(lr=1.0, factor=0.2)
+    metrics = [0.5] + [0.4] * 15 + [0.6] + [0.3] * 15
+    for m in metrics:
+        ts.step(m)
+        lr = ours.step(m)
+        np.testing.assert_allclose(lr, tp.param_groups[0]["lr"], rtol=1e-6)
+
+
+def test_set_learning_rate_roundtrip():
+    apply, params = _toy_model()
+    opt = make_optimizer("adamw", lr=0.01, reg=0.1)
+    st = opt.init(params)
+    assert get_learning_rate(st) == pytest.approx(0.01)
+    st = set_learning_rate(st, 0.002)
+    assert get_learning_rate(st) == pytest.approx(0.002)
+    # masked variant
+    opt2 = make_optimizer("sgd", lr=0.5, reg=0.0,
+                          trainable_mask=all_trainable_mask(params))
+    st2 = opt2.init(params)
+    st2 = set_learning_rate(st2, 0.1)
+    assert get_learning_rate(st2) == pytest.approx(0.1)
+
+
+def test_stack_microbatches():
+    b = [{"a": np.ones((4, 2))}, {"a": np.zeros((4, 2))}]
+    s = stack_microbatches(b)
+    assert s["a"].shape == (2, 4, 2)

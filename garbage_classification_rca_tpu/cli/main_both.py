@@ -1,0 +1,173 @@
+"""Multimodal training CLI.
+
+Parity with reference main_both.py:236-834:
+``python -m ...cli.main_both --late_fusion=MM_RCA --reverse
+  --text_model=distilbert --dataset_folder_name=<base> [flags]``
+
+Two-phase schedule like main_image; multimodal specifics:
+  * per-epoch ablation evals — val accuracy with both / image_only /
+    text_only modes (main_both.py:43-47, 635-667);
+  * modality dropout inside the fusion forward (train mode only — and
+    unlike the reference, val during training runs in eval mode; the
+    reference's stochastic-val quirk is a recorded defect, SURVEY §2);
+  * optional imbalanced sampler on the train loader (--balanced_sampler);
+  * fine-tune phase unfreezes both towers (main_both.py:690-697).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import args_parser, MULTIMODAL_IMAGE_SIZE
+from ..data.augment import augment_batch
+from ..data.images import normalize_on_device
+from ..data.manifest import build_manifest
+from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..eval.report import classification_report_dict
+from ..models.fusion import FusionConfig, build_fusion
+from ..parallel.mesh import make_mesh, shard_params
+from ..train.engine import MetricsLogger, run_phase
+from ..train.loop import all_trainable_mask, make_train_step
+from ..train.optim import PlateauScheduler, make_optimizer
+from .test_both import fusion_config_from_args, make_both_eval_step
+
+TRAIN_SUFFIX = "_Train"
+VAL_SUFFIX = "_Val"
+
+# phase-1 trainable heads: everything except the two towers
+TOWER_KEYS = ("text", "image")
+
+
+def fusion_head_mask(params):
+    return {k: jax.tree_util.tree_map(lambda _: k not in TOWER_KEYS, v)
+            for k, v in params.items()}
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    cfg = fusion_config_from_args(args)
+    init_fn, apply_fn, _ = build_fusion(cfg)
+
+    mesh = make_mesh(args.mesh_shape)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
+                                    extended_desc=args.extended_desc_train)
+    val_manifest = build_manifest((args.dataset_folder_name_val or
+                                   args.dataset_folder_name) + VAL_SUFFIX,
+                                  extended_desc=args.extended_desc_val)
+    print(f"Len of train set: {len(train_manifest)}")
+    print(f"Len of val set: {len(val_manifest)}")
+    class_weights = train_manifest.class_weights() if args.balance_weights else None
+
+    tok = get_tokenizer(args.text_model)
+    train_batcher = ImageTextBatcher(
+        train_manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
+        seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_train is not None,
+        workers=args.data_workers)
+    val_batcher = ImageTextBatcher(
+        val_manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
+        seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_val is not None,
+        workers=args.data_workers)
+
+    params, state = init_fn(jax.random.PRNGKey(args.seed))
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+
+    def fusion_apply(p, s, x, *, train=False, rng=None):
+        # adapter: train step hands us the preprocessed tuple
+        return apply_fn(p, s, x, train=train, rng=rng)
+
+    def batch_to_inputs(mb, rng=None):
+        x = mb["image"]
+        if rng is not None and args.prob_aug > 0:
+            x = augment_batch(rng, x, args.prob_aug)
+        return (mb["input_ids"], mb["attention_mask"],
+                normalize_on_device(x, dtype=dtype))
+
+    def make_step(mask, lr):
+        opt = make_optimizer(args.opt, lr, args.reg, mask)
+        step = make_train_step(fusion_apply, opt, class_weights=class_weights,
+                               label_smoothing=args.label_smoothing,
+                               compute_dtype=dtype, mesh=mesh,
+                               batch_to_inputs=batch_to_inputs, donate=True)
+        return opt, step
+
+    eval_step_cache = {}
+
+    def mode_eval(params, state, remove_image=False, remove_text=False,
+                  with_report=False):
+        key = (remove_image, remove_text)
+        if key not in eval_step_cache:
+            def _apply(p, s, b, *, train=False, eval_mode=True, **kw):
+                return apply_fn(p, s, b, train=False, eval_mode=True,
+                                remove_image=remove_image,
+                                remove_text=remove_text)
+            eval_step_cache[key] = make_both_eval_step(_apply, mesh, dtype)
+        step = eval_step_cache[key]
+        correct, all_p, all_l = 0, [], []
+        for batch in device_prefetch(
+                val_batcher.iter_batches(args.eval_batch_size or 32), mesh):
+            preds, c = step(params, state, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        acc = 100.0 * correct / len(val_manifest)
+        if with_report:
+            return acc, classification_report_dict(
+                np.concatenate(all_l), np.concatenate(all_p))
+        return acc
+
+    def eval_fn(params, state):
+        return mode_eval(params, state, with_report=True)
+
+    extra_evals = {
+        "val_acc_image_only": lambda p, s: mode_eval(p, s, remove_text=True),
+        "val_acc_text_only": lambda p, s: mode_eval(p, s, remove_image=True),
+    }
+
+    model_name = f"{args.late_fusion}_{args.text_model}"
+    logger = MetricsLogger(args.name or f"both_{model_name}",
+                           use_wandb=args.wandb, config=vars(args))
+
+    opt, step = make_step(fusion_head_mask(params), args.lr)
+    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+    params, state, opt_state, best = run_phase(
+        phase_name="train", epochs=args.epochs, params=params, state=state,
+        opt=opt, opt_state=opt_state, train_step=step, eval_fn=eval_fn,
+        batcher=train_batcher, batch_size=args.batch_size,
+        acc_steps=args.acc_steps, args=args, mesh=mesh,
+        model_name=model_name, logger=logger,
+        balanced_sampler=args.balanced_sampler, extra_evals=extra_evals)
+
+    if args.ft_epochs > 0:
+        ft_lr = args.lr / args.fraction_lr
+        opt, step = make_step(all_trainable_mask(params), ft_lr)
+        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        sched = PlateauScheduler(ft_lr, factor=0.2)
+        params, state, opt_state, best = run_phase(
+            phase_name="fine_tune", epochs=args.ft_epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn, batcher=train_batcher,
+            batch_size=args.batch_size_FT, acc_steps=args.acc_steps_FT,
+            args=args, mesh=mesh, model_name=model_name, logger=logger,
+            scheduler=sched, best=best,
+            balanced_sampler=args.balanced_sampler, extra_evals=extra_evals,
+            fine_tuning=True)
+
+    train_batcher.close()
+    val_batcher.close()
+    print(f"Best epoch: {best.best_epoch}, best val acc: {best.best_val_acc:.5f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

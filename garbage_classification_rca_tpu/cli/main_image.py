@@ -1,0 +1,141 @@
+"""Image-model training CLI.
+
+Parity with reference main_image.py:241-711:
+``python -m garbage_classification_rca_tpu.cli.main_image
+  --image_model=eff_v2_medium --dataset_folder_name=<base> [flags]``
+
+Dataset layout matches the reference: ``<base>_Train/`` and ``<base>_Val/``
+class folders (main_image.py:63-64, 478-489). Two-phase schedule: phase 1
+head-only (frozen backbone iff --tl) for --epochs; phase 2 full fine-tune
+at lr/--fraction_lr for --ft_epochs with plateau LR on val acc; weighted
+CE (--balance_weights), label smoothing, gradient accumulation
+(--acc_steps/--acc_steps_FT), best-val checkpointing with reference-style
+filenames, JSONL metrics (+ optional wandb).
+
+Augmentation note: train-time augmentation runs on device inside the train
+step (data/augment.py) at --prob_aug, replacing the reference's host-side
+albumentations stack with a jitted equivalent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import NUM_CLASSES
+from ..config import args_parser, IMAGE_ARCHS
+from ..data.augment import augment_batch
+from ..data.images import normalize_on_device
+from ..data.manifest import build_manifest
+from ..data.pipeline import ImageTextBatcher
+from ..eval.harness import run_image_eval
+from ..models import get_image_model
+from ..parallel.mesh import make_mesh, shard_params
+from ..train.engine import MetricsLogger, PhaseResult, run_phase
+from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
+from ..train.optim import PlateauScheduler, make_optimizer
+
+TRAIN_SUFFIX = "_Train"
+VAL_SUFFIX = "_Val"
+
+# head param subtree name per arch family (the replaced classifier)
+HEAD_KEYS = {"default": ("classifier", "fc", "head", "fc1", "fc2")}
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    mdef = get_image_model(args.image_model)
+    spec = IMAGE_ARCHS[args.image_model]
+    batch_size = args.batch_size or spec.train_batch
+    ft_batch = args.batch_size_FT or spec.ft_batch
+
+    mesh = make_mesh(args.mesh_shape)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
+                                    extended_desc=args.extended_desc_train)
+    val_manifest = build_manifest((args.dataset_folder_name_val or
+                                   args.dataset_folder_name) + VAL_SUFFIX,
+                                  extended_desc=args.extended_desc_val)
+    print(f"Len of train set: {len(train_manifest)}")
+    print(f"Len of val set: {len(val_manifest)}")
+    class_weights = train_manifest.class_weights() if args.balance_weights else None
+    print(f"Class weights: {train_manifest.class_weights()}")
+
+    params, state = mdef.init(jax.random.PRNGKey(args.seed),
+                              num_classes=NUM_CLASSES)
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+
+    train_batcher = ImageTextBatcher(train_manifest, spec.input_size,
+                                     workers=args.data_workers)
+    val_batcher = ImageTextBatcher(val_manifest, spec.input_size,
+                                   workers=args.data_workers)
+
+    def batch_to_inputs(mb, rng=None):
+        x = mb["image"]
+        if rng is not None and args.prob_aug > 0:
+            x = augment_batch(rng, x, args.prob_aug)
+        return normalize_on_device(x, dtype=dtype)
+
+    def make_step(trainable_mask, lr, acc):
+        opt = make_optimizer(args.opt, lr, args.reg, trainable_mask)
+        step = make_train_step(
+            mdef.apply, opt, class_weights=class_weights,
+            label_smoothing=args.label_smoothing, compute_dtype=dtype,
+            mesh=mesh, batch_to_inputs=batch_to_inputs, donate=True)
+        return opt, step
+
+    def eval_fn_factory(bs):
+        def eval_fn(params, state):
+            from ..eval.report import classification_report_dict
+            acc, labels, preds, _ = run_image_eval(
+                mdef.apply, params, state, val_batcher, bs, mesh, dtype,
+                progress=False)
+            return acc, classification_report_dict(labels, preds)
+        return eval_fn
+
+    logger = MetricsLogger(args.name or f"image_{args.image_model}",
+                           use_wandb=args.wandb, config=vars(args))
+
+    # phase 1 — frozen backbone iff --tl (models.py:18-24)
+    mask = head_only_mask(params, HEAD_KEYS["default"]) if args.tl \
+        else all_trainable_mask(params)
+    opt, step = make_step(mask, args.lr, args.acc_steps)
+    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+    params, state, opt_state, best = run_phase(
+        phase_name="train", epochs=args.epochs, params=params, state=state,
+        opt=opt, opt_state=opt_state, train_step=step,
+        eval_fn=eval_fn_factory(spec.eval_batch), batcher=train_batcher,
+        batch_size=batch_size, acc_steps=args.acc_steps, args=args, mesh=mesh,
+        model_name=args.image_model, logger=logger,
+        balanced_sampler=args.balanced_sampler)
+
+    # phase 2 — unfreeze all at lr/fraction_lr with plateau scheduling
+    if args.ft_epochs > 0:
+        ft_lr = args.lr / args.fraction_lr
+        opt, step = make_step(all_trainable_mask(params), ft_lr,
+                              args.acc_steps_FT)
+        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        sched = PlateauScheduler(ft_lr, factor=0.2)
+        params, state, opt_state, best = run_phase(
+            phase_name="fine_tune", epochs=args.ft_epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn_factory(spec.eval_batch), batcher=train_batcher,
+            batch_size=ft_batch, acc_steps=args.acc_steps_FT, args=args,
+            mesh=mesh, model_name=args.image_model, logger=logger,
+            scheduler=sched, best=best, balanced_sampler=args.balanced_sampler,
+            fine_tuning=True)
+
+    train_batcher.close()
+    val_batcher.close()
+    print(f"Best epoch: {best.best_epoch}, best val acc: {best.best_val_acc:.5f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

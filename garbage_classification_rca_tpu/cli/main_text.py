@@ -1,0 +1,160 @@
+"""Text-model training CLI.
+
+Parity with reference main_text.py:246-611:
+``python -m ...cli.main_text --text_model=distilbert
+  --dataset_folder_name=<base> [flags]``
+
+Text comes from filename stems / captions CSV; optional synonym
+augmentation (--use_synonyms at --prob_aug_text) swaps words via the host
+Synonymizer (data/synonymize.py — WordNet-style substitution by default;
+the reference's Llama-3.1-8B paraphraser is available as a plug-in when
+weights are local, reference synonymizer/synonymizer.py:8-126).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import NUM_CLASSES
+from ..config import args_parser, TEXT_ARCHS
+from ..data.manifest import build_manifest
+from ..data.pipeline import ImageTextBatcher
+from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..data.synonymize import Synonymizer
+from ..eval.report import classification_report_dict
+from ..models import get_text_model
+from ..parallel.mesh import make_mesh, shard_params
+from ..train.engine import MetricsLogger, run_phase
+from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
+from ..train.optim import PlateauScheduler, make_optimizer
+from .test_text import make_text_eval_step
+
+TRAIN_SUFFIX = "_Train"
+VAL_SUFFIX = "_Val"
+
+HEAD_KEYS = ("head", "score", "classifier", "head_dense", "head_out", "pooler")
+
+
+class SynonymBatcher(ImageTextBatcher):
+    """Applies host-side synonym augmentation before tokenizing
+    (reference main_text.py:111-126 re-tokenizes augmented text)."""
+
+    def __init__(self, *a, synonymizer=None, prob=0.0, seed=0, **kw):
+        super().__init__(*a, **kw)
+        self.syn = synonymizer
+        self.prob = prob
+        self.rng = np.random.default_rng(seed)
+
+    def make_batch(self, indices, batch_size):
+        batch = super().make_batch(indices, batch_size)
+        if self.syn is not None and self.rng.random() < self.prob:
+            n = len(indices)
+            texts = [self.syn.augment(
+                self.m.samples[i].effective_text(self.extended))
+                for i in indices]
+            texts += [""] * (batch_size - n)
+            enc = self.tokenizer.encode_batch(texts, self.seq_len)
+            batch["input_ids"] = enc.input_ids
+            batch["attention_mask"] = enc.attention_mask
+        return batch
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    mdef = get_text_model(args.text_model)
+    spec = TEXT_ARCHS[args.text_model]
+
+    mesh = make_mesh(args.mesh_shape)
+
+    train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
+                                    extended_desc=args.extended_desc_train)
+    val_manifest = build_manifest((args.dataset_folder_name_val or
+                                   args.dataset_folder_name) + VAL_SUFFIX,
+                                  extended_desc=args.extended_desc_val)
+    print(f"Len of train set: {len(train_manifest)}")
+    print(f"Len of val set: {len(val_manifest)}")
+    class_weights = train_manifest.class_weights() if args.balance_weights else None
+
+    tok = get_tokenizer(args.text_model)
+    syn = Synonymizer(seed=args.seed) if args.use_synonyms else None
+    train_batcher = SynonymBatcher(
+        train_manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_train is not None,
+        workers=args.data_workers, with_images=False,
+        synonymizer=syn, prob=args.prob_aug_text, seed=args.seed)
+    val_batcher = ImageTextBatcher(
+        val_manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_val is not None,
+        workers=args.data_workers, with_images=False)
+
+    params, state = mdef.init(jax.random.PRNGKey(args.seed),
+                              num_classes=NUM_CLASSES)
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+
+    def batch_to_inputs(mb, rng=None):
+        return (mb["input_ids"], mb["attention_mask"])
+
+    def make_step(mask, lr):
+        opt = make_optimizer(args.opt, lr, args.reg, mask)
+        step = make_train_step(mdef.apply, opt, class_weights=class_weights,
+                               label_smoothing=args.label_smoothing,
+                               compute_dtype=jnp.float32, mesh=mesh,
+                               batch_to_inputs=batch_to_inputs, donate=True)
+        return opt, step
+
+    eval_step = make_text_eval_step(mdef.apply, mesh)
+
+    def eval_fn(params, state):
+        correct, all_p, all_l = 0, [], []
+        for batch in val_batcher.iter_batches(spec.eval_batch):
+            preds, c = eval_step(params, state, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        acc = 100.0 * correct / len(val_manifest)
+        return acc, classification_report_dict(np.concatenate(all_l),
+                                               np.concatenate(all_p))
+
+    logger = MetricsLogger(args.name or f"text_{args.text_model}",
+                           use_wandb=args.wandb, config=vars(args))
+
+    mask = head_only_mask(params, HEAD_KEYS) if args.tl \
+        else all_trainable_mask(params)
+    opt, step = make_step(mask, args.lr)
+    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+    params, state, opt_state, best = run_phase(
+        phase_name="train", epochs=args.epochs, params=params, state=state,
+        opt=opt, opt_state=opt_state, train_step=step, eval_fn=eval_fn,
+        batcher=train_batcher, batch_size=args.batch_size,
+        acc_steps=args.acc_steps, args=args, mesh=mesh,
+        model_name=args.text_model, logger=logger,
+        balanced_sampler=args.balanced_sampler,
+        keys=("input_ids", "attention_mask", "label", "valid"))
+
+    if args.ft_epochs > 0:
+        ft_lr = args.lr / args.fraction_lr
+        opt, step = make_step(all_trainable_mask(params), ft_lr)
+        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        sched = PlateauScheduler(ft_lr, factor=0.2)
+        params, state, opt_state, best = run_phase(
+            phase_name="fine_tune", epochs=args.ft_epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn, batcher=train_batcher,
+            batch_size=args.batch_size_FT, acc_steps=args.acc_steps_FT,
+            args=args, mesh=mesh, model_name=args.text_model, logger=logger,
+            scheduler=sched, best=best,
+            balanced_sampler=args.balanced_sampler, fine_tuning=True,
+            keys=("input_ids", "attention_mask", "label", "valid"))
+
+    train_batcher.close()
+    val_batcher.close()
+    print(f"Best epoch: {best.best_epoch}, best val acc: {best.best_val_acc:.5f}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Multimodal test-set evaluation CLI — the BASELINE.json headline path.
+
+Parity with reference calculate_test_accuracy_both.py:143-240:
+``python -m garbage_classification_rca_tpu.cli.test_both
+  --late_fusion=MM_RCA --reverse --text_model=distilbert
+  --model_path=<ckpt.pth> --dataset_folder_name=<test-root>``
+builds the fusion model, loads the reference checkpoint (all-heads state
+dict), evaluates mode 'both' with eval=True, and writes the confusion
+PNG + CSV under ``test_set_reports/<late_fusion>/``.
+
+TPU-native: one jitted step runs normalize + both towers + fusion + argmax,
+batch sharded over the mesh; images cross H2D as uint8; the MM-RCA block
+optionally runs the fused Pallas kernel (--use_pallas_rca behind
+compute_dtype flag not needed — enabled by default on TPU).
+Fixed-seed shuffle is NOT applied (reference uses shuffle=True on the test
+loader — harmless for metrics, bad for per-sample dumps; SURVEY §2 defects).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import args_parser, MULTIMODAL_IMAGE_SIZE, MULTIMODAL_EVAL_BATCH
+from ..checkpoint.torch_convert import load_torch_state_dict
+from ..data.images import normalize_on_device
+from ..data.manifest import build_manifest
+from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..eval.report import generate_report_and_image
+from ..models.fusion import FusionConfig, build_fusion
+from ..parallel.mesh import make_mesh, shard_params, batch_sharding, replicated_sharding
+
+BASE_PATH = "./test_set_reports"
+
+
+def fusion_config_from_args(args) -> FusionConfig:
+    return FusionConfig(
+        strategy=args.late_fusion,
+        text_model_name=args.text_model,
+        drop_ratio=args.model_dropout,
+        image_or_text_dropout_chance=args.image_text_dropout,
+        img_prob_dropout=args.image_prob_dropout,
+        num_neurons_fc=args.num_neurons_FC,
+        batch_size=args.batch_size,
+        reverse=args.reverse,
+        features_only=args.features_only,
+        cross_attention_only=args.cross_attention_only,
+        use_pallas_rca=(jax.default_backend() == "tpu"
+                        and args.late_fusion == "MM_RCA"),
+    )
+
+
+def make_both_eval_step(apply_fn, mesh, compute_dtype):
+    def step(params, state, batch):
+        x = normalize_on_device(batch["image"], dtype=compute_dtype)
+        logits, _ = apply_fn(params, state,
+                             (batch["input_ids"], batch["attention_mask"], x),
+                             train=False, eval_mode=True)
+        preds = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        correct = jnp.sum((preds == batch["label"]) * batch["valid"])
+        return preds, correct
+
+    if mesh is None:
+        return jax.jit(step)
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    shard = {"image": bs, "input_ids": bs, "attention_mask": bs,
+             "label": bs, "valid": bs}
+    return jax.jit(step, in_shardings=(rs, rs, shard), out_shardings=(bs, rs))
+
+
+def run_multimodal_eval(apply_fn, params, state, batcher, batch_size, mesh,
+                        compute_dtype=jnp.bfloat16, progress=True):
+    step = make_both_eval_step(apply_fn, mesh, compute_dtype)
+    n_total = len(batcher.m)
+    all_preds, all_labels, correct = [], [], 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(device_prefetch(batcher.iter_batches(batch_size),
+                                              mesh)):
+        preds, c = step(params, state, batch)
+        correct += int(c)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_preds.append(np.asarray(preds)[valid])
+        all_labels.append(np.asarray(batch["label"])[valid])
+        if progress:
+            print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
+                  end="\r")
+    wall = time.perf_counter() - t0
+    acc = 100.0 * correct / n_total
+    return (acc, np.concatenate(all_labels), np.concatenate(all_preds),
+            {"wall_s": wall, "samples_per_s": n_total / wall, "n": n_total})
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    if args.model_path == "":
+        print("Please provide test model path")
+        sys.exit(0)
+
+    cfg = fusion_config_from_args(args)
+    init_fn, apply_fn, convert_fn = build_fusion(cfg)
+    sd = load_torch_state_dict(args.model_path)
+    params, state = convert_fn(sd)
+
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+
+    manifest = build_manifest(args.dataset_folder_name,
+                              extended_desc=args.extended_desc_val)
+    print(f"Num of test images: {len(manifest)}")
+    tok = get_tokenizer(args.text_model, vocab_dir=os.path.dirname(
+        args.model_path) or None)
+    batch_size = args.eval_batch_size or MULTIMODAL_EVAL_BATCH
+    batcher = ImageTextBatcher(
+        manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
+        seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_val is not None,
+        workers=args.data_workers)
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    acc, labels, preds, stats = run_multimodal_eval(
+        apply_fn, params, state, batcher, batch_size, mesh, dtype)
+    batcher.close()
+
+    tag = args.late_fusion
+    print(f"\nsamples checked for test: {stats['n']}")
+    print(f"eval throughput: {stats['samples_per_s']:.1f} samples/s")
+    report = generate_report_and_image(
+        labels, preds, acc, os.path.join(BASE_PATH, tag), tag, kind="both")
+    print(f"Test accuracy: {acc:.2f} %")
+    print("Test Report:")
+    print(report)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Text-model test-set evaluation CLI.
+
+Parity with reference calculate_test_accuracy_text.py:138-224:
+``python -m ...cli.test_text --text_model=distilbert
+  --model_path=<ckpt.pth> --dataset_folder_name=<test-root>``
+Text comes from filename stems (or the --extended_desc_val captions CSV),
+tokenized host-side; the encoder+head forward runs as one sharded jitted
+step. Reports land under ``test_set_reports/<text_model>/``.
+
+(The reference infers balance_weights from 'true'/'false' substrings of the
+checkpoint path — irrelevant at eval time since the criterion is unused;
+we drop that quirk.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import NUM_CLASSES
+from ..config import args_parser, TEXT_ARCHS
+from ..checkpoint.torch_convert import load_torch_state_dict
+from ..data.manifest import build_manifest
+from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..eval.report import generate_report_and_image
+from ..models import get_text_model
+from ..parallel.mesh import (make_mesh, shard_params, batch_sharding,
+                             replicated_sharding)
+
+BASE_PATH = "./test_set_reports"
+
+
+def make_text_eval_step(apply_fn, mesh):
+    def step(params, state, batch):
+        logits, _ = apply_fn(params, state,
+                             (batch["input_ids"], batch["attention_mask"]),
+                             train=False)
+        preds = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        correct = jnp.sum((preds == batch["label"]) * batch["valid"])
+        return preds, correct
+
+    if mesh is None:
+        return jax.jit(step)
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    shard = {"input_ids": bs, "attention_mask": bs, "label": bs, "valid": bs}
+    return jax.jit(step, in_shardings=(rs, rs, shard), out_shardings=(bs, rs))
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    if args.model_path == "":
+        print("Please provide test model path")
+        sys.exit(0)
+
+    mdef = get_text_model(args.text_model)
+    sd = load_torch_state_dict(args.model_path)
+    params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
+
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+
+    manifest = build_manifest(args.dataset_folder_name,
+                              extended_desc=args.extended_desc_val)
+    print(f"Num of test samples: {len(manifest)}")
+    tok = get_tokenizer(args.text_model, vocab_dir=os.path.dirname(
+        args.model_path) or None)
+    batch_size = args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch
+    batcher = ImageTextBatcher(
+        manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        extended_desc=args.extended_desc_val is not None,
+        workers=args.data_workers, with_images=False)
+
+    step = make_text_eval_step(mdef.apply, mesh)
+    n_total = len(manifest)
+    all_preds, all_labels, correct = [], [], 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(device_prefetch(
+            batcher.iter_batches(batch_size), mesh)):
+        preds, c = step(params, state, batch)
+        correct += int(c)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_preds.append(np.asarray(preds)[valid])
+        all_labels.append(np.asarray(batch["label"])[valid])
+        print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
+              end="\r")
+    wall = time.perf_counter() - t0
+    acc = 100.0 * correct / n_total
+    labels = np.concatenate(all_labels)
+    preds = np.concatenate(all_preds)
+    print(f"\nsamples checked for test: {n_total}")
+    print(f"eval throughput: {n_total / wall:.1f} samples/s")
+    report = generate_report_and_image(
+        labels, preds, acc, os.path.join(BASE_PATH, args.text_model),
+        args.text_model, kind="text")
+    print(f"Test accuracy: {acc:.2f} %")
+    print("Test Report:")
+    print(report)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

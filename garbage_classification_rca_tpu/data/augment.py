@@ -1,0 +1,149 @@
+"""Device-side train-time augmentation — jitted replacement for the
+reference's host albumentations stack (main_image.py:444-468):
+
+  Rotate -> [pad-AR + resize happen host-side] -> GaussianBlur -> VFlip ->
+  HFlip -> RandomBrightnessContrast -> Sharpen -> Perspective ->
+  ShiftScaleRotate(scale +-0.5), each applied independently with
+  probability --prob_aug.
+
+Design: all geometric ops compose into ONE homography per sample, applied
+as a single bilinear gather (one pass over the image instead of four);
+photometric ops are fused elementwise. Runs inside the train step on
+uint8 NHWC, so augmentation overlaps nothing host-side and XLA fuses it
+with normalization. Train-time only — numerics are capability-equivalent
+to albumentations, not bit-identical (SURVEY §7 'cv2-exact augmentations':
+acceptable for train; the eval path has no augmentation).
+
+Parameter ranges mirror albumentations defaults: Rotate limit 90deg,
+RandomBrightnessContrast +-0.2, Sharpen alpha (0.2, 0.5) lightness
+(0.5, 1.0), Perspective scale (0.05, 0.1), ShiftScaleRotate scale_limit
+0.5, GaussianBlur ksize 3..7.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _rand(key, lo, hi, shape=()):
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def _homography(keys, h, w, p):
+    """Compose rotate / zoom / perspective / flips into a 3x3 matrix that
+    maps OUTPUT pixel coords -> SOURCE coords (inverse warp)."""
+    k_rot, k_rotp, k_scale, k_scalep, k_persp, k_perspp, k_vf, k_hf = keys
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def maybe(kp, mat):
+        return jnp.where(jax.random.uniform(kp) < p, mat, jnp.eye(3))
+
+    # rotation (A.Rotate limit=90); inverse rotation = rotation by -theta
+    theta = _rand(k_rot, -math.pi / 2, math.pi / 2)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    rot = maybe(k_rotp, rot)
+
+    # zoom (ShiftScaleRotate scale_limit=0.5): source = out / scale
+    scale = 1.0 + _rand(k_scale, -0.5, 0.5)
+    zoom = jnp.diag(jnp.array([1.0, 1.0, 1.0]) / jnp.array([scale, scale, 1.0]))
+    zoom = maybe(k_scalep, zoom)
+
+    # mild perspective (A.Perspective scale=(0.05, 0.1))
+    pv = _rand(k_persp, -0.1, 0.1, (2,)) / jnp.array([h, w], jnp.float32)
+    persp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    persp = persp.at[2, 0].set(pv[0]).at[2, 1].set(pv[1])
+    persp = maybe(k_perspp, persp)
+
+    # flips (sign change around center)
+    vf = jnp.where(jax.random.uniform(k_vf) < p, -1.0, 1.0)
+    hf = jnp.where(jax.random.uniform(k_hf) < p, -1.0, 1.0)
+    flip = jnp.diag(jnp.array([vf, hf, 1.0]))
+
+    center = jnp.array([[1.0, 0.0, cy], [0.0, 1.0, cx], [0.0, 0.0, 1.0]])
+    uncenter = jnp.array([[1.0, 0.0, -cy], [0.0, 1.0, -cx], [0.0, 0.0, 1.0]])
+    return center @ persp @ rot @ zoom @ flip @ uncenter
+
+
+def _warp_bilinear(img_f32, mat, h, w):
+    """Inverse-warp one [H, W, 3] image with zero border."""
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(gy)
+    src = jnp.einsum("ij,jhw->ihw", mat, jnp.stack([gy, gx, ones]))
+    sy = src[0] / src[2]
+    sx = src[1] / src[2]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+
+    def tap(yy, xx):
+        inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        v = img_f32[yc, xc]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    out = (tap(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
+           + tap(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
+           + tap(y0 + 1, x0) * (wy * (1 - wx))[..., None]
+           + tap(y0 + 1, x0 + 1) * (wy * wx)[..., None])
+    return out
+
+
+_GAUSS3 = jnp.array([[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]]) / 16.0
+_SHARP_ID = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+_LAPLACE = jnp.array([[-1., -1., -1.], [-1., 8., -1.], [-1., -1., -1.]]) / 8.0
+
+
+def _conv3(img, kernel):
+    """Depthwise 3x3 with edge padding on [H, W, 3] fp32."""
+    x = img.transpose(2, 0, 1)[:, None]            # [3, 1, H, W]
+    k = kernel[None, None]
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y[:, 0].transpose(1, 2, 0)
+
+
+def _augment_one(key, img_u8, p: float):
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    keys = jax.random.split(key, 16)
+    x = img_u8.astype(jnp.float32)
+
+    # single fused geometric warp
+    mat = _homography(tuple(keys[:8]), h, w, p)
+    x = _warp_bilinear(x, mat, h, w)
+
+    # gaussian blur
+    blur = _conv3(x, _GAUSS3)
+    x = jnp.where(jax.random.uniform(keys[8]) < p, blur, x)
+
+    # brightness / contrast (+-0.2 each)
+    alpha = 1.0 + _rand(keys[9], -0.2, 0.2)
+    beta = _rand(keys[10], -0.2, 0.2) * 255.0
+    bc = x * alpha + beta
+    x = jnp.where(jax.random.uniform(keys[11]) < p, bc, x)
+
+    # sharpen (unsharp: blend identity with edge-enhanced)
+    s_alpha = _rand(keys[12], 0.2, 0.5)
+    light = _rand(keys[13], 0.5, 1.0)
+    sharp = _conv3(x, _SHARP_ID + _LAPLACE * light)
+    sh = (1 - s_alpha) * x + s_alpha * sharp
+    x = jnp.where(jax.random.uniform(keys[14]) < p, sh, x)
+
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("prob",))
+def augment_batch(key, images_u8: jnp.ndarray, prob: float) -> jnp.ndarray:
+    """[B, H, W, 3] uint8 -> augmented uint8 (per-sample independent RNG)."""
+    keys = jax.random.split(key, images_u8.shape[0])
+    return jax.vmap(lambda k, im: _augment_one(k, im, prob))(keys, images_u8)

@@ -1,0 +1,187 @@
+"""Two-phase training engine (shared by the image/text/multimodal CLIs).
+
+Reference shape (main_image.py:547-709, main_text.py, main_both.py):
+phase 1 trains the replaced head on a frozen backbone for ``--epochs``;
+phase 2 unfreezes everything at lr/``--fraction_lr`` for ``--ft_epochs``
+with ReduceLROnPlateau(max, 0.2) stepped on val accuracy; best-val
+checkpoints carry metadata-rich filenames.
+
+TPU-native: one jitted grad-accum step per phase (microbatch stack +
+lax.scan), batch sharded over the mesh, eval via the shared jitted eval
+step; wandb is optional (JSONL metrics log always written — SURVEY §5
+observability gap-fill).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.sampler import imbalanced_sample_order
+from ..parallel.mesh import shard_params
+from .loop import (all_trainable_mask, head_only_mask, make_train_step,
+                   microbatch_sharding)
+from .optim import (PlateauScheduler, get_learning_rate, make_optimizer,
+                    set_learning_rate)
+
+
+class MetricsLogger:
+    """JSONL metrics sink + optional wandb (reference main_image.py:600-609)."""
+
+    def __init__(self, run_name: str, out_dir: str = "runs",
+                 use_wandb: bool = False, config: Optional[dict] = None):
+        os.makedirs(out_dir, exist_ok=True)
+        ts = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        self.path = os.path.join(out_dir, f"{run_name}_{ts}.jsonl")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=run_name, config=config or {})
+            except Exception as e:  # wandb not installed / offline
+                print(f"wandb unavailable ({e}); logging to {self.path} only")
+
+    def log(self, metrics: Dict):
+        with open(self.path, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(metrics)
+
+
+def stacked_batches(batcher: ImageTextBatcher, batch_size: int,
+                    acc_steps: int, *, seed: int, order=None,
+                    keys=("image", "input_ids", "attention_mask", "label",
+                          "valid")) -> Iterable[Dict[str, np.ndarray]]:
+    """Group the host stream into [acc, B, ...] stacks for the scan step."""
+    acc = max(acc_steps, 1)
+    buf: List[Dict] = []
+    for b in batcher.iter_batches(batch_size, shuffle=order is None,
+                                  seed=seed, order=order):
+        buf.append({k: v for k, v in b.items() if k in keys})
+        if len(buf) == acc:
+            yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+            buf = []
+    if buf:
+        # pad the trailing stack by repeating the last microbatch with
+        # valid=0 so gradients are exact
+        pad = dict(buf[-1])
+        pad["valid"] = np.zeros_like(pad["valid"])
+        while len(buf) < acc:
+            buf.append(pad)
+        yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
+
+
+def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
+              args: RunConfig, fine_tuning: bool, out_root: str = ".") -> str:
+    """orbax checkpoint under a reference-style filename
+    (main_image.py:185-209)."""
+    import orbax.checkpoint as ocp
+
+    base = os.path.join(out_root, "model_weights", model_name)
+    os.makedirs(base, exist_ok=True)
+    if fine_tuning:
+        name = (f"BEST_model_{model_name}_FT_EPOCH_{epoch + 1}_LR_{args.lr}"
+                f"_Reg_{args.reg}_Opt_{args.opt}_FractionLR_{args.fraction_lr}"
+                f"_VAL_ACC_{val_acc:.5f}_")
+    else:
+        name = (f"BEST_model_{model_name}_epoch_{epoch + 1}_LR_{args.lr}"
+                f"_Reg_{args.reg}_Opt_{args.opt}_VAL_ACC_{val_acc:.5f}_")
+    name += datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    path = os.path.abspath(os.path.join(base, name))
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, {"params": jax.device_get(params),
+                     "state": jax.device_get(state)})
+    print(f"Saving weights to {path}")
+    return path
+
+
+def load_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return restored["params"], restored["state"]
+
+
+@dataclass
+class PhaseResult:
+    best_val_acc: float
+    best_epoch: int
+    best_path: Optional[str]
+
+
+def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
+              train_step, eval_fn, batcher, batch_size: int, acc_steps: int,
+              args: RunConfig, mesh, model_name: str, logger: MetricsLogger,
+              scheduler: Optional[PlateauScheduler] = None,
+              best: Optional[PhaseResult] = None, rng=None,
+              balanced_sampler: bool = False, extra_evals=None,
+              fine_tuning: bool = False,
+              keys=("image", "input_ids", "attention_mask", "label", "valid")):
+    """One training phase; returns (params, state, opt_state, PhaseResult)."""
+    best = best or PhaseResult(0.0, 0, None)
+    rng = rng if rng is not None else jax.random.PRNGKey(args.seed)
+    sb = microbatch_sharding(mesh) if mesh is not None else None
+    n_batches = math.ceil(len(batcher.m) / batch_size)
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        order = None
+        if balanced_sampler:
+            order = imbalanced_sample_order(batcher.m,
+                                            seed=args.seed * 1000 + epoch)
+        losses = []
+        host = stacked_batches(batcher, batch_size, acc_steps,
+                               seed=args.seed * 77 + epoch, order=order,
+                               keys=keys)
+        if sb is not None:
+            host = (jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sb), b) for b in host)
+        for bi, batch in enumerate(host):
+            rng, step_rng = jax.random.split(rng)
+            params, state, opt_state, loss, _ = train_step(
+                params, state, opt_state, batch, step_rng)
+            losses.append(loss)
+            print(f"Batches {bi * max(acc_steps, 1)}/{n_batches} "
+                  f"on epoch {epoch}", end="\r")
+        losses = [float(l) for l in losses]
+        train_time = time.time() - t0
+
+        metrics = {"phase": phase_name, "epoch": epoch,
+                   "epoch_time_seconds": train_time,
+                   "avg_loss": float(np.mean(losses)) if losses else 0.0,
+                   "max_loss": float(np.max(losses)) if losses else 0.0,
+                   "min_loss": float(np.min(losses)) if losses else 0.0,
+                   "lr": get_learning_rate(opt_state)}
+        val_acc, val_report = eval_fn(params, state)
+        metrics["val_acc"] = val_acc
+        for cls, rep in (val_report or {}).items():
+            if isinstance(rep, dict) and "precision" in rep:
+                metrics[f"precision_{cls}"] = rep["precision"]
+        if extra_evals:
+            for name, fn in extra_evals.items():
+                metrics[name] = fn(params, state)
+        logger.log(metrics)
+        print(f"\n[{phase_name}] epoch {epoch}: val_acc={val_acc:.3f} "
+              f"avg_loss={metrics['avg_loss']:.4f} "
+              f"({train_time:.1f}s, lr={metrics['lr']:.2e})")
+
+        if val_acc > best.best_val_acc:
+            best = PhaseResult(val_acc, epoch, save_best(
+                params, state, model_name=model_name, epoch=epoch,
+                val_acc=val_acc, args=args, fine_tuning=fine_tuning))
+        if scheduler is not None:
+            new_lr = scheduler.step(val_acc)
+            opt_state = set_learning_rate(opt_state, new_lr)
+    return params, state, opt_state, best

@@ -65,12 +65,21 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     if batch_to_inputs is None:
-        def batch_to_inputs(mb):
+        def batch_to_inputs(mb, rng=None):
             return normalize_on_device(mb["image"], dtype=compute_dtype)
 
+    def _inputs(mb, rng):
+        # batch_to_inputs may take (mb) or (mb, rng) — rng enables
+        # device-side augmentation inside the step (data/augment.py)
+        try:
+            return batch_to_inputs(mb, rng)
+        except TypeError:
+            return batch_to_inputs(mb)
+
     def loss_fn(params, state, mb, rng):
-        logits, new_state = apply_fn(params, state, batch_to_inputs(mb),
-                                     train=True, rng=rng)
+        r_in, r_model = jax.random.split(rng)
+        logits, new_state = apply_fn(params, state, _inputs(mb, r_in),
+                                     train=True, rng=r_model)
         loss = cross_entropy_loss(logits, mb["label"], cw, label_smoothing,
                                   mb.get("valid"))
         return loss, new_state

@@ -1,0 +1,162 @@
+"""Fusion family parity vs the torch oracle (all 7 strategies)."""
+
+import numpy as np
+import pytest
+import torch
+
+from garbage_classification_rca_tpu.checkpoint.torch_convert import numpy_state_dict
+from tests.torch_refs.fusion_ref import FusionRef
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import DistilBertConfig, DistilBertModel
+    torch.manual_seed(0)
+    text = DistilBertModel(DistilBertConfig()).eval()
+    m = FusionRef(text, batch_size=2, reverse=True, features_only=True,
+                  cross_attention_only=True).eval()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.05)
+            mod.running_var.uniform_(0.7, 1.3)
+    return m
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 30522, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    mask[0, -3:] = 0
+    images = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    return ids, mask, images
+
+
+@pytest.fixture(scope="module")
+def jax_params(oracle):
+    from garbage_classification_rca_tpu.models.fusion import (
+        FusionConfig, build_fusion)
+    sd = numpy_state_dict(oracle)
+    cfg = FusionConfig(strategy="MM_RCA", reverse=True, batch_size=2)
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    params, state = mm.convert_torch(sd, cfg)
+    return params, state
+
+
+@pytest.mark.parametrize("strategy", ["gated", "classic", "normalized",
+                                      "MM_RCA", "bimodal", "clip"])
+def test_fusion_strategy_parity(oracle, inputs, jax_params, strategy):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    from garbage_classification_rca_tpu.models.fusion import FusionConfig
+
+    ids, mask, images = inputs
+    params, state = jax_params
+    # oracle fixture is built with the ablation heads enabled so their
+    # params exist in the checkpoint; disable the flags for the plain paths
+    oracle.features_only = oracle.cross_attention_only = False
+    try:
+        with torch.no_grad():
+            want = oracle(torch.tensor(ids, dtype=torch.long),
+                          torch.tensor(mask, dtype=torch.long),
+                          torch.tensor(images), strategy=strategy).numpy()
+    finally:
+        oracle.features_only = oracle.cross_attention_only = True
+    cfg = FusionConfig(strategy=strategy, reverse=True, batch_size=2)
+    got, _ = mm.forward(cfg, params, state,
+                        (jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(images.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=4e-3, atol=4e-3)
+
+
+@pytest.mark.parametrize("fo,cao", [(True, False), (False, True)])
+def test_mm_rca_ablation_heads(oracle, inputs, jax_params, fo, cao):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    from garbage_classification_rca_tpu.models.fusion import FusionConfig
+
+    ids, mask, images = inputs
+    params, state = jax_params
+    oracle.features_only, oracle.cross_attention_only = fo, cao
+    with torch.no_grad():
+        want = oracle(torch.tensor(ids, dtype=torch.long),
+                      torch.tensor(mask, dtype=torch.long),
+                      torch.tensor(images), strategy="MM_RCA").numpy()
+    oracle.features_only = oracle.cross_attention_only = True
+    cfg = FusionConfig(strategy="MM_RCA", reverse=True, batch_size=2,
+                       features_only=fo, cross_attention_only=cao)
+    got, _ = mm.forward(cfg, params, state,
+                        (jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(images.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=4e-3, atol=4e-3)
+
+
+def test_hierarchical_parity_480(oracle, jax_params):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    from garbage_classification_rca_tpu.models.fusion import FusionConfig
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 30522, (1, 8)).astype(np.int32)
+    mask = np.ones((1, 8), np.int32)
+    images = rng.normal(size=(1, 3, 480, 480)).astype(np.float32)
+    params, state = jax_params
+    with torch.no_grad():
+        want = oracle(torch.tensor(ids, dtype=torch.long),
+                      torch.tensor(mask, dtype=torch.long),
+                      torch.tensor(images), strategy="hierarchical").numpy()
+    cfg = FusionConfig(strategy="hierarchical", batch_size=2)
+    got, _ = mm.forward(cfg, params, state,
+                        (jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(images.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=4e-3, atol=4e-3)
+
+
+def test_modality_dropout_semantics(jax_params, inputs):
+    """drop_modalities parity with reference :420-455 (unit level; the
+    random-init 57-block tower washes out input sensitivity, so end-to-end
+    sensitivity is not assertable here — parity vs torch covers that)."""
+    import jax
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    from garbage_classification_rca_tpu.models.fusion import FusionConfig
+
+    ids, mask, images = inputs
+    imgs = jnp.asarray(images.transpose(0, 2, 3, 1))
+    cfg = FusionConfig(strategy="MM_RCA", image_or_text_dropout_chance=1.0,
+                       img_prob_dropout=1.0)
+
+    # eval: explicit flags zero exactly one modality
+    i2, t2, m2 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+                                    jnp.asarray(mask), train=False, rng=None,
+                                    eval_mode=True, remove_image=True)
+    assert float(jnp.abs(i2).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(t2), ids)
+    i3, t3, m3 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+                                    jnp.asarray(mask), train=False, rng=None,
+                                    eval_mode=True, remove_text=True)
+    assert float(jnp.abs(t3).max()) == 0.0 and float(jnp.abs(m3).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(imgs))
+
+    # train, chance=1.0 + img_prob=1.0 -> image always zeroed, text kept
+    i4, t4, m4 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+                                    jnp.asarray(mask), train=True,
+                                    rng=jax.random.PRNGKey(0))
+    assert float(jnp.abs(i4).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(t4), ids)
+
+    # train, chance=0 -> nothing dropped
+    cfg0 = FusionConfig(strategy="MM_RCA", image_or_text_dropout_chance=0.0)
+    i5, t5, m5 = mm.drop_modalities(cfg0, imgs, jnp.asarray(ids),
+                                    jnp.asarray(mask), train=True,
+                                    rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(i5), np.asarray(imgs))
+
+    # train, chance=1.0, img_prob=0.0 -> text always zeroed over many keys
+    cfgt = FusionConfig(strategy="MM_RCA", image_or_text_dropout_chance=1.0,
+                        img_prob_dropout=0.0)
+    for seed in range(3):
+        _, t6, m6 = mm.drop_modalities(cfgt, imgs, jnp.asarray(ids),
+                                       jnp.asarray(mask), train=True,
+                                       rng=jax.random.PRNGKey(seed))
+        assert float(jnp.abs(t6).max()) == 0.0

@@ -68,6 +68,55 @@ def bench_vit_b16(batch_size: int = 128):
     return batch_size / per_batch, per_batch
 
 
+def bench_mm_rca(batch_size: int = 32):
+    """Flagship multimodal eval: MM-RCA (EffNetV2-M@480 + DistilBERT +
+    fused Pallas RCA block), bf16, uint8 images — BASELINE.json config #4.
+    The reference runs this at bs=16 on a V100 (calculate_test_accuracy_
+    both.py:159), est. ~45 samples/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.data.images import normalize_on_device
+    from garbage_classification_rca_tpu.models.fusion import (
+        FusionConfig, build_fusion)
+
+    cfg = FusionConfig(strategy="MM_RCA", reverse=True,
+                       use_pallas_rca=jax.default_backend() == "tpu")
+    init_fn, apply_fn, _ = build_fusion(cfg)
+    params, state = init_fn(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+    @jax.jit
+    def run(params, ids, mask, images):
+        def body(acc, _):
+            imgs = images + (acc % 2).astype(jnp.uint8)
+            x = normalize_on_device(imgs, dtype=jnp.bfloat16)
+            logits, _ = apply_fn(params, state, (ids, mask, x),
+                                 train=False, eval_mode=True)
+            preds = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            return acc + jnp.sum(preds), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=SCAN_STEPS)
+        return acc
+
+    rng = np.random.default_rng(0)
+    ids = jax.device_put(rng.integers(100, 30000, (batch_size, 64)).astype(np.int32))
+    mask = jax.device_put(np.ones((batch_size, 64), np.int32))
+    images = jax.device_put(
+        rng.integers(0, 255, (batch_size, 480, 480, 3)).astype(np.uint8))
+    int(run(params, ids, mask, images))
+    t0 = time.perf_counter()
+    int(run(params, ids, mask, images))
+    wall = time.perf_counter() - t0
+    per_batch = wall / SCAN_STEPS
+    return batch_size / per_batch, per_batch
+
+
+REFERENCE_MM_RCA_EVAL_SPS = 45.0  # V100L bs16 estimate (no published number)
+
+
 def main():
     import jax
 
@@ -76,6 +125,14 @@ def main():
     sps_chip = sps / n_chips
     print(f"# ViT-B16 eval: {sps:.1f} samples/s on {n_chips} chip(s), "
           f"batch latency {per_batch * 1e3:.2f} ms (bs=128, bf16)")
+    try:
+        mm_sps, mm_batch = bench_mm_rca()
+        mm_chip = mm_sps / n_chips
+        print(f"# MM-RCA eval: {mm_sps:.1f} samples/s on {n_chips} chip(s), "
+              f"batch latency {mm_batch * 1e3:.2f} ms (bs=32, 480px, bf16, "
+              f"vs_baseline~{mm_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x)")
+    except Exception as e:  # never lose the headline JSON line
+        print(f"# MM-RCA bench failed: {type(e).__name__}: {e}")
     print(json.dumps({
         "metric": "vit_b16_eval_samples_per_sec_per_chip",
         "value": round(sps_chip, 1),

@@ -1,0 +1,144 @@
+"""Shared plumbing for the BLIP-2 / Q-Former CLIs.
+
+Builds the model from either the full HF checkpoint (.pth/.bin via
+--model_path pointing at a state-dict file) or random init (hermetic runs),
+prepares the prompt/label token batches (blip_2_training.py:47-107 parity:
+left-padded 100-token prompts, label = answer word tokens), and provides
+the jitted eval steps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.images import blip_preprocess_image, CLIP_MEAN, CLIP_STD
+from ..data.manifest import Manifest, build_manifest
+from ..data.tokenizer import BaseTokenizer, get_tokenizer
+from ..models.vlm import blip2
+from ..models.vlm.prompts import (ANSWER_WORDS, FOLDER_TO_ANSWER,
+                                  MAX_PROMPT_TOKENS, build_prompt,
+                                  find_closest_string, prompt_text_from_path)
+
+
+def normalize_clip(x_uint8, dtype=jnp.bfloat16):
+    scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
+    shift = (-CLIP_MEAN / CLIP_STD).astype(np.float32)
+    y = x_uint8.astype(jnp.float32) * jnp.asarray(scale) + jnp.asarray(shift)
+    return y.astype(dtype)
+
+
+def left_pad(ids: List[int], max_len: int, pad_id: int) -> Tuple[List[int], List[int]]:
+    """BLIP-2 prompts are LEFT-padded to 100 (blip_2_training.py:66)."""
+    ids = ids[-max_len:]
+    pad = max_len - len(ids)
+    return [pad_id] * pad + ids, [0] * pad + [1] * len(ids)
+
+
+class Blip2Batcher:
+    """Host batches: CLIP-preprocessed uint8 images + left-padded prompt
+    tokens + answer-word label tokens + class labels."""
+
+    def __init__(self, manifest: Manifest, tokenizer: BaseTokenizer,
+                 workers: int = 8, label_token_len: int = 4):
+        import concurrent.futures as cf
+
+        self.m = manifest
+        self.tok = tokenizer
+        self.label_token_len = label_token_len
+        self.pool = cf.ThreadPoolExecutor(max_workers=workers)
+        # one label-token sequence per class (fixed, computed once)
+        self.answer_token_ids = {}
+        for folder, word in FOLDER_TO_ANSWER.items():
+            ids, _ = self.tok.encode_one(word, label_token_len)
+            self.answer_token_ids[folder] = ids
+
+    def close(self):
+        self.pool.shutdown(wait=False)
+
+    def make_batch(self, indices, batch_size) -> Dict[str, np.ndarray]:
+        n = len(indices)
+        padded = np.concatenate([indices, np.zeros(batch_size - n, np.int64)]) \
+            if n < batch_size else indices
+        samples = [self.m.samples[i] for i in padded]
+        imgs = list(self.pool.map(
+            lambda s: blip_preprocess_image(s.image_path), samples))
+        ids_rows, mask_rows, lab_rows = [], [], []
+        pad_id = self.tok.pad_id
+        for s in samples:
+            prompt = build_prompt(prompt_text_from_path(s.image_path))
+            pids, _ = self.tok.encode_one(prompt, MAX_PROMPT_TOKENS)
+            ids, mask = left_pad(pids, MAX_PROMPT_TOKENS, pad_id)
+            folder = self.m.classes[s.label]
+            lab = self.answer_token_ids[folder][:self.label_token_len]
+            lab = lab + [pad_id] * (self.label_token_len - len(lab))
+            ids_rows.append(ids)
+            mask_rows.append(mask)
+            lab_rows.append(lab)
+        return {
+            "image": np.stack(imgs).astype(np.uint8),
+            "input_ids": np.asarray(ids_rows, np.int32),
+            "attention_mask": np.asarray(mask_rows, np.int32),
+            "label_tokens": np.asarray(lab_rows, np.int32),
+            "label": np.asarray([s.label for s in samples], np.int32),
+            "valid": np.asarray([1] * n + [0] * (batch_size - n), np.int32),
+        }
+
+    def iter_batches(self, batch_size: int, *, shuffle=False, seed=0):
+        from ..data.pipeline import batch_indices
+
+        for plan in batch_indices(len(self.m), batch_size, shuffle=shuffle,
+                                  seed=seed):
+            yield self.make_batch(plan, batch_size)
+
+
+def tiny_blip2_config() -> blip2.Blip2Config:
+    """Reduced geometry for hermetic tests / CPU drives
+    (GC_RCA_TINY_BLIP2=1). Same code paths, ~1000x fewer FLOPs."""
+    from ..models.vlm import blip2_vision, opt as opt_mod, qformer as qf
+
+    return blip2.Blip2Config(
+        vision=blip2_vision.VisionConfig(layers=2, hidden=64, heads=4,
+                                         ffn=128, patch=14, image_size=224),
+        qformer=qf.QFormerConfig(layers=2, hidden=32, heads=4, ffn=64,
+                                 n_query=8, cross_frequency=2,
+                                 vision_hidden=64),
+        opt=opt_mod.OPTConfig(layers=2, hidden=64, heads=4, ffn=128,
+                              vocab=50272, max_pos=256),
+        lora_r=4, lora_alpha=8)
+
+
+def build_blip2(args: RunConfig, with_lora: bool = True):
+    """-> (cfg, params, lora, tokenizer). Loads --model_path when given
+    (HF/peft state dict), else random-init (hermetic)."""
+    if os.environ.get("GC_RCA_TINY_BLIP2"):
+        cfg = tiny_blip2_config()
+    else:
+        cfg = blip2.Blip2Config()
+    tok = get_tokenizer("opt", vocab_dir=os.path.dirname(args.model_path)
+                        or None if args.model_path else None)
+    if args.model_path and os.path.isfile(args.model_path):
+        from ..checkpoint.torch_convert import load_torch_state_dict
+        params, lora = blip2.convert_torch(load_torch_state_dict(
+            args.model_path), cfg)
+    else:
+        params = blip2.init(jax.random.PRNGKey(args.seed), cfg,
+                            dtype=jnp.bfloat16)
+        lora = None
+    if with_lora and lora is None:
+        lora = blip2.init_lora(jax.random.PRNGKey(args.seed + 1), cfg)
+    return cfg, params, lora, tok
+
+
+def class_logits_from_next_token(next_logits: jnp.ndarray,
+                                 answer_first_tokens: np.ndarray) -> jnp.ndarray:
+    """Constrained 1-token decode: score only each answer word's first
+    token (greedy argmax over the 4 bins — equivalent to the reference's
+    generate + find_closest_string when the decoded token is one of the
+    answers' first tokens)."""
+    return next_logits[:, answer_first_tokens]

@@ -1,0 +1,67 @@
+"""BLIP-2 test-set evaluation CLI.
+
+Parity with reference blip_2_test_set.py:222-266: rebuild BLIP-2 + LoRA,
+load the checkpoint (dict or {'model_state_dict': ...} wrapper,
+blip_2_test_set.py:253-259), run 1-token constrained decode over the test
+folder, emit confusion PNG + report CSV.
+
+Defect fixed knowingly: the reference divides accuracy by a HARD-CODED
+``len_test_set = 2000`` (blip_2_test_set.py:162,190); we divide by the
+actual dataset size (SURVEY §2 defects list).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import args_parser
+from ..data.manifest import build_manifest
+from ..eval.report import generate_report_and_image
+from ..train.engine import load_orbax
+from .blip2_common import Blip2Batcher, build_blip2
+from .blip2_train import answer_first_token_table, make_eval_step
+
+BASE_PATH = "./test_set_reports"
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    cfg, params, lora, tok = build_blip2(args)
+    if args.classifier_weights and os.path.isdir(args.classifier_weights):
+        pass  # classifier path is qformer_test's job
+    if args.model_path and os.path.isdir(args.model_path):
+        restored, _ = load_orbax(args.model_path)
+        lora = restored["lora"]
+
+    m = build_manifest(args.dataset_folder_name)
+    print(f"Num of test images: {len(m)}")
+    b = Blip2Batcher(m, tok, workers=args.data_workers)
+    aft = answer_first_token_table(b, m.classes)
+    step = make_eval_step(cfg, params, aft)
+
+    correct, all_p, all_l = 0, [], []
+    bs = args.eval_batch_size or 16
+    for batch in b.iter_batches(bs):
+        preds, c = step(lora, batch)
+        correct += int(c)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_p.append(np.asarray(preds)[valid])
+        all_l.append(np.asarray(batch["label"])[valid])
+    b.close()
+    acc = 100.0 * correct / len(m)   # actual size, not hard-coded 2000
+    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    report = generate_report_and_image(
+        labels, preds, acc, os.path.join(BASE_PATH, "blip2"), "blip2",
+        kind="blip2")
+    print(f"Test accuracy: {acc:.2f} %")
+    print(report)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Q-Former classifier test CLI.
+
+Parity with reference q_former_test_set.py:229-278: rebuild BLIP-2 + the
+Linear(768, 4) head, load backbone (--model_path) and classifier
+(--classifier_weights, options.py:112-113), evaluate the test folder.
+Defect fixed knowingly: accuracy divides by the real dataset size, not the
+hard-coded 2000 (q_former_test_set.py:171).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..config import args_parser
+from ..data.manifest import build_manifest
+from ..eval.report import generate_report_and_image
+from ..models.vlm import blip2
+from ..train.engine import load_orbax
+from .blip2_common import Blip2Batcher, build_blip2
+from .qformer_train import make_steps
+
+BASE_PATH = "./test_set_reports"
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    cfg, params, _, tok = build_blip2(args, with_lora=False)
+    if args.classifier_weights and os.path.isdir(args.classifier_weights):
+        trainable, _ = load_orbax(args.classifier_weights)
+    else:
+        trainable = {"classifier": blip2.init_classifier(
+            jax.random.PRNGKey(args.seed + 2), cfg)}
+
+    m = build_manifest(args.dataset_folder_name)
+    print(f"Num of test images: {len(m)}")
+    b = Blip2Batcher(m, tok, workers=args.data_workers)
+    _, _, eval_step = make_steps(cfg, params)
+
+    correct, all_p, all_l = 0, [], []
+    bs = args.eval_batch_size or 16
+    for batch in b.iter_batches(bs):
+        preds, c = eval_step(trainable, batch)
+        correct += int(c)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_p.append(np.asarray(preds)[valid])
+        all_l.append(np.asarray(batch["label"])[valid])
+    b.close()
+    acc = 100.0 * correct / len(m)
+    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    report = generate_report_and_image(
+        labels, preds, acc, os.path.join(BASE_PATH, "qformer"), "qformer",
+        kind="qformer")
+    print(f"Test accuracy: {acc:.2f} %")
+    print(report)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

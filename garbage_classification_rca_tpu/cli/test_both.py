@@ -105,8 +105,12 @@ def main(argv=None):
 
     cfg = fusion_config_from_args(args)
     init_fn, apply_fn, convert_fn = build_fusion(cfg)
-    sd = load_torch_state_dict(args.model_path)
-    params, state = convert_fn(sd)
+    if os.path.isdir(args.model_path):
+        from ..train.engine import load_orbax
+        params, state = load_orbax(args.model_path)
+    else:
+        sd = load_torch_state_dict(args.model_path)
+        params, state = convert_fn(sd)
 
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)

@@ -46,11 +46,16 @@ def main(argv=None):
     batch_size = args.eval_batch_size or spec.eval_batch
 
     print(f"Image Model: {args.image_model}")
-    if mdef.convert_torch is None:
-        print(f"No torch converter registered for {args.image_model}")
-        sys.exit(1)
-    sd = load_torch_state_dict(args.model_path)
-    params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
+    if os.path.isdir(args.model_path):
+        # our own training output (orbax dir, train/engine.save_best)
+        from ..train.engine import load_orbax
+        params, state = load_orbax(args.model_path)
+    else:
+        if mdef.convert_torch is None:
+            print(f"No torch converter registered for {args.image_model}")
+            sys.exit(1)
+        sd = load_torch_state_dict(args.model_path)
+        params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
 
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)

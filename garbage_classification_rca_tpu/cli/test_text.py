@@ -59,8 +59,12 @@ def main(argv=None):
         sys.exit(0)
 
     mdef = get_text_model(args.text_model)
-    sd = load_torch_state_dict(args.model_path)
-    params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
+    if os.path.isdir(args.model_path):
+        from ..train.engine import load_orbax
+        params, state = load_orbax(args.model_path)
+    else:
+        sd = load_torch_state_dict(args.model_path)
+        params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
 
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)

@@ -80,6 +80,19 @@ def eval_preprocess_image(path: str, size: Tuple[int, int]) -> np.ndarray:
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# OpenAI-CLIP stats — HF BlipImageProcessor defaults (BLIP-2 pipelines)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def blip_preprocess_image(path: str, size: int = 224) -> np.ndarray:
+    """HF BlipImageProcessor host path: bicubic resize to (size, size),
+    uint8 out (CLIP normalization happens on device)."""
+    import cv2
+
+    img = load_rgb(path)
+    return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+
 
 def normalize_on_device(x_uint8, mean=None, std=None, dtype=None):
     """uint8 NHWC -> normalized float NHWC. Call inside the jitted step so

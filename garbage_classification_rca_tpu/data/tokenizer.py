@@ -278,12 +278,19 @@ def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseToken
                 if model_name in ("roberta", "bart"):
                     return ByteLevelBPETokenizer.from_files(
                         vj, mt, bos="<s>", eos="</s>", pad="<pad>")
+                if model_name == "opt":
+                    return ByteLevelBPETokenizer.from_files(
+                        vj, mt, bos="</s>", pad="<pad>")
                 return ByteLevelBPETokenizer.from_files(vj, mt)
     if model_name in ("roberta", "bart"):
         return HashTokenizer(vocab_size=50265, cls_id=0, sep_id=2, pad_id=1)
     if model_name == "gpt2":
         return HashTokenizer(vocab_size=50257, cls_id=50256, sep_id=50256,
                              pad_id=50256)
+    if model_name == "opt":
+        # OPT: GPT-2-style byte BPE, bos=</s>(2), pad=<pad>(1); the hash
+        # fallback emits bos + hashed words (no trailing sep)
+        return HashTokenizer(vocab_size=50272, cls_id=2, sep_id=2, pad_id=1)
     return HashTokenizer()
 
 

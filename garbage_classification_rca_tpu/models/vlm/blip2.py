@@ -1,0 +1,181 @@
+"""BLIP-2 assembly: vision -> Q-Former -> projection -> OPT, with LoRA.
+
+Capability parity with reference blip_2_training.py / blip_2_test_set.py /
+q_former_training.py / q_former_test_set.py:
+
+  * ``forward_lm``: full conditional-generation forward (the training loss
+    path, blip_2_training.py:280-293) — CE on label tokens appended to the
+    knowledge prompt;
+  * ``next_token_logits``: the reference's generate(max_new_tokens=1) eval
+    (blip_2_training.py:296-297) collapses to one forward -> logits at the
+    last prompt position (greedy argmax host-side; find_closest_string maps
+    the decoded word to a bin);
+  * ``qformer_cls_feature``: qformer_outputs.last_hidden_state[:, 0, :]
+    into Linear(768, 4) — the Q-Former classifier (q_former_training.py:
+    24-31, 289-291);
+  * LoRA r=32, alpha=8 on the OPT q_proj/k_proj (blip_2_training.py:
+    210-217; peft targets only module names 'q_proj'/'k_proj', which exist
+    only in the OPT tower).
+
+dtype policy (SURVEY §7 'BLIP-2 scale'): params bf16, fp32 softmax/LN
+accumulations; 3.7B params ~ 7.4 GB bf16, fits a v5e chip for inference;
+mesh axis 'model' sharding hooks are left to parallel/ (round 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...nn import core as nn
+from ..text.encoder_common import lin, strip_prefix
+from . import blip2_vision as vision
+from . import opt as opt_mod
+from . import qformer as qf
+
+
+@dataclass(frozen=True)
+class Blip2Config:
+    vision: vision.VisionConfig = field(default_factory=vision.VisionConfig)
+    qformer: qf.QFormerConfig = field(default_factory=qf.QFormerConfig)
+    opt: opt_mod.OPTConfig = field(default_factory=opt_mod.OPTConfig)
+    lora_r: int = 32
+    lora_alpha: int = 8
+    lora_dropout: float = 0.05      # train-time only
+
+    @property
+    def lora_scale(self) -> float:
+        return self.lora_alpha / self.lora_r
+
+
+def init(key, cfg: Blip2Config, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "vision": vision.init(k1, cfg.vision, dtype),
+        "qformer": qf.init(k2, cfg.qformer, dtype),
+        "projection": nn.init_linear(k3, cfg.qformer.hidden, cfg.opt.hidden,
+                                     dtype),
+        "opt": opt_mod.init(k4, cfg.opt, dtype),
+    }
+
+
+def init_lora(key, cfg: Blip2Config, dtype=jnp.float32) -> Dict:
+    """LoRA adapters for every OPT layer's q/k projections.
+    A ~ N(0, 1/r) (peft kaiming-ish), B = 0."""
+    adapters = {}
+    d = cfg.opt.hidden
+    for i in range(cfg.opt.layers):
+        k = jax.random.fold_in(key, i)
+        ka, kb = jax.random.split(k)
+        adapters[i] = {
+            name: {"a": jax.random.normal(jax.random.fold_in(ka, j),
+                                          (d, cfg.lora_r), dtype)
+                   / jnp.sqrt(cfg.lora_r),
+                   "b": jnp.zeros((cfg.lora_r, d), dtype)}
+            for j, name in enumerate(("q", "k"))
+        }
+    return adapters
+
+
+def init_classifier(key, cfg: Blip2Config, num_classes: int = 4,
+                    dtype=jnp.float32):
+    """MultimodalClassifier = Linear(768, 4) (q_former_training.py:24-31)."""
+    return nn.init_linear(key, cfg.qformer.hidden, num_classes, dtype)
+
+
+def query_features(params, pixel_values, cfg: Blip2Config):
+    """pixel_values NHWC (already BLIP-normalized fp) -> [B, 32, 768]."""
+    img = vision.encode(params["vision"], pixel_values, cfg.vision)
+    return qf.encode(params["qformer"], img, cfg.qformer)
+
+
+def qformer_cls_feature(params, pixel_values, cfg: Blip2Config):
+    return query_features(params, pixel_values, cfg)[:, 0]
+
+
+def forward_lm(params, pixel_values, input_ids, attention_mask,
+               cfg: Blip2Config, lora=None):
+    """-> logits [B, 32 + L, vocab] over the combined sequence."""
+    q = query_features(params, pixel_values, cfg)
+    q_emb = nn.linear(params["projection"], q)            # [B, 32, 2560]
+    t_emb = opt_mod.embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
+    embeds = jnp.concatenate([q_emb, t_emb], axis=1)
+    q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
+    mask = jnp.concatenate([q_mask, attention_mask], axis=1)
+    return opt_mod.decode(params["opt"], embeds, mask, cfg.opt, lora=lora,
+                          lora_scale=cfg.lora_scale)
+
+
+def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
+            cfg: Blip2Config, lora=None):
+    """HF Blip2ForConditionalGeneration loss: next-token CE over the text
+    segment, ignoring -100 labels (blip_2_training.py collate builds
+    labels = input_ids with pads masked)."""
+    logits = forward_lm(params, pixel_values, input_ids, attention_mask,
+                        cfg, lora)
+    n_query = cfg.qformer.n_query
+    text_logits = logits[:, n_query:, :]
+    shift_logits = text_logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = (shift_labels != -100)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.clip(shift_labels, 0)[..., None], axis=-1)[..., 0]
+    return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
+def next_token_logits(params, pixel_values, input_ids, attention_mask,
+                      cfg: Blip2Config, lora=None):
+    """Logits for the token following the prompt (1-token greedy decode).
+
+    The prompt is right-padded; the next-token position is the last
+    non-pad index per row.
+    """
+    logits = forward_lm(params, pixel_values, input_ids, attention_mask,
+                        cfg, lora)
+    n_query = cfg.qformer.n_query
+    last = n_query + jnp.sum(attention_mask.astype(jnp.int32), axis=1) - 1
+    return logits[jnp.arange(logits.shape[0]), last]
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_torch(sd, cfg: Blip2Config):
+    """Full Blip2ForConditionalGeneration state dict -> params pytree.
+    Accepts peft-wrapped checkpoints: 'base_model.model.' prefixes are
+    stripped and 'lora_A/lora_B' tensors are returned separately."""
+    sd = {k.replace("base_model.model.", ""): v for k, v in sd.items()}
+    lora = _extract_lora(sd, cfg)
+    sd = {k.replace(".base_layer", ""): v for k, v in sd.items()
+          if "lora_" not in k}
+    vis = strip_prefix(sd, "vision_model.")
+    qsd = strip_prefix(sd, "qformer.")
+    osd = strip_prefix(sd, "language_model.model.decoder.")
+    params = {
+        "vision": vision.convert_torch(vis, cfg.vision),
+        "qformer": qf.convert_torch(qsd, cfg.qformer, sd["query_tokens"]),
+        "projection": lin(sd, "language_projection"),
+        "opt": opt_mod.convert_torch(osd, cfg.opt),
+    }
+    return params, lora
+
+
+def _extract_lora(sd, cfg: Blip2Config) -> Optional[Dict]:
+    lora: Dict = {}
+    for k, v in sd.items():
+        if "lora_A" not in k and "lora_B" not in k:
+            continue
+        # ...decoder.layers.{i}.self_attn.{q,k}_proj.lora_{A,B}.default.weight
+        parts = k.split(".")
+        li = int(parts[parts.index("layers") + 1])
+        proj = "q" if "q_proj" in k else "k"
+        ab = "a" if "lora_A" in k else "b"
+        # peft stores lora_A [r, in], lora_B [out, r] -> ours a [in, r], b [r, out]
+        lora.setdefault(li, {}).setdefault(proj, {})[ab] = jnp.asarray(v).T
+    return lora or None

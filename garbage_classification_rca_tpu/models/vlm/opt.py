@@ -1,0 +1,132 @@
+"""OPT decoder (facebook/opt-2.7b geometry) for the BLIP-2 language model.
+
+HF parity: learned positional embeddings with the OPT +2 offset computed
+from the attention mask, pre-LN decoder layers (do_layer_norm_before=True),
+ReLU MLP, final_layer_norm, lm_head tied to embed_tokens. 1-token
+"generation" in the reference (blip_2_training.py:296-297 generate(
+max_new_tokens=1)) is a single forward -> next-token logits here; no KV
+cache needed.
+
+BLIP-2 prepends 32 projected query embeddings to the text embeds; `decode`
+takes pre-built input embeddings + a combined attention mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nn import core as nn
+from ..text.encoder_common import lin, ln_
+
+
+@dataclass(frozen=True)
+class OPTConfig:
+    layers: int = 32
+    hidden: int = 2560
+    heads: int = 32
+    ffn: int = 10240
+    vocab: int = 50272
+    max_pos: int = 2048
+    ln_eps: float = 1e-5
+    pos_offset: int = 2
+
+
+def init(key, cfg: OPTConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    params = {
+        "embed_tokens": nn.init_embedding(ks[0], cfg.vocab, cfg.hidden, dtype),
+        "embed_positions": nn.init_embedding(
+            ks[1], cfg.max_pos + cfg.pos_offset, cfg.hidden, dtype),
+        "final_ln": nn.init_layernorm(cfg.hidden, dtype),
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        k = jax.random.split(jax.random.fold_in(key, 10 + i), 6)
+        params["layers"].append({
+            "ln1": nn.init_layernorm(cfg.hidden, dtype),
+            "q": nn.init_linear(k[0], cfg.hidden, cfg.hidden, dtype),
+            "k": nn.init_linear(k[1], cfg.hidden, cfg.hidden, dtype),
+            "v": nn.init_linear(k[2], cfg.hidden, cfg.hidden, dtype),
+            "out": nn.init_linear(k[3], cfg.hidden, cfg.hidden, dtype),
+            "ln2": nn.init_layernorm(cfg.hidden, dtype),
+            "fc1": nn.init_linear(k[4], cfg.hidden, cfg.ffn, dtype),
+            "fc2": nn.init_linear(k[5], cfg.ffn, cfg.hidden, dtype),
+        })
+    return params
+
+
+def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0):
+    """Add the low-rank update for projection `name` when adapters exist."""
+    if lora is None or name not in lora:
+        return base_out
+    a, b = lora[name]["a"], lora[name]["b"]
+    return base_out + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * lora_scale
+
+
+def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
+    b_, n, d = x.shape
+    hd = d // cfg.heads
+    h = nn.layernorm(p["ln1"], x, eps=cfg.ln_eps)
+    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
+    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
+    v = nn.linear(p["v"], h)
+    q = q.reshape(b_, n, cfg.heads, hd)
+    k = k.reshape(b_, n, cfg.heads, hd)
+    v = v.reshape(b_, n, cfg.heads, hd)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+    w = jax.nn.softmax(scores.astype(jnp.float32) + bias, axis=-1).astype(v.dtype)
+    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b_, n, d)
+    x = x + nn.linear(p["out"], att)
+    h = nn.layernorm(p["ln2"], x, eps=cfg.ln_eps)
+    return x + nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
+
+
+def decode(params, inputs_embeds, attention_mask, cfg: OPTConfig,
+           lora=None, lora_scale=1.0):
+    """inputs_embeds [B, L, H] + mask [B, L] -> logits [B, L, vocab]."""
+    mask = attention_mask.astype(jnp.int32)
+    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
+    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
+    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
+                                     ).astype(inputs_embeds.dtype)
+    l = h.shape[1]
+    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+    pad = mask.astype(jnp.float32)[:, None, None, :]
+    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    for i, lp in enumerate(params["layers"]):
+        layer_lora = None if lora is None else lora.get(i)
+        h = _layer(lp, h, bias, cfg, layer_lora, lora_scale)
+    h = nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
+    logits = h @ params["embed_tokens"]["w"].astype(h.dtype).T
+    return logits
+
+
+def embed_tokens(params, input_ids):
+    return nn.embedding(params["embed_tokens"], input_ids)
+
+
+def convert_torch(sd, cfg: OPTConfig):
+    """HF keys under language_model.model.decoder.* (prefix-stripped)."""
+    params = {
+        "embed_tokens": {"w": jnp.asarray(sd["embed_tokens.weight"])},
+        "embed_positions": {"w": jnp.asarray(sd["embed_positions.weight"])},
+        "final_ln": ln_(sd, "final_layer_norm"),
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        pre = f"layers.{i}."
+        params["layers"].append({
+            "ln1": ln_(sd, pre + "self_attn_layer_norm"),
+            "q": lin(sd, pre + "self_attn.q_proj"),
+            "k": lin(sd, pre + "self_attn.k_proj"),
+            "v": lin(sd, pre + "self_attn.v_proj"),
+            "out": lin(sd, pre + "self_attn.out_proj"),
+            "ln2": ln_(sd, pre + "final_layer_norm"),
+            "fc1": lin(sd, pre + "fc1"),
+            "fc2": lin(sd, pre + "fc2"),
+        })
+    return params

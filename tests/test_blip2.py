@@ -1,0 +1,194 @@
+"""BLIP-2 parity vs HF transformers (tiny random-init Blip2 config):
+vision tower, Q-Former features, full LM logits, loss, and LoRA."""
+
+import numpy as np
+import pytest
+import torch
+
+from garbage_classification_rca_tpu.checkpoint.torch_convert import numpy_state_dict
+
+
+def _tiny_cfgs():
+    from transformers import (Blip2Config, Blip2QFormerConfig,
+                              Blip2VisionConfig, OPTConfig)
+    from garbage_classification_rca_tpu.models.vlm import (blip2,
+                                                           blip2_vision,
+                                                           opt as jopt,
+                                                           qformer as jqf)
+
+    hf = Blip2Config(
+        vision_config=Blip2VisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+            num_attention_heads=4, image_size=56, patch_size=14).to_dict(),
+        qformer_config=Blip2QFormerConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, encoder_hidden_size=64,
+            cross_attention_frequency=2).to_dict(),
+        text_config=OPTConfig(
+            hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=96, vocab_size=200, max_position_embeddings=64,
+            word_embed_proj_dim=48).to_dict(),
+        num_query_tokens=8)
+    ours = blip2.Blip2Config(
+        vision=blip2_vision.VisionConfig(layers=3, hidden=64, heads=4,
+                                         ffn=128, patch=14, image_size=56),
+        qformer=jqf.QFormerConfig(layers=2, hidden=32, heads=4, ffn=64,
+                                  n_query=8, cross_frequency=2,
+                                  vision_hidden=64),
+        opt=jopt.OPTConfig(layers=2, hidden=48, heads=4, ffn=96, vocab=200,
+                           max_pos=64),
+        lora_r=4, lora_alpha=8)
+    return hf, ours
+
+
+@pytest.fixture(scope="module")
+def models():
+    from transformers import Blip2ForConditionalGeneration
+    hf_cfg, our_cfg = _tiny_cfgs()
+    torch.manual_seed(0)
+    tm = Blip2ForConditionalGeneration(hf_cfg).eval()
+    return tm, our_cfg
+
+
+@pytest.fixture(scope="module")
+def converted(models):
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    params, lora = blip2.convert_torch(numpy_state_dict(tm), cfg)
+    assert lora is None
+    return params
+
+
+def _inputs(b=2, l=7):
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(b, 3, 56, 56)).astype(np.float32)
+    ids = rng.integers(4, 200, (b, l)).astype(np.int32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, -2:] = 0
+    ids[0, -2:] = 1   # pad token
+    return pix, ids, mask
+
+
+def test_vision_parity(models, converted):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2_vision
+    tm, cfg = models
+    pix, _, _ = _inputs()
+    with torch.no_grad():
+        want = tm.vision_model(torch.tensor(pix)).last_hidden_state.numpy()
+    got = blip2_vision.encode(converted["vision"],
+                              jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                              cfg.vision)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_qformer_features_parity(models, converted):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    pix, _, _ = _inputs()
+    with torch.no_grad():
+        img = tm.vision_model(torch.tensor(pix)).last_hidden_state
+        want = tm.qformer(
+            query_embeds=tm.query_tokens.expand(img.shape[0], -1, -1),
+            encoder_hidden_states=img).last_hidden_state.numpy()
+    got = blip2.query_features(converted,
+                               jnp.asarray(pix.transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def _hf_with_placeholders(tm, pix, ids, mask, n_query, image_token=3):
+    """transformers>=4.5x scatters query embeds into image-placeholder
+    positions of input_ids (the 4.3x era the reference used prepends them);
+    leading placeholders make the two equivalent."""
+    tm.config.image_token_id = image_token
+    b = ids.shape[0]
+    ph = np.full((b, n_query), image_token, ids.dtype)
+    ids_hf = np.concatenate([ph, ids], axis=1)
+    mask_hf = np.concatenate([np.ones_like(ph), mask], axis=1)
+    with torch.no_grad():
+        out = tm(pixel_values=torch.tensor(pix),
+                 input_ids=torch.tensor(ids_hf, dtype=torch.long),
+                 attention_mask=torch.tensor(mask_hf, dtype=torch.long))
+    return out
+
+
+def test_full_lm_logits_and_loss_parity(models, converted):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    pix, ids, mask = _inputs()
+    n_query = cfg.qformer.n_query
+    out = _hf_with_placeholders(tm, pix, ids, mask, n_query)
+    got = blip2.forward_lm(converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                           jnp.asarray(ids), jnp.asarray(mask), cfg)
+    np.testing.assert_allclose(np.asarray(got), out.logits.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+    # loss: reference-era semantics (logits sliced to the text segment,
+    # shift-CE over non-(-100) labels) — oracle computed in numpy from the
+    # HF logits
+    labels = np.where(mask == 1, ids, -100)
+    hf_text_logits = out.logits.numpy()[:, n_query:]
+    shift_logits = hf_text_logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    lsm = shift_logits - shift_logits.max(-1, keepdims=True)
+    lsm = lsm - np.log(np.exp(lsm).sum(-1, keepdims=True))
+    valid = shift_labels != -100
+    picked = np.take_along_axis(
+        lsm, np.clip(shift_labels, 0, None)[..., None], axis=-1)[..., 0]
+    want_loss = -(picked * valid).sum() / valid.sum()
+    loss = blip2.lm_loss(converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                         jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(labels), cfg)
+    np.testing.assert_allclose(float(loss), want_loss, rtol=2e-4)
+
+
+def test_next_token_logits_match_generate_argmax(models, converted):
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    pix, ids, mask = _inputs()
+    # compare on the unpadded row (row 1); right-padded rows are handled by
+    # our last-non-pad indexing
+    out = _hf_with_placeholders(tm, pix, ids, mask, cfg.qformer.n_query)
+    want_next = out.logits[1, -1].numpy()
+    got = blip2.next_token_logits(
+        converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        jnp.asarray(ids), jnp.asarray(mask), cfg)
+    np.testing.assert_allclose(np.asarray(got)[1], want_next,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_lora_roundtrip_with_peft(models, converted):
+    """peft-wrapped checkpoint: adapters extracted + forward parity."""
+    import jax.numpy as jnp
+    from peft import LoraConfig, get_peft_model
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    tm, cfg = models
+    lcfg = LoraConfig(r=4, lora_alpha=8, lora_dropout=0.0,
+                      target_modules=["q_proj", "k_proj"])
+    torch.manual_seed(1)
+    pm = get_peft_model(tm, lcfg)
+    # make B nonzero so the adapters actually change the output
+    for n, p in pm.named_parameters():
+        if "lora_B" in n:
+            p.data.normal_(0, 0.05)
+    pm = pm.eval()
+
+    sd = numpy_state_dict(pm)
+    params, lora = blip2.convert_torch(sd, cfg)
+    assert lora is not None and 0 in lora and "q" in lora[0]
+
+    pix, ids, mask = _inputs()
+    want = _hf_with_placeholders(pm, pix, ids, mask,
+                                 cfg.qformer.n_query).logits.numpy()
+    got = blip2.forward_lm(params, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                           jnp.asarray(ids), jnp.asarray(mask), cfg,
+                           lora=lora)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+    # without adapters the logits must differ
+    got0 = blip2.forward_lm(params, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                            jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert not np.allclose(np.asarray(got0), want, atol=1e-5)

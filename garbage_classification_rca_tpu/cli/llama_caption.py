@@ -1,0 +1,100 @@
+"""Caption-CSV generator (offline tooling).
+
+Parity with reference llama_caption.py:20-153: walk a dataset folder,
+produce one-sentence descriptions per image, stream them into a CSV
+``filename,description`` keyed by ``class_dir/file.jpg`` — the file later
+consumed through ``--extended_desc_{train,val}`` (CustomImageTextFolder
+captions lookup).
+
+Captioner backends (this image is zero-egress; the reference's
+Llama-3.2-11B-Vision needs gated weights):
+  * ``--captioner=hf --hf_model=<local path>``: any local HF
+    image-to-text pipeline (the reference's Mllama prompt is used);
+  * ``--captioner=filename`` (default offline fallback): expands the
+    filename-derived text into a caption-shaped sentence so the extended-
+    description plumbing stays exercisable end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+from ..data.manifest import build_manifest
+
+# reference llama_caption.py:25
+PROMPT = ("Describe the object in this image in one short sentence, "
+          "focusing on what the object is.")
+
+
+def filename_captioner(sample) -> str:
+    text = sample.text or "object"
+    return f"a photo of a {text}."
+
+
+def make_hf_captioner(model_path: str):
+    import torch
+    from transformers import AutoProcessor, AutoModelForImageTextToText
+    from PIL import Image
+
+    processor = AutoProcessor.from_pretrained(model_path)
+    model = AutoModelForImageTextToText.from_pretrained(
+        model_path, torch_dtype=torch.bfloat16)
+
+    def caption(sample):
+        img = Image.open(sample.image_path).convert("RGB")
+        messages = [{"role": "user", "content": [
+            {"type": "image"}, {"type": "text", "text": PROMPT}]}]
+        text = processor.apply_chat_template(messages,
+                                             add_generation_prompt=True)
+        inputs = processor(img, text, return_tensors="pt")
+        out = model.generate(**inputs, max_new_tokens=40)
+        decoded = processor.decode(out[0][inputs["input_ids"].shape[1]:],
+                                   skip_special_tokens=True)
+        return decoded.strip()
+
+    return caption
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_folder_name", required=True)
+    p.add_argument("--output_csv", required=True)
+    p.add_argument("--captioner", default="filename",
+                   choices=["filename", "hf"])
+    p.add_argument("--hf_model", default=None,
+                   help="local path to an image-to-text model")
+    a = p.parse_args(argv)
+
+    m = build_manifest(a.dataset_folder_name)
+    if a.captioner == "hf":
+        if not a.hf_model:
+            print("--captioner=hf requires --hf_model (local weights; this "
+                  "environment has no network egress)", file=sys.stderr)
+            sys.exit(1)
+        captioner = make_hf_captioner(a.hf_model)
+    else:
+        captioner = filename_captioner
+
+    # streaming write, resumable like the reference (appends as it goes)
+    with open(a.output_csv, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["filename", "description"])
+        for i, s in enumerate(m.samples):
+            key = os.path.join(os.path.basename(os.path.dirname(s.image_path)),
+                               os.path.basename(s.image_path))
+            try:
+                desc = captioner(s)
+            except Exception as e:  # keep streaming on single failures
+                print(f"caption failed for {key}: {e}", file=sys.stderr)
+                desc = ""
+            w.writerow([key, desc])
+            f.flush()
+            print(f"{i + 1}/{len(m.samples)}", end="\r")
+    print(f"\nwrote {a.output_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .images import eval_preprocess_image
+from .images import eval_preprocess_image, load_rgb
 from .manifest import Manifest, Sample
 from .tokenizer import BaseTokenizer
 
@@ -76,9 +76,20 @@ class ImageTextBatcher:
         }
         if self.with_images:
             h, w = self.image_size
-            imgs = list(self.pool.map(
-                lambda s: eval_preprocess_image(s.image_path, (h, w)), samples))
-            batch["image"] = np.stack(imgs).astype(np.uint8)
+            raw = list(self.pool.map(
+                lambda s: load_rgb(s.image_path), samples))
+            # native C++ batch pad+resize (cv2-exact fixed-point bilinear,
+            # multithreaded); falls back to the per-image cv2 path
+            from .. import native
+
+            out = native.pad_resize_batch(raw, h, w, target_ar=w / h)
+            if out is None:
+                from .images import pad_to_aspect_ratio, resize_linear
+
+                out = np.stack([
+                    resize_linear(pad_to_aspect_ratio(im, w / h), h, w)
+                    for im in raw])
+            batch["image"] = out.astype(np.uint8, copy=False)
         if self.tokenizer is not None:
             texts = [s.effective_text(self.extended) for s in samples]
             enc = self.tokenizer.encode_batch(texts, self.seq_len)

@@ -1,0 +1,86 @@
+"""ctypes loader / builder for the native preprocessing library.
+
+Builds ``libpreprocess.so`` from preprocess.cpp on first use (g++ is in the
+image; output cached next to the source). Falls back silently to the
+Python/cv2 path when unavailable — set GC_RCA_NATIVE=0 to force the
+fallback, GC_RCA_NATIVE=1 to require native (raises on failure).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "preprocess.cpp")
+_LIB = os.path.join(_DIR, "libpreprocess.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+             _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("GC_RCA_NATIVE") == "0":
+        return None
+    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                    < os.path.getmtime(_SRC)):
+        if not _build():
+            if os.environ.get("GC_RCA_NATIVE") == "1":
+                raise RuntimeError("native preprocess build failed")
+            return None
+    lib = ctypes.CDLL(_LIB)
+    lib.pad_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),                       # srcs
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.pad_resize_batch.restype = None
+    _lib = lib
+    return _lib
+
+
+def pad_resize_batch(images: List[np.ndarray], height: int, width: int,
+                     target_ar: float, n_threads: int = 0
+                     ) -> Optional[np.ndarray]:
+    """Batch pad-to-AR + resize via the native lib; None if unavailable.
+
+    images: list of uint8 HWC arrays (contiguous).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(images)
+    out = np.empty((n, height, width, 3), np.uint8)
+    srcs = (ctypes.c_void_p * n)()
+    shs = (ctypes.c_int * n)()
+    sws = (ctypes.c_int * n)()
+    keep = []
+    for i, im in enumerate(images):
+        if not im.flags["C_CONTIGUOUS"] or im.dtype != np.uint8:
+            im = np.ascontiguousarray(im, np.uint8)
+        keep.append(im)
+        srcs[i] = im.ctypes.data
+        shs[i] = im.shape[0]
+        sws[i] = im.shape[1]
+    lib.pad_resize_batch(srcs, shs, sws, 3, n, ctypes.c_double(target_ar),
+                         out.ctypes.data, height, width, n_threads)
+    return out

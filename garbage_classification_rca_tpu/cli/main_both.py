@@ -77,7 +77,17 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)
 
-    params, state = init_fn(jax.random.PRNGKey(args.seed))
+    if args.model_path and os.path.isdir(args.model_path):
+        from ..train.engine import load_orbax
+        params, state = load_orbax(args.model_path)
+        print(f"Resumed weights from {args.model_path}")
+    elif args.model_path:
+        from ..checkpoint.torch_convert import load_torch_state_dict
+        _, _, convert_fn = build_fusion(cfg)
+        params, state = convert_fn(load_torch_state_dict(args.model_path))
+        print(f"Warm-started from torch checkpoint {args.model_path}")
+    else:
+        params, state = init_fn(jax.random.PRNGKey(args.seed))
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)
 

@@ -42,8 +42,17 @@ from ..train.optim import PlateauScheduler, make_optimizer
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
 
-# head param subtree name per arch family (the replaced classifier)
-HEAD_KEYS = {"default": ("classifier", "fc", "head", "fc1", "fc2")}
+# head param subtrees that stay trainable in phase 1 = exactly the replaced
+# classifier Linear per arch (reference models.py freezes everything else,
+# including MobileNetV3's classifier[0] Linear -> only our fc2 trains there)
+HEAD_KEYS = {
+    "mb": ("fc2",),
+    "default": ("classifier", "fc", "head"),
+}
+
+
+def head_keys_for(arch: str):
+    return HEAD_KEYS.get(arch, HEAD_KEYS["default"])
 
 
 def main(argv=None):
@@ -66,8 +75,20 @@ def main(argv=None):
     class_weights = train_manifest.class_weights() if args.balance_weights else None
     print(f"Class weights: {train_manifest.class_weights()}")
 
-    params, state = mdef.init(jax.random.PRNGKey(args.seed),
-                              num_classes=NUM_CLASSES)
+    if args.model_path and os.path.isdir(args.model_path):
+        # resume / warm-start from one of our orbax checkpoints (the
+        # reference has no resume path — SURVEY §5 gap-fill)
+        from ..train.engine import load_orbax
+        params, state = load_orbax(args.model_path)
+        print(f"Resumed weights from {args.model_path}")
+    elif args.model_path:
+        from ..checkpoint.torch_convert import load_torch_state_dict
+        params, state = mdef.convert_torch(
+            load_torch_state_dict(args.model_path), num_classes=NUM_CLASSES)
+        print(f"Warm-started from torch checkpoint {args.model_path}")
+    else:
+        params, state = mdef.init(jax.random.PRNGKey(args.seed),
+                                  num_classes=NUM_CLASSES)
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)
 
@@ -103,7 +124,7 @@ def main(argv=None):
                            use_wandb=args.wandb, config=vars(args))
 
     # phase 1 — frozen backbone iff --tl (models.py:18-24)
-    mask = head_only_mask(params, HEAD_KEYS["default"]) if args.tl \
+    mask = head_only_mask(params, head_keys_for(args.image_model)) if args.tl \
         else all_trainable_mask(params)
     opt, step = make_step(mask, args.lr, args.acc_steps)
     opt_state = shard_params(mesh, opt.init(jax.device_get(params)))

@@ -34,7 +34,19 @@ from .test_text import make_text_eval_step
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
 
-HEAD_KEYS = ("head", "score", "classifier", "head_dense", "head_out", "pooler")
+# exactly the replaced Linear per tower (reference text_models.py freezes
+# the rest: BART's classification_head.dense and MobileBERT's pooler stay
+# frozen — only out_proj / classifier are swapped, :116-117, :172-173)
+HEAD_KEYS_BY_MODEL = {
+    "bart": ("head_out",),
+    "gpt2": ("score",),
+    "mobilebert": ("classifier",),
+}
+HEAD_KEYS_DEFAULT = ("head",)
+
+
+def head_keys_for(model: str):
+    return HEAD_KEYS_BY_MODEL.get(model, HEAD_KEYS_DEFAULT)
 
 
 class SynonymBatcher(ImageTextBatcher):
@@ -122,7 +134,7 @@ def main(argv=None):
     logger = MetricsLogger(args.name or f"text_{args.text_model}",
                            use_wandb=args.wandb, config=vars(args))
 
-    mask = head_only_mask(params, HEAD_KEYS) if args.tl \
+    mask = head_only_mask(params, head_keys_for(args.text_model)) if args.tl \
         else all_trainable_mask(params)
     opt, step = make_step(mask, args.lr)
     opt_state = shard_params(mesh, opt.init(jax.device_get(params)))

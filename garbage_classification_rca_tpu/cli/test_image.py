@@ -67,8 +67,14 @@ def main(argv=None):
                                workers=args.data_workers)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    acc, labels, preds, stats = run_image_eval(
-        mdef.apply, params, state, batcher, batch_size, mesh, dtype)
+    if args.profile_dir:
+        from ..utils.profiling import trace
+        with trace(args.profile_dir):
+            acc, labels, preds, stats = run_image_eval(
+                mdef.apply, params, state, batcher, batch_size, mesh, dtype)
+    else:
+        acc, labels, preds, stats = run_image_eval(
+            mdef.apply, params, state, batcher, batch_size, mesh, dtype)
     batcher.close()
 
     print(f"\nsamples checked for test: {stats['n']}")

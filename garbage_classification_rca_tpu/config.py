@@ -97,6 +97,7 @@ class RunConfig:
     wandb: bool = False                # wandb optional behind a flag (SURVEY §5)
     prefetch_depth: int = 2            # host->device double-buffer depth
     data_workers: int = 8              # host-side decode worker threads
+    profile_dir: str = ""              # jax.profiler trace output (eval CLIs)
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -229,6 +230,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, 'wandb', d.wandb, "log to wandb")
     p.add_argument('--prefetch_depth', type=int, default=d.prefetch_depth)
     p.add_argument('--data_workers', type=int, default=d.data_workers)
+    p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     return p
 
 

@@ -39,6 +39,13 @@ from .test_both import fusion_config_from_args, make_both_eval_step
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
 
+
+def _image_size():
+    """480x480 (multimodal_model.py:407-408). GC_RCA_MM_IMAGE_SIZE overrides
+    for hermetic CI drives (hierarchical pooling requires the real 480)."""
+    env = os.environ.get("GC_RCA_MM_IMAGE_SIZE")
+    return (int(env), int(env)) if env else MULTIMODAL_IMAGE_SIZE
+
 # phase-1 trainable heads: everything except the two towers
 TOWER_KEYS = ("text", "image")
 
@@ -67,12 +74,12 @@ def main(argv=None):
 
     tok = get_tokenizer(args.text_model)
     train_batcher = ImageTextBatcher(
-        train_manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
+        train_manifest, _image_size(), tokenizer=tok,
         seq_len=DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_train is not None,
         workers=args.data_workers)
     val_batcher = ImageTextBatcher(
-        val_manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
+        val_manifest, _image_size(), tokenizer=tok,
         seq_len=DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)

@@ -121,7 +121,9 @@ def main(argv=None):
     print(f"Num of test images: {len(manifest)}")
     tok = get_tokenizer(args.text_model, vocab_dir=os.path.dirname(
         args.model_path) or None)
-    batch_size = args.eval_batch_size or MULTIMODAL_EVAL_BATCH
+    from ..parallel.mesh import round_up_batch
+    batch_size = round_up_batch(args.eval_batch_size or MULTIMODAL_EVAL_BATCH,
+                                mesh)
     batcher = ImageTextBatcher(
         manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
         seq_len=DEFAULT_SEQ_LEN,

@@ -61,6 +61,9 @@ def main(argv=None):
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)
 
+    from ..parallel.mesh import round_up_batch
+    batch_size = round_up_batch(batch_size, mesh)
+
     manifest = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(manifest)}")
     batcher = ImageTextBatcher(manifest, spec.input_size,

@@ -75,7 +75,9 @@ def main(argv=None):
     print(f"Num of test samples: {len(manifest)}")
     tok = get_tokenizer(args.text_model, vocab_dir=os.path.dirname(
         args.model_path) or None)
-    batch_size = args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch
+    from ..parallel.mesh import round_up_batch
+    batch_size = round_up_batch(
+        args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch, mesh)
     batcher = ImageTextBatcher(
         manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,

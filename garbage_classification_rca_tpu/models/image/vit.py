@@ -85,8 +85,9 @@ def _encoder_layer(p, x, heads: int, eps: float):
     q = q.reshape(b, n, heads, hd)
     k = k.reshape(b, n, heads, hd)
     v = v.reshape(b, n, heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln_2"], x, eps=eps)

@@ -50,8 +50,9 @@ def _attn(p, x_q, x_kv, bias):
     q = q.reshape(b, lq, HEADS, hd)
     k = k.reshape(b, lk, HEADS, hd)
     v = v.reshape(b, lk, HEADS, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    scores = scores.astype(jnp.float32) + bias
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, lq, d)
 

@@ -35,8 +35,9 @@ def multi_head_attention(q, k, v, bias, heads: int):
     q = q.reshape(b, l, heads, hd)
     k = k.reshape(b, l, heads, hd)
     v = v.reshape(b, l, heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    scores = scores.astype(jnp.float32) + bias
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", w, v)
     return out.reshape(b, l, d)

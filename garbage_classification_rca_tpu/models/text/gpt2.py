@@ -43,8 +43,9 @@ def _block(p, x, bias):
     q = q.reshape(b, l, HEADS, hd)
     k = k.reshape(b, l, HEADS, hd)
     v = v.reshape(b, l, HEADS, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    scores = scores.astype(jnp.float32) + bias
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, l, d)
     x = x + nn.linear(p["c_proj"], att)

@@ -50,8 +50,9 @@ def _self_attention(p, q_in, k_in, v_in, layer_input, bias):
     hd = d // HEADS
     scores = jnp.einsum("bnhd,bmhd->bhnm",
                         q.reshape(b, l, HEADS, hd),
-                        k.reshape(b, l, HEADS, hd)) / np.sqrt(hd)
-    w = jax.nn.softmax(scores.astype(jnp.float32) + bias, axis=-1).astype(v.dtype)
+                        k.reshape(b, l, HEADS, hd),
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w,
                      v.reshape(b, l, HEADS, hd)).reshape(b, l, d)
     return nonorm(p["out_norm"], nn.linear(p["out"], att) + layer_input)

@@ -62,8 +62,9 @@ def _layer(p, x, heads, eps):
     h = nn.layernorm(p["ln1"], x, eps=eps)
     qkv = nn.linear(p["qkv"], h).reshape(b, n, 3, heads, d // heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(d // heads)
-    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(d // heads)
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["proj"], att)
     h = nn.layernorm(p["ln2"], x, eps=eps)

@@ -77,8 +77,9 @@ def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
     q = q.reshape(b_, n, cfg.heads, hd)
     k = k.reshape(b_, n, cfg.heads, hd)
     v = v.reshape(b_, n, cfg.heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    w = jax.nn.softmax(scores.astype(jnp.float32) + bias, axis=-1).astype(v.dtype)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b_, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln2"], x, eps=cfg.ln_eps)

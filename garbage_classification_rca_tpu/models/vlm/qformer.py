@@ -75,8 +75,9 @@ def _mha(p, x_q, x_kv, heads):
     q = nn.linear(p["q"], x_q).reshape(b, nq, heads, hd)
     k = nn.linear(p["k"], x_kv).reshape(b, nk, heads, hd)
     v = nn.linear(p["v"], x_kv).reshape(b, nk, heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
-    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, nq, d)
     return nn.layernorm(p["ln"], x_q + nn.linear(p["out"], att), eps=LN_EPS)
 

@@ -88,6 +88,16 @@ def pad_batch_to_multiple(arrays, multiple: int):
     return jax.tree_util.tree_map(_pad, arrays), n
 
 
+def round_up_batch(batch_size: int, mesh: Optional[Mesh],
+                   axis: str = DATA_AXIS) -> int:
+    """Smallest batch >= batch_size divisible by the data-axis size (an
+    indivisible batch cannot be sharded over the mesh)."""
+    if mesh is None:
+        return batch_size
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+    return ((batch_size + n - 1) // n) * n
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
     """Device-put a host batch with its leading dim sharded over the mesh."""
     s = batch_sharding(mesh, axis)

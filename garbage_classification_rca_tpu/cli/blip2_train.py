@@ -37,31 +37,46 @@ BLIP2_LR = 5e-4          # reference blip_2_training.py:228
 BLIP2_ACC = 8            # reference :229
 
 
-def make_lora_train_step(cfg, params):
+def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
+    """Grad-accumulating LoRA step: the reference steps AdamW every 8
+    microbatches (blip_2_training.py:280-293); here the 8 microbatches are
+    one lax.scan inside a single device program."""
     opt = optax.adamw(BLIP2_LR)
 
-    def loss_fn(lora, batch, rng):
-        del rng
-        x = normalize_clip(batch["image"])
-        labels = jnp.where(batch["label_tokens"] ==
-                           jnp.int32(1), -100, batch["label_tokens"])
-        ids = jnp.concatenate([batch["input_ids"], batch["label_tokens"]], 1)
+    def loss_fn(lora, mb):
+        x = normalize_clip(mb["image"])
+        labels = jnp.where(mb["label_tokens"] ==
+                           jnp.int32(1), -100, mb["label_tokens"])
+        ids = jnp.concatenate([mb["input_ids"], mb["label_tokens"]], 1)
         mask = jnp.concatenate(
-            [batch["attention_mask"],
-             (batch["label_tokens"] != 1).astype(batch["attention_mask"].dtype)],
+            [mb["attention_mask"],
+             (mb["label_tokens"] != 1).astype(mb["attention_mask"].dtype)],
             1)
         full_labels = jnp.concatenate(
-            [jnp.full_like(batch["input_ids"], -100), labels], 1)
+            [jnp.full_like(mb["input_ids"], -100), labels], 1)
         return blip2.lm_loss(params, x, ids, mask, full_labels, cfg, lora)
 
     grad_fn = jax.value_and_grad(loss_fn)
 
     @jax.jit
     def step(lora, opt_state, batch, rng):
-        loss, grads = grad_fn(lora, batch, rng)
+        del rng
+        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def micro(carry, mb):
+            grads_acc, loss_acc = carry
+            loss, grads = grad_fn(lora, mb)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), lora)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+        grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
         updates, opt_state = opt.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
-        return lora, opt_state, loss
+        return lora, opt_state, loss_sum / acc
 
     return opt, step
 
@@ -120,10 +135,21 @@ def main(argv=None):
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
+        stack = []
         for batch in train_b.iter_batches(micro, shuffle=True,
                                           seed=args.seed + epoch):
+            stack.append(batch)
+            if len(stack) < BLIP2_ACC:
+                continue
+            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+            stack = []
             rng, srng = jax.random.split(rng)
-            lora, opt_state, loss = step(lora, opt_state, batch, srng)
+            lora, opt_state, loss = step(lora, opt_state, stacked, srng)
+            losses.append(float(loss))
+        if stack:  # trailing partial accumulation window
+            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+            rng, srng = jax.random.split(rng)
+            lora, opt_state, loss = step(lora, opt_state, stacked, srng)
             losses.append(float(loss))
         val_acc = evaluate(lora, val_b, val_m)
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),

@@ -314,8 +314,8 @@ def _fwd_concat(cfg, p, st, images, ids, mask, train, rng, r_head, *,
     ih = nn.linear(p["image_to_hidden"], img)
     th = nn.linear(p["text_to_hidden"], text)
     if normalized:
-        ih = nn.l2_normalize(ih, axis=1)
-        th = nn.l2_normalize(th, axis=1)
+        ih = nn.l2_normalize(ih, axis=1, eps=1e-12)
+        th = nn.l2_normalize(th, axis=1, eps=1e-12)
     h = nn.linear(p["concat"], jnp.concatenate([ih, th], axis=1))
     out = nn.linear(p["fc"], _drop(r_head, h, cfg.drop_ratio, train))
     return out, new_state
@@ -326,8 +326,8 @@ def _fwd_clip(cfg, p, st, images, ids, mask, train, rng, r_head):
     # ConvTranspose1d pad hack fires when bs != cfg.batch_size
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
                                       train=train, rng=rng)
-    img = nn.l2_normalize(nn.linear(p["image_to_hidden"], img), axis=1)
-    txt = nn.l2_normalize(nn.linear(p["text_to_hidden"], text), axis=1)
+    img = nn.l2_normalize(nn.linear(p["image_to_hidden"], img), axis=1, eps=1e-12)
+    txt = nn.l2_normalize(nn.linear(p["text_to_hidden"], text), axis=1, eps=1e-12)
     logits = jnp.exp(p["logit_scale"]) * img @ txt.T          # [bs, bs]
     if logits.shape[0] != cfg.batch_size:
         # reference defect preserved: torch feeds the UNBATCHED [b, b]
@@ -352,9 +352,13 @@ def mm_rca_block(cfg: FusionConfig, p, img_feat, txt_feat):
 
     The north-star compute block (multimodal_model.py:662-692); the Pallas
     fused kernel implements exactly this graph (kernels/rca_fused.py).
+
+    l2 norms carry eps=1e-12 (identical numerics for any nonzero vector;
+    the reference's bare x/||x|| NaNs when modality dropout zeroes an
+    input through an untrained tower — guarded here).
     """
-    img_n = nn.l2_normalize(img_feat, axis=1)
-    txt_n = nn.l2_normalize(txt_feat, axis=1)
+    img_n = nn.l2_normalize(img_feat, axis=1, eps=1e-12)
+    txt_n = nn.l2_normalize(txt_feat, axis=1, eps=1e-12)
     bs = txt_n.shape[0]
     t = txt_n.reshape(bs, NUM_PATCHES, cfg.txt_patch)
     i = img_n.reshape(bs, NUM_PATCHES, cfg.img_patch)
@@ -396,16 +400,16 @@ def _fwd_hierarchical(cfg, p, st, images, ids, mask, train, rng, r_head):
     text, hiddens, s3, s6, img, new_state = _towers(
         cfg, p, st, images, ids, mask, train=train, rng=rng,
         need_stages=True, need_hiddens=True)
-    l2 = nn.l2_normalize(hiddens[2][:, 0], axis=1)
-    l4 = nn.l2_normalize(hiddens[4][:, 0], axis=1)
-    text_n = nn.l2_normalize(text, axis=1)
+    l2 = nn.l2_normalize(hiddens[2][:, 0], axis=1, eps=1e-12)
+    l4 = nn.l2_normalize(hiddens[4][:, 0], axis=1, eps=1e-12)
+    text_n = nn.l2_normalize(text, axis=1, eps=1e-12)
     # AvgPool2d(k7,s7) on stage3 [B,30,30,160] -> [B,4,4,160] -> 2560
     s3p = nn.avg_pool(s3, 7, 7).reshape(s3.shape[0], -1)
     # AvgPool2d(k6,s6) on stage6 [B,15,15,512] -> [B,2,2,512] -> 2048
     s6p = nn.avg_pool(s6, 6, 6).reshape(s6.shape[0], -1)
-    s3p = nn.l2_normalize(s3p, axis=1)
-    s6p = nn.l2_normalize(s6p, axis=1)
-    img_n = nn.l2_normalize(img, axis=1)
+    s3p = nn.l2_normalize(s3p, axis=1, eps=1e-12)
+    s6p = nn.l2_normalize(s6p, axis=1, eps=1e-12)
+    img_n = nn.l2_normalize(img, axis=1, eps=1e-12)
     cat_img = jnp.concatenate([img_n, s3p, s6p], axis=1)
     cat_txt = jnp.concatenate([text_n, l2, l4], axis=1)
     r1, r2 = (jax.random.split(r_head) if r_head is not None else (None, None))
@@ -420,8 +424,8 @@ def _fwd_bimodal(cfg, p, st, images, ids, mask, train, rng, r_head):
     # is unbatched in torch; defect preserved, see module docstring)
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
                                       train=train, rng=rng)
-    img_n = nn.l2_normalize(img, axis=1)
-    txt_n = nn.l2_normalize(text, axis=1)
+    img_n = nn.l2_normalize(img, axis=1, eps=1e-12)
+    txt_n = nn.l2_normalize(text, axis=1, eps=1e-12)
     x_text = nn.linear(p["mod_txt_to_dim"], txt_n)          # [B, 400]
     x_img = nn.linear(p["mod_img_to_dim"], img_n)
     ctx_t, _ = nn.gru(p["gru_text"], x_text[None])          # time = batch

@@ -112,6 +112,15 @@ def main(argv=None):
         sd = load_torch_state_dict(args.model_path)
         params, state = convert_fn(sd)
 
+    from ..nn.fold import fold_batchnorm
+    params["image"], state["image"] = fold_batchnorm(
+        params["image"], state["image"], 1e-3)   # EffNetV2 bn eps
+
+    if args.compute_dtype == "bfloat16":
+        from ..utils.dtype import cast_float_params
+        import jax.numpy as _jnp
+        params = cast_float_params(params, _jnp.bfloat16)
+
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)

@@ -66,6 +66,11 @@ def main(argv=None):
         sd = load_torch_state_dict(args.model_path)
         params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
 
+    if args.compute_dtype == "bfloat16":
+        from ..utils.dtype import cast_float_params
+        import jax.numpy as _jnp
+        params = cast_float_params(params, _jnp.bfloat16)
+
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)

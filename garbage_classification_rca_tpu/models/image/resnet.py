@@ -77,10 +77,14 @@ def init(key, cfg: ResNetConfig, num_classes: int = 4, dtype=jnp.float32):
 def _cbr(p, s, x, *, k, stride=1, act=True, train=False):
     pad = (k - 1) // 2
     y = nn.conv2d(p["conv"], x, stride=stride, padding=pad)
-    y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train)
+    if "bn" in p:          # absent after nn.fold.fold_batchnorm (eval-only)
+        y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train)
+        new_s = {"bn": new}
+    else:
+        new_s = {}
     if act:
         y = nn.relu(y)
-    return y, {"bn": new}
+    return y, new_s
 
 
 def apply(params, state, x, cfg: ResNetConfig, *, train=False, rng=None):
@@ -162,4 +166,4 @@ def model_def(name: str) -> ModelDef:
                     input_size=(224, 224), feature_dim=feat,
                     convert_torch=lambda sd, num_classes=4: convert_torch(
                         sd, cfg, num_classes),
-                    extras={"cfg": cfg})
+                    extras={"cfg": cfg, "bn_eps": 1e-5})

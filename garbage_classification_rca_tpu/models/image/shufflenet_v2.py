@@ -73,10 +73,14 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 
 def _cb(p, s, x, *, k, stride=1, groups=1, act=True, train=False):
     y = nn.conv2d(p["conv"], x, stride=stride, padding=(k - 1) // 2, groups=groups)
-    y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train)
+    if "bn" in p:          # absent after nn.fold.fold_batchnorm (eval-only)
+        y, new = nn.batchnorm(p["bn"], s["bn"], y, train=train)
+        new_s = {"bn": new}
+    else:
+        new_s = {}
     if act:
         y = nn.relu(y)
-    return y, {"bn": new}
+    return y, new_s
 
 
 def apply(params, state, x, *, train=False, rng=None):
@@ -152,4 +156,5 @@ def convert_torch(sd, num_classes: int = 4):
 def model_def(name: str = "shuffle_net") -> ModelDef:
     return ModelDef(name=name, init=init, apply=apply,
                     input_size=(224, 224), feature_dim=CONV5_OUT,
-                    convert_torch=convert_torch)
+                    convert_torch=convert_torch,
+                    extras={"bn_eps": 1e-5})

@@ -1,0 +1,22 @@
+"""dtype policy helpers."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_float_params(params, dtype):
+    """Cast floating leaves to `dtype` (ints/bools untouched).
+
+    Used by the eval CLIs for bf16 inference: weights in bf16 halve HBM
+    traffic; LayerNorm/softmax/BN still accumulate fp32 internally
+    (nn.core), so accuracy drift stays within the bf16 rounding of the
+    matmuls themselves.
+    """
+    def cast(p):
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating):
+            return p.astype(dtype)
+        return p
+
+    return jax.tree_util.tree_map(cast, params)

@@ -75,6 +75,17 @@ def main(argv=None):
     class_weights = train_manifest.class_weights() if args.balance_weights else None
     print(f"Class weights: {train_manifest.class_weights()}")
 
+    norm_stats = None
+    if args.calculate_dataset_stats:
+        # reference main_image.py:427-431: compute train-set channel stats
+        # and normalize with them instead of ImageNet stats
+        from .calculate_mean_std import compute_stats
+        print("Calculating Train Dataset statistics...")
+        mean, std, _, _ = compute_stats(args.dataset_folder_name + TRAIN_SUFFIX,
+                                        spec.input_size)
+        norm_stats = (mean.astype("float32"), std.astype("float32"))
+        print(f"Mean Train Dataset: {mean}, STD Train Dataset: {std}")
+
     if args.model_path and os.path.isdir(args.model_path):
         # resume / warm-start from one of our orbax checkpoints (the
         # reference has no resume path — SURVEY §5 gap-fill)
@@ -101,7 +112,8 @@ def main(argv=None):
         x = mb["image"]
         if rng is not None and args.prob_aug > 0:
             x = augment_batch(rng, x, args.prob_aug)
-        return normalize_on_device(x, dtype=dtype)
+        mean, std = norm_stats if norm_stats else (None, None)
+        return normalize_on_device(x, mean=mean, std=std, dtype=dtype)
 
     def make_step(trainable_mask, lr, acc):
         opt = make_optimizer(args.opt, lr, args.reg, trainable_mask)
@@ -116,7 +128,7 @@ def main(argv=None):
             from ..eval.report import classification_report_dict
             acc, labels, preds, _ = run_image_eval(
                 mdef.apply, params, state, val_batcher, bs, mesh, dtype,
-                progress=False)
+                progress=False, norm_stats=norm_stats)
             return acc, classification_report_dict(labels, preds)
         return eval_fn
 

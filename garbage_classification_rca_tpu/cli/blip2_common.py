@@ -10,7 +10,7 @@ the jitted eval steps.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,12 +18,11 @@ import numpy as np
 
 from ..config import RunConfig
 from ..data.images import blip_preprocess_image, CLIP_MEAN, CLIP_STD
-from ..data.manifest import Manifest, build_manifest
+from ..data.manifest import Manifest
 from ..data.tokenizer import BaseTokenizer, get_tokenizer
 from ..models.vlm import blip2
-from ..models.vlm.prompts import (ANSWER_WORDS, FOLDER_TO_ANSWER,
-                                  MAX_PROMPT_TOKENS, build_prompt,
-                                  find_closest_string, prompt_text_from_path)
+from ..models.vlm.prompts import (FOLDER_TO_ANSWER, MAX_PROMPT_TOKENS,
+                                  build_prompt, prompt_text_from_path)
 
 
 def normalize_clip(x_uint8, dtype=jnp.bfloat16):

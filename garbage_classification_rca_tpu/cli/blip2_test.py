@@ -13,10 +13,8 @@ actual dataset size (SURVEY §2 defects list).
 from __future__ import annotations
 
 import os
-import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import args_parser

@@ -16,7 +16,6 @@ TPU: one jitted LoRA train step (grad wrt adapters only), bf16 backbone.
 
 from __future__ import annotations
 
-import math
 import time
 
 import jax
@@ -26,7 +25,6 @@ import optax
 
 from ..config import args_parser
 from ..models.vlm import blip2
-from ..models.vlm.prompts import ANSWER_WORDS
 from ..train.engine import MetricsLogger, save_best, PhaseResult
 from .blip2_common import (Blip2Batcher, build_blip2,
                            class_logits_from_next_token, normalize_clip)

@@ -29,7 +29,7 @@ from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher, device_prefetch
 from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
 from ..eval.report import classification_report_dict
-from ..models.fusion import FusionConfig, build_fusion
+from ..models.fusion import build_fusion
 from ..parallel.mesh import make_mesh, shard_params
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, make_train_step

@@ -19,7 +19,6 @@ albumentations stack with a jitted equivalent.
 
 from __future__ import annotations
 
-import math
 import os
 
 import jax
@@ -35,7 +34,7 @@ from ..data.pipeline import ImageTextBatcher
 from ..eval.harness import run_image_eval
 from ..models import get_image_model
 from ..parallel.mesh import make_mesh, shard_params
-from ..train.engine import MetricsLogger, PhaseResult, run_phase
+from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
 

@@ -22,12 +22,12 @@ from __future__ import annotations
 import concurrent.futures as cf
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .images import eval_preprocess_image, load_rgb
-from .manifest import Manifest, Sample
+from .images import load_rgb
+from .manifest import Manifest
 from .tokenizer import BaseTokenizer
 
 

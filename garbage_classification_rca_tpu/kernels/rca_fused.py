@@ -114,6 +114,42 @@ def _weights(p) -> Tuple[jnp.ndarray, ...]:
     return blk(p["sa_txt"]) + blk(p["sa_img"]) + blk(p["rca_ti"]) + blk(p["rca_it"])
 
 
+def _oracle(p, t, i, reverse: bool):
+    """Pure-JAX reference graph (ops.attention) — the differentiation
+    path for the custom VJP below."""
+    from ..ops import attention as att
+
+    t_sa = att.self_attention(p["sa_txt"], t)
+    i_sa = att.self_attention(p["sa_img"], i)
+    ti = att.reverse_cross_attention(p["rca_ti"], t_sa, i_sa, reverse)
+    it = att.reverse_cross_attention(p["rca_it"], i_sa, t_sa, reverse)
+    return ti, it
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rca_fused_trainable(p, t, i, reverse: bool, interpret: bool = False):
+    """Differentiable fused RCA: Pallas forward, XLA-autodiff backward.
+
+    The backward recomputes the (cheap — ~25 MFLOP at B=64) block through
+    the pure-JAX graph and differentiates it; residuals are just the
+    inputs, so no extra HBM is held across the forward.
+    """
+    return rca_fused(p, t, i, reverse=reverse, interpret=interpret)
+
+
+def _rca_fwd(p, t, i, reverse, interpret):
+    return rca_fused(p, t, i, reverse=reverse, interpret=interpret), (p, t, i)
+
+
+def _rca_bwd(reverse, interpret, res, g):
+    p, t, i = res
+    _, vjp = jax.vjp(lambda p_, t_, i_: _oracle(p_, t_, i_, reverse), p, t, i)
+    return vjp(g)
+
+
+rca_fused_trainable.defvjp(_rca_fwd, _rca_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("reverse", "tile", "interpret"))
 def rca_fused(p, t, i, *, reverse: bool, tile: int = 0,
               interpret: bool = False):

@@ -363,9 +363,11 @@ def mm_rca_block(cfg: FusionConfig, p, img_feat, txt_feat):
     t = txt_n.reshape(bs, NUM_PATCHES, cfg.txt_patch)
     i = img_n.reshape(bs, NUM_PATCHES, cfg.img_patch)
     if cfg.use_pallas_rca:
-        from ...kernels.rca_fused import rca_fused
-        ti, it = rca_fused(p, t, i, reverse=cfg.reverse,
-                           interpret=jax.default_backend() != "tpu")
+        # differentiable wrapper: Pallas forward, XLA-autodiff backward —
+        # training with use_pallas_rca works too
+        from ...kernels.rca_fused import rca_fused_trainable
+        ti, it = rca_fused_trainable(p, t, i, cfg.reverse,
+                                     jax.default_backend() != "tpu")
     else:
         t_sa = att.self_attention(p["sa_txt"], t)
         i_sa = att.self_attention(p["sa_img"], i)

@@ -121,6 +121,48 @@ def bench_mm_rca(batch_size: int = 32):
 REFERENCE_MM_RCA_EVAL_SPS = 45.0  # V100L bs16 estimate (no published number)
 
 
+def bench_blip2(batch_size: int = 8):
+    """BASELINE config #5: BLIP-2 (full 3.74B: EVA ViT-g + Q-Former +
+    OPT-2.7b, bf16 on-chip) 1-token constrained-decode eval. Reference:
+    HF generate(max_new_tokens=1) at bs16 on V100, est. ~15 img/s.
+    Measured here: init 41 s, compile ~3 min, 90 ms/batch8 -> ~89 img/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.cli.blip2_common import normalize_clip
+
+    cfg = blip2.Blip2Config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def run(params, pix, ids, mask):
+        def body(acc, _):
+            px = pix + (acc % 2).astype(jnp.uint8)
+            x = normalize_clip(px)
+            logits = blip2.next_token_logits(params, x, ids, mask, cfg)
+            return acc + jnp.sum(jnp.argmax(logits.astype(jnp.float32), -1)
+                                 ).astype(jnp.int32), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=SCAN_STEPS)
+        return acc
+
+    rng = np.random.default_rng(0)
+    pix = jax.device_put(rng.integers(0, 255, (batch_size, 224, 224, 3)
+                                      ).astype(np.uint8))
+    ids = jax.device_put(rng.integers(4, 50000, (batch_size, 100)
+                                      ).astype(np.int32))
+    mask = jax.device_put(np.ones((batch_size, 100), np.int32))
+    int(run(params, pix, ids, mask))
+    t0 = time.perf_counter()
+    int(run(params, pix, ids, mask))
+    wall = time.perf_counter() - t0
+    return batch_size / (wall / SCAN_STEPS)
+
+
+REFERENCE_BLIP2_EVAL_SPS = 15.0  # V100 bs16 generate(1 token) estimate
+
+
 def main():
     import jax
 
@@ -137,6 +179,15 @@ def main():
               f"vs_baseline~{mm_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x)")
     except Exception as e:  # never lose the headline JSON line
         print(f"# MM-RCA bench failed: {type(e).__name__}: {e}")
+    try:
+        import os
+        if os.environ.get("GC_RCA_BENCH_BLIP2", "1") != "0":
+            b_sps = bench_blip2()
+            print(f"# BLIP-2 (3.74B) 1-token eval: {b_sps:.1f} samples/s on "
+                  f"{n_chips} chip(s) (bs=8, bf16, "
+                  f"vs_baseline~{b_sps / n_chips / REFERENCE_BLIP2_EVAL_SPS:.1f}x)")
+    except Exception as e:
+        print(f"# BLIP-2 bench failed: {type(e).__name__}: {e}")
     print(json.dumps({
         "metric": "vit_b16_eval_samples_per_sec_per_chip",
         "value": round(sps_chip, 1),

@@ -154,6 +154,7 @@ TEXT_ARCHS: dict[str, ArchRunSpec] = {
     "bart":       ArchRunSpec((0, 0), 32, 2, 24, 64),
     "gpt2":       ArchRunSpec((0, 0), 18, 4, 12, 128),
     "mobilebert": ArchRunSpec((0, 0), 128, 64, 0, 256),
+    "mobile_bert": ArchRunSpec((0, 0), 128, 64, 0, 256),  # reference spelling
 }
 
 # reference: multimodal_model.py:407-408 — multimodal image size fixed 480x480
@@ -177,7 +178,12 @@ def image_input_size(image_model: str) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def _add_bool_flag(p: argparse.ArgumentParser, name: str, default: bool, help_: str):
-    p.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,
+    names = [f"--{name}"]
+    if "_" in name:
+        # dashed alias: MM_RCA_simple_concat.sh writes --features-only
+        # (broken against the reference's own argparse; accepted here)
+        names.append(f"--{name.replace('_', '-')}")
+    p.add_argument(*names, dest=name, action=argparse.BooleanOptionalAction,
                    default=default, help=help_)
 
 

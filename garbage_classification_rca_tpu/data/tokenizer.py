@@ -251,7 +251,7 @@ class HashTokenizer(BaseTokenizer):
 
 # reference text_models.py — per-tower max token sizes (config defaults)
 MAX_TOKEN_SIZES = {
-    "distilbert": 512, "bert": 512, "mobilebert": 512,
+    "distilbert": 512, "bert": 512, "mobilebert": 512, "mobile_bert": 512,
     "roberta": 514, "bart": 1024, "gpt2": 1024,
 }
 
@@ -265,7 +265,7 @@ DEFAULT_SEQ_LEN = 64
 
 def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseTokenizer:
     """Pick scheme + specials per text tower; fall back to HashTokenizer."""
-    wordpiece = {"distilbert", "bert", "mobilebert"}
+    wordpiece = {"distilbert", "bert", "mobilebert", "mobile_bert"}
     if vocab_dir:
         if model_name in wordpiece:
             p = os.path.join(vocab_dir, "vocab.txt")

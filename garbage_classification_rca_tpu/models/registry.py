@@ -51,6 +51,8 @@ _TEXT_MODULES = {
     "bart": ("garbage_classification_rca_tpu.models.text.bart", "model_def"),
     "gpt2": ("garbage_classification_rca_tpu.models.text.gpt2", "model_def"),
     "mobilebert": ("garbage_classification_rca_tpu.models.text.mobilebert", "model_def"),
+    # reference CLI spelling (main_text.py:301)
+    "mobile_bert": ("garbage_classification_rca_tpu.models.text.mobilebert", "model_def"),
 }
 
 IMAGE_MODELS = tuple(_IMAGE_MODULES)

@@ -1,0 +1,49 @@
+"""Flag compatibility: every reference SLURM launch script's flag set must
+parse through our argparse shim with the right values landing (the shim is
+the contract that lets reference users switch frameworks)."""
+
+import pathlib
+import re
+
+import pytest
+
+from garbage_classification_rca_tpu.config import args_parser, IMAGE_ARCHS, TEXT_ARCHS
+
+SLURM_DIR = pathlib.Path("/root/reference/slurm_files")
+
+
+def _extract_flags(script: pathlib.Path):
+    """Pull the --flag tokens out of the python invocation lines."""
+    flags = []
+    for line in script.read_text().splitlines():
+        line = line.strip().rstrip("\\").strip()
+        if line.startswith("--"):
+            flags.append(line)
+    return flags
+
+
+SCRIPTS = sorted(SLURM_DIR.glob("*/*.sh")) if SLURM_DIR.exists() else []
+
+
+@pytest.mark.skipif(not SCRIPTS, reason="reference slurm scripts unavailable")
+@pytest.mark.parametrize("script", SCRIPTS, ids=lambda s: s.stem)
+def test_reference_slurm_flags_parse(script):
+    flags = _extract_flags(script)
+    if not flags:
+        pytest.skip("no flag lines found")
+    cfg = args_parser(flags)
+    # model names referenced by the scripts must exist in our registries
+    if any(f.startswith("--image_model") for f in flags):
+        assert cfg.image_model in IMAGE_ARCHS, cfg.image_model
+    if any(f.startswith("--text_model") for f in flags):
+        assert cfg.text_model in TEXT_ARCHS, cfg.text_model
+
+
+def test_headline_mm_rca_values():
+    flags = _extract_flags(SLURM_DIR / "multimodal" / "MM_RCA.sh")
+    cfg = args_parser(flags)
+    assert cfg.late_fusion == "MM_RCA" and cfg.reverse is True
+    assert cfg.lr == 0.0016 and cfg.reg == 0.03 and cfg.opt == "sgd"
+    assert cfg.epochs == 30 and cfg.ft_epochs == 40
+    assert cfg.acc_steps == 10 and cfg.balance_weights is True
+    assert cfg.prob_aug == 1.0 and cfg.text_model == "distilbert"

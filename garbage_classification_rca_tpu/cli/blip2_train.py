@@ -129,7 +129,9 @@ def main(argv=None):
 
     best = PhaseResult(0.0, 0, None)
     rng = jax.random.PRNGKey(args.seed)
-    micro = max(1, args.batch_size // BLIP2_ACC)
+    # reference semantics: --batch_size is the DataLoader (micro)batch and
+    # the optimizer steps every 8 of them (blip_2_training.py:197-201,229)
+    micro = args.batch_size
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []

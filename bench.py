@@ -68,7 +68,7 @@ def bench_vit_b16(batch_size: int = 128):
     return batch_size / per_batch, per_batch
 
 
-def bench_mm_rca(batch_size: int = 32):
+def bench_mm_rca(batch_size: int = 128):
     """Flagship multimodal eval: MM-RCA (EffNetV2-M@480 + DistilBERT +
     fused Pallas RCA block), bf16, uint8 images — BASELINE.json config #4.
     The reference runs this at bs=16 on a V100 (calculate_test_accuracy_
@@ -183,7 +183,7 @@ def main():
         mm_sps, mm_batch = bench_mm_rca()
         mm_chip = mm_sps / n_chips
         print(f"# MM-RCA eval: {mm_sps:.1f} samples/s on {n_chips} chip(s), "
-              f"batch latency {mm_batch * 1e3:.2f} ms (bs=32, 480px, bf16, "
+              f"batch latency {mm_batch * 1e3:.2f} ms (bs=128, 480px, bf16, "
               f"vs_baseline~{mm_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x)")
     except Exception as e:  # never lose the headline JSON line
         print(f"# MM-RCA bench failed: {type(e).__name__}: {e}")

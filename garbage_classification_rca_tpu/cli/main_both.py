@@ -75,12 +75,12 @@ def main(argv=None):
     tok = get_tokenizer(args.text_model)
     train_batcher = ImageTextBatcher(
         train_manifest, _image_size(), tokenizer=tok,
-        seq_len=DEFAULT_SEQ_LEN,
+        seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_train is not None,
         workers=args.data_workers)
     val_batcher = ImageTextBatcher(
         val_manifest, _image_size(), tokenizer=tok,
-        seq_len=DEFAULT_SEQ_LEN,
+        seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)
 

@@ -92,12 +92,12 @@ def main(argv=None):
     tok = get_tokenizer(args.text_model)
     syn = Synonymizer(seed=args.seed) if args.use_synonyms else None
     train_batcher = SynonymBatcher(
-        train_manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        train_manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_train is not None,
         workers=args.data_workers, with_images=False,
         synonymizer=syn, prob=args.prob_aug_text, seed=args.seed)
     val_batcher = ImageTextBatcher(
-        val_manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        val_manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers, with_images=False)
 

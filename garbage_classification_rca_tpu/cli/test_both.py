@@ -134,7 +134,7 @@ def main(argv=None):
                                 mesh)
     batcher = ImageTextBatcher(
         manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
-        seq_len=DEFAULT_SEQ_LEN,
+        seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)
 

@@ -84,7 +84,7 @@ def main(argv=None):
     batch_size = round_up_batch(
         args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch, mesh)
     batcher = ImageTextBatcher(
-        manifest, (0, 0), tokenizer=tok, seq_len=DEFAULT_SEQ_LEN,
+        manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers, with_images=False)
 

@@ -98,6 +98,11 @@ class RunConfig:
     prefetch_depth: int = 2            # host->device double-buffer depth
     data_workers: int = 8              # host-side decode worker threads
     profile_dir: str = ""              # jax.profiler trace output (eval CLIs)
+    seq_len: int = 0                   # token bucket; 0 -> 64 (the garbage
+                                       # texts are a few words; the reference
+                                       # pads to the full 512-1024 positions —
+                                       # set --seq_len=512 for exact-parity
+                                       # padding at ~8x the text FLOPs)
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -237,6 +242,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--prefetch_depth', type=int, default=d.prefetch_depth)
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
+    p.add_argument('--seq_len', type=int, default=d.seq_len)
     return p
 
 

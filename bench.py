@@ -31,7 +31,7 @@ REFERENCE_VIT_B16_EVAL_SPS = 330.0  # V100L fp32 estimate (no published number)
 SCAN_STEPS = 20
 
 
-def bench_vit_b16(batch_size: int = 128):
+def bench_vit_b16(batch_size: int = 64):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,7 +170,7 @@ def main():
     sps, per_batch = bench_vit_b16()
     sps_chip = sps / n_chips
     print(f"# ViT-B16 eval: {sps:.1f} samples/s on {n_chips} chip(s), "
-          f"batch latency {per_batch * 1e3:.2f} ms (bs=128, bf16)")
+          f"batch latency {per_batch * 1e3:.2f} ms (bs=64, bf16)")
     # headline JSON first: the sub-benches below compile for minutes and a
     # runner timeout must not cost the recorded metric
     print(json.dumps({

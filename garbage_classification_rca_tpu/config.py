@@ -146,7 +146,7 @@ IMAGE_ARCHS: dict[str, ArchRunSpec] = {
     "res152":        ArchRunSpec((224, 224), 128, 32, 2, 128),
     "convnext":      ArchRunSpec((224, 224), 128, 64, 2, 256),
     "mb":            ArchRunSpec((224, 224), 128, 128, 0, 256),
-    "transformer_B16": ArchRunSpec((224, 224), 128, 200, 0, 256),
+    "transformer_B16": ArchRunSpec((224, 224), 128, 200, 0, 64),  # v5e sweep: 64 -> 2625 img/s (128 -> 2413, 192 -> 2280)
     "transformer_L16": ArchRunSpec((224, 224), 128, 52, 3, 128),
     "shuffle_net":   ArchRunSpec((224, 224), 128, 52, 3, 256),
 }

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import RunConfig
 from ..data.images import blip_preprocess_image, CLIP_MEAN, CLIP_STD
 from ..data.manifest import Manifest
-from ..data.tokenizer import BaseTokenizer, get_tokenizer
+from ..data.tokenizer import BaseTokenizer, get_tokenizer, resolve_vocab_dir
 from ..models.vlm import blip2
 from ..models.vlm.prompts import (FOLDER_TO_ANSWER, MAX_PROMPT_TOKENS,
                                   build_prompt, prompt_text_from_path)
@@ -119,8 +119,7 @@ def build_blip2(args: RunConfig, with_lora: bool = True):
         cfg = tiny_blip2_config()
     else:
         cfg = blip2.Blip2Config()
-    tok = get_tokenizer("opt", vocab_dir=os.path.dirname(args.model_path)
-                        or None if args.model_path else None)
+    tok = get_tokenizer("opt", vocab_dir=resolve_vocab_dir(args))
     if args.model_path and os.path.isfile(args.model_path):
         from ..checkpoint.torch_convert import load_torch_state_dict
         params, lora = blip2.convert_torch(load_torch_state_dict(

@@ -27,7 +27,7 @@ from ..data.augment import augment_batch
 from ..data.images import normalize_on_device
 from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher, device_prefetch
-from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import classification_report_dict
 from ..models.fusion import build_fusion
 from ..parallel.mesh import make_mesh, shard_params
@@ -72,7 +72,7 @@ def main(argv=None):
     print(f"Len of val set: {len(val_manifest)}")
     class_weights = train_manifest.class_weights() if args.balance_weights else None
 
-    tok = get_tokenizer(args.text_model)
+    tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
     train_batcher = ImageTextBatcher(
         train_manifest, _image_size(), tokenizer=tok,
         seq_len=args.seq_len or DEFAULT_SEQ_LEN,
@@ -169,7 +169,7 @@ def main(argv=None):
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-        sched = PlateauScheduler(ft_lr, factor=0.2)
+        sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

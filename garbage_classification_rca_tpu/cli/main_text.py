@@ -21,7 +21,7 @@ from .. import NUM_CLASSES
 from ..config import args_parser, TEXT_ARCHS
 from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher
-from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..data.synonymize import Synonymizer
 from ..eval.report import classification_report_dict
 from ..models import get_text_model
@@ -89,7 +89,7 @@ def main(argv=None):
     print(f"Len of val set: {len(val_manifest)}")
     class_weights = train_manifest.class_weights() if args.balance_weights else None
 
-    tok = get_tokenizer(args.text_model)
+    tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
     syn = Synonymizer(seed=args.seed) if args.use_synonyms else None
     train_batcher = SynonymBatcher(
         train_manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
@@ -151,7 +151,7 @@ def main(argv=None):
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-        sched = PlateauScheduler(ft_lr, factor=0.2)
+        sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

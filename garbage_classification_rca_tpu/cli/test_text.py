@@ -27,7 +27,7 @@ from ..config import args_parser, TEXT_ARCHS
 from ..checkpoint.torch_convert import load_torch_state_dict
 from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher, device_prefetch
-from ..data.tokenizer import get_tokenizer, DEFAULT_SEQ_LEN
+from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import generate_report_and_image
 from ..models import get_text_model
 from ..parallel.mesh import (make_mesh, shard_params, batch_sharding,
@@ -78,8 +78,7 @@ def main(argv=None):
     manifest = build_manifest(args.dataset_folder_name,
                               extended_desc=args.extended_desc_val)
     print(f"Num of test samples: {len(manifest)}")
-    tok = get_tokenizer(args.text_model, vocab_dir=os.path.dirname(
-        args.model_path) or None)
+    tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
     from ..parallel.mesh import round_up_batch
     batch_size = round_up_batch(
         args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch, mesh)

@@ -103,6 +103,9 @@ class RunConfig:
                                        # pads to the full 512-1024 positions —
                                        # set --seq_len=512 for exact-parity
                                        # padding at ~8x the text FLOPs)
+    vocab_dir: str = ""                # dir with vocab.txt / vocab.json +
+                                       # merges.txt; defaults to the model
+                                       # checkpoint's directory
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -243,6 +246,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     p.add_argument('--seq_len', type=int, default=d.seq_len)
+    p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     return p
 
 

@@ -35,22 +35,29 @@ def load_rgb(path: str) -> np.ndarray:
 
 
 def pad_to_aspect_ratio(img: np.ndarray, aspect_ratio: float) -> np.ndarray:
-    """Zero-pad the short side to reach `aspect_ratio` (= H/W here, since the
-    reference computes size[0]/size[1]; keep_aspect_ratio.py:24-50)."""
+    """Zero-pad to `aspect_ratio`, reproducing keep_aspect_ratio.py:24-50
+    exactly — including its quirks. The reference compares H/W (shape[0]/
+    shape[1]) against the target, but its local names width/height are
+    swapped, so the pad AMOUNT mixes axes while the padded AXIS follows the
+    branch comment:
+
+      * H/W < target ("increase width"):  pad WIDTH by int(target*W) - H
+      * H/W > target ("increase height"): pad HEIGHT by int(H/target) - W
+
+    both sides padded by int(pad/2) (an odd pad loses one pixel — kept).
+    Verified by executing the reference transform: (40,80)@AR1 -> (40,120),
+    (80,40)@AR1 -> (120,40), (33,47)@AR1 -> (33,61)."""
     h, w = img.shape[0], img.shape[1]
     current = h / w
     if current == aspect_ratio:
         return img
     if current < aspect_ratio:
-        # reference branch "increase width" (actually pads H — parity quirk)
-        target = int(aspect_ratio * w)
-        pad = target - h
+        pad = int(aspect_ratio * w) - h
         half = int(pad / 2)
-        return np.pad(img, ((half, half), (0, 0), (0, 0)), mode="constant")
-    target = int(h / aspect_ratio)
-    pad = target - w
+        return np.pad(img, ((0, 0), (half, half), (0, 0)), mode="constant")
+    pad = int(h / aspect_ratio) - w
     half = int(pad / 2)
-    return np.pad(img, ((0, 0), (half, half), (0, 0)), mode="constant")
+    return np.pad(img, ((half, half), (0, 0), (0, 0)), mode="constant")
 
 
 def resize_linear(img: np.ndarray, height: int, width: int) -> np.ndarray:

@@ -263,8 +263,27 @@ MAX_TOKEN_SIZES = {
 DEFAULT_SEQ_LEN = 64
 
 
+def resolve_vocab_dir(args) -> Optional[str]:
+    """vocab_dir for the CLIs: explicit ``--vocab_dir`` wins, else the
+    checkpoint's directory (where converted checkpoints ship their vocab
+    files), else None (hash fallback with a loud warning)."""
+    vd = getattr(args, "vocab_dir", "") or ""
+    if vd:
+        return vd
+    mp = getattr(args, "model_path", "") or ""
+    if mp:
+        d = os.path.dirname(os.path.abspath(mp))
+        if os.path.isdir(d):
+            return d
+    return None
+
+
 def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseTokenizer:
-    """Pick scheme + specials per text tower; fall back to HashTokenizer."""
+    """Pick scheme + specials per text tower; fall back to HashTokenizer.
+
+    The fallback prints a loud warning: hash token ids are meaningless to
+    pretrained embeddings (they only make sense for from-scratch training
+    or hermetic tests)."""
     wordpiece = {"distilbert", "bert", "mobilebert", "mobile_bert"}
     if vocab_dir:
         if model_name in wordpiece:
@@ -282,6 +301,11 @@ def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseToken
                     return ByteLevelBPETokenizer.from_files(
                         vj, mt, bos="</s>", pad="<pad>")
                 return ByteLevelBPETokenizer.from_files(vj, mt)
+    print(f"WARNING: no vocab files for '{model_name}'"
+          f"{f' under {vocab_dir}' if vocab_dir else ''} — using the "
+          "deterministic HashTokenizer fallback. Hash ids are MEANINGLESS "
+          "to pretrained embeddings; pass --vocab_dir (or place vocab.txt / "
+          "vocab.json+merges.txt next to the checkpoint) for real runs.")
     if model_name in ("roberta", "bart"):
         return HashTokenizer(vocab_size=50265, cls_id=0, sep_id=2, pad_id=1)
     if model_name == "gpt2":

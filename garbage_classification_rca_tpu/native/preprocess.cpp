@@ -95,7 +95,11 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
 }
 
 // reference pad-to-AR: compare H/W against target (already transposed by
-// the caller per the reference quirk); zero-pad int(pad/2) on both sides
+// the caller per the reference quirk); zero-pad int(pad/2) on both sides.
+// The reference's local width/height names are swapped, so the pad AMOUNT
+// mixes axes: H/W < target pads WIDTH by int(target*W) - H; H/W > target
+// pads HEIGHT by int(H/target) - W (keep_aspect_ratio.py:24-50, verified
+// by executing it: (40,80)@AR1 -> (40,120)).
 void pad_to_ar(const uint8_t* src, int sh, int sw, int ch, double target_ar,
                std::vector<uint8_t>& out, int& oh, int& ow) {
     double current = static_cast<double>(sh) / sw;
@@ -105,21 +109,21 @@ void pad_to_ar(const uint8_t* src, int sh, int sw, int ch, double target_ar,
         return;
     }
     if (current < target_ar) {
-        int target_h = static_cast<int>(target_ar * sw);
-        int half = (target_h - sh) / 2;
-        oh = sh + 2 * half; ow = sw;
-        out.assign(static_cast<size_t>(oh) * ow * ch, 0);
-        std::memcpy(out.data() + static_cast<size_t>(half) * ow * ch, src,
-                    static_cast<size_t>(sh) * sw * ch);
-    } else {
-        int target_w = static_cast<int>(sh / target_ar);
-        int half = (target_w - sw) / 2;
+        int pad = static_cast<int>(target_ar * sw) - sh;
+        int half = pad / 2;
         oh = sh; ow = sw + 2 * half;
         out.assign(static_cast<size_t>(oh) * ow * ch, 0);
         for (int y = 0; y < sh; ++y)
             std::memcpy(out.data() + (static_cast<size_t>(y) * ow + half) * ch,
                         src + static_cast<size_t>(y) * sw * ch,
                         static_cast<size_t>(sw) * ch);
+    } else {
+        int pad = static_cast<int>(sh / target_ar) - sw;
+        int half = pad / 2;
+        oh = sh + 2 * half; ow = sw;
+        out.assign(static_cast<size_t>(oh) * ow * ch, 0);
+        std::memcpy(out.data() + static_cast<size_t>(half) * ow * ch, src,
+                    static_cast<size_t>(sh) * sw * ch);
     }
 }
 

@@ -1,7 +1,7 @@
 """Inference-time BatchNorm folding (any model built on {"conv","bn"} pairs:
 EfficientNet v1/v2, ResNet, MobileNetV3, ShuffleNetV2).
 
-w' = w * gamma/sqrt(var+eps) per out-channel; b' = beta - mean * that.
+w' = w * gamma/sqrt(var+eps) per out-channel; b' = beta + (b - mean) * that.
 Numerically identical to eval-mode BN; removes every BN elementwise pass.
 Measured on v5e: EffNetV2-M bs32@480 bf16 36.5 -> 28.7 ms (-21%).
 Do NOT train on folded params (no BN stats to update)."""
@@ -17,9 +17,11 @@ def fold_batchnorm(params, state, eps: float):
         mean = s["bn"]["mean"].astype(jnp.float32)
         scale = (p["bn"]["scale"].astype(jnp.float32)
                  * jax.lax.rsqrt(s["bn"]["var"].astype(jnp.float32) + eps))
-        shift = p["bn"]["bias"].astype(jnp.float32) - mean * scale
+        # a pre-existing conv bias passes through BN's normalization, so it
+        # is scaled too: b' = beta + (b - mean) * scale
         w = p["conv"]["w"].astype(jnp.float32) * scale[None, None, None, :]
-        b = shift + p["conv"].get("b", 0.0)
+        b = (p["bn"]["bias"].astype(jnp.float32)
+             + (p["conv"].get("b", 0.0) - mean) * scale)
         dt = p["conv"]["w"].dtype
         out = dict(p)
         out.pop("bn")

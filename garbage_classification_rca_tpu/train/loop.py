@@ -32,7 +32,7 @@ import optax
 
 from ..data.images import normalize_on_device
 from ..parallel.mesh import batch_sharding, replicated_sharding
-from .loss import cross_entropy_loss
+from .loss import cross_entropy_loss_and_weight
 
 
 def head_only_mask(params, head_keys=("head",)):
@@ -80,32 +80,41 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
         r_in, r_model = jax.random.split(rng)
         logits, new_state = apply_fn(params, state, _inputs(mb, r_in),
                                      train=True, rng=r_model)
-        loss = cross_entropy_loss(logits, mb["label"], cw, label_smoothing,
-                                  mb.get("valid"))
-        return loss, new_state
+        loss, w_sum = cross_entropy_loss_and_weight(
+            logits, mb["label"], cw, label_smoothing, mb.get("valid"))
+        return loss, (new_state, w_sum)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(params, state, opt_state, batch, rng):
         acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
+        # Microbatch gradients are combined weighted by each microbatch's
+        # CE denominator (sum of valid label weights): the result equals
+        # the mean-reduction gradient of the whole effective batch exactly,
+        # including uneven/padded tails (a fully-padded microbatch has
+        # weight 0 and contributes nothing — no NaN; see loss.py).
         def micro(carry, inp):
-            state, grads_acc, loss_acc = carry
+            state, grads_acc, loss_acc, w_acc = carry
             mb, mb_rng = inp
-            (loss, new_state), grads = grad_fn(params, state, mb, mb_rng)
+            (loss, (new_state, w_sum)), grads = grad_fn(params, state, mb,
+                                                        mb_rng)
             grads = jax.tree_util.tree_map(
-                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
-            return (new_state, grads, loss_acc + loss), loss
+                lambda a, g: a + g.astype(jnp.float32) * w_sum,
+                grads_acc, grads)
+            return (new_state, grads, loss_acc + loss * w_sum,
+                    w_acc + w_sum), loss
 
         zero_grads = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params)
         rngs = jax.random.split(rng, acc)
-        (state, grads, loss_sum), losses = jax.lax.scan(
-            micro, (state, zero_grads, 0.0), (batch, rngs))
-        grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
+        (state, grads, loss_sum, w_total), losses = jax.lax.scan(
+            micro, (state, zero_grads, 0.0, 0.0), (batch, rngs))
+        w_total = jnp.maximum(w_total, 1e-30)
+        grads = jax.tree_util.tree_map(lambda g: g / w_total, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, state, opt_state, loss_sum / acc, losses
+        return params, state, opt_state, loss_sum / w_total, losses
 
     # Shardings are inferred from operand placement: the caller replicates
     # params/state/opt_state (parallel.shard_params) and device_puts batches

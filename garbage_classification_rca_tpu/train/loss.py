@@ -19,14 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                       class_weights: Optional[jnp.ndarray] = None,
-                       label_smoothing: float = 0.0,
-                       valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Mean CE over the batch, torch CrossEntropyLoss-compatible.
+def cross_entropy_loss_and_weight(
+        logits: jnp.ndarray, labels: jnp.ndarray,
+        class_weights: Optional[jnp.ndarray] = None,
+        label_smoothing: float = 0.0,
+        valid: Optional[jnp.ndarray] = None):
+    """Mean CE over the batch plus its denominator ``sum_i w_{y_i}``.
 
     valid: optional 0/1 mask for tail padding — masked samples contribute
-    nothing to numerator or denominator.
+    nothing to numerator or denominator. A fully-masked batch returns
+    (0.0, 0.0), NOT NaN — the grad-accum scan weights microbatches by the
+    returned w_sum, so padded stacks are exact (train/loop.py).
     """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -51,4 +54,17 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
         vm = valid.astype(jnp.float32)
         per_sample = per_sample * vm
         w_label = w_label * vm
-    return per_sample.sum() / w_label.sum()
+    w_sum = w_label.sum()
+    # guard the 0/0 of a fully-masked microbatch (numerator is exactly 0
+    # there, so the quotient — and its gradient — are exactly 0 too)
+    return per_sample.sum() / jnp.maximum(w_sum, 1e-30), w_sum
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       class_weights: Optional[jnp.ndarray] = None,
+                       label_smoothing: float = 0.0,
+                       valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean CE over the batch, torch CrossEntropyLoss-compatible."""
+    loss, _ = cross_entropy_loss_and_weight(
+        logits, labels, class_weights, label_smoothing, valid)
+    return loss

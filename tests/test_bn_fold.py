@@ -23,3 +23,35 @@ def test_fold_batchnorm_identity():
                                rtol=1e-5, atol=1e-5)
     # folded convs carry a bias, bn gone
     assert "b" in fp["stem"]["conv"] and "bn" not in fp["stem"]
+
+
+def test_fold_batchnorm_with_conv_bias():
+    """Generic {conv,bn} folding when the conv already has a bias: the bias
+    must be scaled through BN (b' = beta + (b - mean)*scale), not added raw
+    (ADVICE r1)."""
+    from garbage_classification_rca_tpu.nn.fold import fold_batchnorm
+
+    rng = np.random.default_rng(1)
+    cout = 8
+    w = rng.normal(size=(3, 3, 4, cout)).astype(np.float32)
+    b = rng.normal(size=(cout,)).astype(np.float32)
+    gamma = rng.normal(size=(cout,)).astype(np.float32)
+    beta = rng.normal(size=(cout,)).astype(np.float32)
+    mean = rng.normal(size=(cout,)).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, size=(cout,)).astype(np.float32)
+    eps = 1e-5
+
+    params = {"layer": {"conv": {"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                        "bn": {"scale": jnp.asarray(gamma),
+                               "bias": jnp.asarray(beta)}}}
+    state = {"layer": {"bn": {"mean": jnp.asarray(mean),
+                              "var": jnp.asarray(var)}}}
+    fp, _ = fold_batchnorm(params, state, eps)
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    conv = lambda w_: jax.lax.conv_general_dilated(
+        x, w_, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = (conv(jnp.asarray(w)) + b - mean) / np.sqrt(var + eps) * gamma + beta
+    got = conv(fp["layer"]["conv"]["w"]) + fp["layer"]["conv"]["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

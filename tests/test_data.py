@@ -43,12 +43,23 @@ def test_manifest_missing_class_raises(tmp_path):
 
 
 def test_pad_to_ar_square():
+    # reference pads WIDTH in the H/W < target branch, by int(target*W) - H
+    # (keep_aspect_ratio.py:36-41; its width/height names are swapped)
     img = np.ones((40, 80, 3), np.uint8)
     out = pad_to_aspect_ratio(img, 1.0)      # wants H/W == 1
-    assert out.shape == (80, 80, 3)          # reference pads H here
+    assert out.shape == (40, 120, 3)         # pad = int(1*80)-40 = 40 on W
     # zero padding split evenly
+    assert out[:, :20].sum() == 0 and out[:, -20:].sum() == 0
+    assert out[:, 20:100].sum() == img.sum()
+
+
+def test_pad_to_ar_tall_pads_height():
+    # H/W > target branch pads HEIGHT by int(H/target) - W
+    # (keep_aspect_ratio.py:43-48)
+    img = np.ones((80, 40, 3), np.uint8)
+    out = pad_to_aspect_ratio(img, 1.0)
+    assert out.shape == (120, 40, 3)
     assert out[:20].sum() == 0 and out[-20:].sum() == 0
-    assert out[20:60].sum() == img.sum()
 
 
 def test_pad_to_ar_odd_pixel_parity():
@@ -56,7 +67,46 @@ def test_pad_to_ar_odd_pixel_parity():
     # keep_aspect_ratio.py:40-48)
     img = np.ones((41, 80, 3), np.uint8)
     out = pad_to_aspect_ratio(img, 1.0)
-    assert out.shape == (79, 80, 3)          # 41 + 2*int(39/2) = 79
+    assert out.shape == (41, 118, 3)         # pad=int(80)-41=39 -> 2*19 on W
+
+
+def _reference_pad_to_ar(img, target_aspect_ratio):
+    """Line-for-line executable replica of keep_aspect_ratio.py:24-50
+    (the oracle these tests pin against)."""
+    def add_margin(a, top, right, bottom, left):
+        return np.pad(a, ((top, bottom), (left, right), (0, 0)),
+                      mode="constant")
+
+    size = img.shape
+    current_aspect_ratio = size[0] / size[1]
+    original_width = size[0]      # reference's swapped names, kept verbatim
+    original_height = size[1]
+    new_img = img
+    if current_aspect_ratio < target_aspect_ratio:
+        target_width = int(target_aspect_ratio * original_height)
+        pad_amount_pixels = target_width - original_width
+        new_img = add_margin(img, 0, int(pad_amount_pixels / 2),
+                             0, int(pad_amount_pixels / 2))
+    if current_aspect_ratio > target_aspect_ratio:
+        target_height = int(original_width / target_aspect_ratio)
+        pad_amount_pixels = target_height - original_height
+        new_img = add_margin(img, int(pad_amount_pixels / 2), 0,
+                             int(pad_amount_pixels / 2), 0)
+    return new_img
+
+
+def test_pad_to_ar_matches_reference_oracle():
+    rng = np.random.default_rng(7)
+    shapes = [(40, 80), (80, 40), (33, 47), (47, 33), (100, 40), (40, 120),
+              (224, 224), (17, 201), (201, 17)]
+    ars = [1.0, 480 / 480, 256 / 224, 224 / 256, 0.6, 1.7]
+    for h, w in shapes:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for ar in ars:
+            want = _reference_pad_to_ar(img, ar)
+            got = pad_to_aspect_ratio(img, ar)
+            assert got.shape == want.shape, ((h, w), ar, got.shape, want.shape)
+            np.testing.assert_array_equal(got, want)
 
 
 def test_eval_preprocess_shapes(tiny_dataset):

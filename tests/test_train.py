@@ -99,6 +99,66 @@ def test_grad_accumulation_averages():
                                np.asarray(pB["backbone"]["w"]), rtol=1e-5)
 
 
+def test_grad_accum_padded_tail_is_exact_and_finite():
+    """A trailing fully-padded (valid=0) microbatch must change nothing:
+    no NaN (ADVICE r1: 0/0 in the CE denominator) and the update equals
+    the unpadded run exactly."""
+    apply, params = _toy_model()
+    x = RNG.normal(size=(12, 6)).astype(np.float32)
+    y = RNG.integers(0, 4, 12).astype(np.int32)
+    opt = make_optimizer("sgd", lr=0.1, reg=0.0)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"])
+
+    # unpadded: 3 microbatches of 4
+    pA, _, _, lossA, _ = step(
+        params, {}, opt.init(params),
+        {"x": jnp.asarray(x.reshape(3, 4, 6)),
+         "label": jnp.asarray(y.reshape(3, 4)),
+         "valid": jnp.ones((3, 4), jnp.int32)},
+        jax.random.PRNGKey(0))
+    # padded to acc=4 by repeating the last microbatch with valid=0
+    xp = np.concatenate([x.reshape(3, 4, 6), x[None, -4:].reshape(1, 4, 6)])
+    yp = np.concatenate([y.reshape(3, 4), y[None, -4:]])
+    vp = np.concatenate([np.ones((3, 4), np.int32),
+                         np.zeros((1, 4), np.int32)])
+    pB, _, _, lossB, _ = step(
+        params, {}, opt.init(params),
+        {"x": jnp.asarray(xp), "label": jnp.asarray(yp),
+         "valid": jnp.asarray(vp)},
+        jax.random.PRNGKey(0))
+    assert np.isfinite(float(lossB))
+    np.testing.assert_allclose(float(lossA), float(lossB), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pA["backbone"]["w"]),
+                               np.asarray(pB["backbone"]["w"]), rtol=1e-6)
+
+
+def test_grad_accum_uneven_valid_counts_match_big_batch():
+    """Microbatches with different valid counts must reproduce the one-big-
+    batch mean-reduction gradient (weighted combine, not plain average)."""
+    apply, params = _toy_model()
+    x = RNG.normal(size=(8, 6)).astype(np.float32)
+    y = RNG.integers(0, 4, 8).astype(np.int32)
+    valid = np.array([1, 1, 1, 1, 1, 1, 1, 0], np.int32)  # 7 valid
+    opt = make_optimizer("sgd", lr=0.1, reg=0.0)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"])
+    pA, _, _, lossA, _ = step(
+        params, {}, opt.init(params),
+        {"x": jnp.asarray(x[None]), "label": jnp.asarray(y[None]),
+         "valid": jnp.asarray(valid[None])},
+        jax.random.PRNGKey(0))
+    pB, _, _, lossB, _ = step(
+        params, {}, opt.init(params),
+        {"x": jnp.asarray(x.reshape(2, 4, 6)),
+         "label": jnp.asarray(y.reshape(2, 4)),
+         "valid": jnp.asarray(valid.reshape(2, 4))},   # 4 valid vs 3 valid
+        jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(lossA), float(lossB), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pA["backbone"]["w"]),
+                               np.asarray(pB["backbone"]["w"]), rtol=1e-5)
+
+
 def test_freezing_masks():
     apply, params = _toy_model()
     mask = head_only_mask(params)

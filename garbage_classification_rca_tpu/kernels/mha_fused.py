@@ -1,0 +1,203 @@
+"""Fused multi-head attention Pallas TPU kernel (flash-style: no [N, N]
+HBM materialization).
+
+Why: the XLA path for ViT-B/16 eval materializes the [B, H, 197, 197]
+score/weight tensors in HBM twice per layer (~120 MB of traffic per layer
+at bs=64) and pads the 197 lane dim to 256 inside both attention matmuls.
+Here one program holds a batch tile's Q/K/V in VMEM, computes scores,
+softmax (fp32) and the weighted sum without ever leaving the chip.
+
+Used by: ViT (models/image/vit.py), the text towers and the BLIP-2
+EVA/Q-Former/OPT stacks (masked + causal variants). Sequences in this
+framework are short (<=257 tokens), so a whole row of scores fits VMEM —
+no online-softmax tiling over keys is needed (that's the "flash" trade
+for N in the thousands; for N<=257 the single-pass softmax is exact and
+cheaper).
+
+Semantics (matches ops in the unfused paths):
+  out = softmax(Q K^T * scale + mask_bias) V   per head
+  * softmax in fp32 (max-subtracted), weights cast back to V's dtype for
+    the second matmul (bf16 MXU, fp32 accumulation);
+  * optional key-validity mask [B, N] (masked keys get -1e30 before
+    softmax — identical to the unfused masked_softmax);
+  * optional causal flag (decoder self-attention).
+
+Training: ``mha_trainable`` wraps the kernel in a custom VJP whose
+backward differentiates the equivalent XLA graph (recompute — residuals
+are just q/k/v, so the fused forward never stores weights).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _attend(q, k, v, scale, mask, causal):
+    """[T, N, H, Dh] q/k/v (+ mask [T, N] or None) -> [T, N, H*Dh].
+
+    Shared by the kernel body and the XLA oracle so forward/backward and
+    fused/unfused agree bit-for-bit in fp32.
+    """
+    t, n, h, dh = q.shape
+    # batched over (tile, head): contract Dh -> scores [T, H, N, N] fp32
+    s = jax.lax.dot_general(
+        q, k, (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = s + (mask.astype(jnp.float32) - 1.0)[:, None, None, :] * (-_NEG)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        s = jnp.where((col <= row)[None, None], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    # [T, H, N, N] @ [T, N, H, Dh] -> [T, H, N, Dh]
+    o = jax.lax.dot_general(
+        w, v, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32)
+    return jnp.swapaxes(o, 1, 2).reshape(t, n, h * dh)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, causal):
+    t, n, d = q_ref.shape
+    dh = d // heads
+    q = q_ref[:].reshape(t, n, heads, dh)
+    k = k_ref[:].reshape(t, n, heads, dh)
+    v = v_ref[:].reshape(t, n, heads, dh)
+    o_ref[:] = _attend(q, k, v, scale, None, causal).astype(o_ref.dtype)
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
+                   causal):
+    t, n, d = q_ref.shape
+    dh = d // heads
+    q = q_ref[:].reshape(t, n, heads, dh)
+    k = k_ref[:].reshape(t, n, heads, dh)
+    v = v_ref[:].reshape(t, n, heads, dh)
+    o_ref[:] = _attend(q, k, v, scale, m_ref[:], causal).astype(o_ref.dtype)
+
+
+def _pick_tile(b: int, n: int, heads: int) -> int:
+    """Largest batch tile whose fp32 scores stay well inside VMEM
+    (~16 MB/core; leave room for q/k/v/out + double buffering)."""
+    scores_bytes = heads * n * n * 4
+    tile = max(1, int(6 * 1024 * 1024) // max(scores_bytes, 1))
+    tile = min(tile, b, 64)
+    while b % tile:
+        tile -= 1
+    return max(tile, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "causal",
+                                             "tile", "interpret"))
+def mha(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
+        causal: bool = False, tile: int = 0, interpret=None):
+    """Fused attention. q/k/v: [B, N, D] with D = heads * head_dim;
+    mask: optional [B, N] key validity (1 = attendable). Returns [B, N, D].
+
+    interpret=None auto-selects: compiled on TPU, Pallas interpreter
+    elsewhere (CPU tests / fallback run the same code path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, d = q.shape
+    if d % heads:
+        raise ValueError(f"D={d} not divisible by heads={heads}")
+    if scale == 0.0:
+        scale = 1.0 / np.sqrt(d // heads)
+    t = tile if tile > 0 else _pick_tile(b, n, heads)
+    pad = (-b) % t
+    if pad:
+        zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        q, k, v = zp(q), zp(k), zp(v)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=1)
+    bt = q.shape[0]
+    grid = (bt // t,)
+    blk = pl.BlockSpec((t, n, d), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    args = [q, k, v]
+    in_specs = [blk, blk, blk]
+    if mask is not None:
+        kern = functools.partial(_kernel_masked, heads=heads,
+                                 scale=float(scale), causal=causal)
+        args.append(mask)
+        in_specs.append(pl.BlockSpec((t, n), lambda g: (g, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        kern = functools.partial(_kernel, heads=heads, scale=float(scale),
+                                 causal=causal)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:b] if pad else out
+
+
+def mha_reference(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
+                  causal: bool = False):
+    """Pure-XLA graph with identical math — the VJP/differentiation path
+    and the CPU fallback."""
+    b, n, d = q.shape
+    if scale == 0.0:
+        scale = 1.0 / np.sqrt(d // heads)
+    dh = d // heads
+    rs = lambda a: a.reshape(b, n, heads, dh)
+    return _attend(rs(q), rs(k), rs(v), float(scale), mask, causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mha_trainable(q, k, v, heads, scale, causal, mask):
+    return mha(q, k, v, heads=heads, scale=scale, mask=mask, causal=causal)
+
+
+def _mha_fwd(q, k, v, heads, scale, causal, mask):
+    out = mha(q, k, v, heads=heads, scale=scale, mask=mask, causal=causal)
+    return out, (q, k, v, mask)
+
+
+def _mha_bwd(heads, scale, causal, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, heads=heads,
+                                         scale=scale, mask=mask,
+                                         causal=causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_mha_trainable.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_trainable(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
+                  causal: bool = False):
+    """Differentiable fused attention: Pallas forward, XLA-recompute
+    backward (no stored attention weights)."""
+    return _mha_trainable(q, k, v, heads, float(scale), causal, mask)
+
+
+def fused_attention_enabled() -> bool:
+    """Use the kernel on TPU by default. GC_RCA_FUSED_ATTN=0 forces the
+    unfused XLA graph (parity escape hatch); =1 forces the kernel even on
+    CPU (interpreter — used by tests to exercise the fused model path)."""
+    import os
+
+    flag = os.environ.get("GC_RCA_FUSED_ATTN")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"

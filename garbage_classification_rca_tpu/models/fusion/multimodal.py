@@ -124,7 +124,8 @@ def _distil_encode_hiddens(params, input_ids, attention_mask):
     bias = attention_bias(attention_mask)
     hiddens = [h]
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, distil_mod.HEADS, distil_mod.LN_EPS)
+        h = postnorm_layer(lp, h, bias, distil_mod.HEADS, distil_mod.LN_EPS,
+                           mask=attention_mask)
         hiddens.append(h)
     return h, hiddens
 

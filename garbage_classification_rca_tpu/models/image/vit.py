@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels import mha_fused
 from ...nn import core as nn
 from ..registry import ModelDef
 
@@ -82,15 +83,21 @@ def _encoder_layer(p, x, heads: int, eps: float):
     qkv = nn.linear(p["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = d // heads
-    q = q.reshape(b, n, heads, hd)
-    k = k.reshape(b, n, heads, hd)
-    v = v.reshape(b, n, heads, hd)
-    # softmax runs in the compute dtype: bf16 eval gains ~8% (measured
-    # 57.4 -> 53.2 ms/batch on v5e — the [B,12,197,197] tensor halves);
-    # --compute_dtype=float32 restores exact fp32 softmax for parity audits
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * x.dtype.type(1 / np.sqrt(hd))
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+    if mha_fused.fused_attention_enabled():
+        # fused Pallas attention: scores/weights never leave VMEM (the XLA
+        # path writes+reads [B,12,197,197] in HBM twice per layer); fp32
+        # softmax inside. GC_RCA_FUSED_ATTN=0 restores the unfused graph.
+        att = mha_fused.mha_trainable(q, k, v, heads=heads)
+    else:
+        q = q.reshape(b, n, heads, hd)
+        k = k.reshape(b, n, heads, hd)
+        v = v.reshape(b, n, heads, hd)
+        # softmax runs in the compute dtype: bf16 eval gains ~8% (measured
+        # 57.4 -> 53.2 ms/batch on v5e — the [B,12,197,197] tensor halves);
+        # --compute_dtype=float32 restores exact fp32 softmax for audits
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * x.dtype.type(1 / np.sqrt(hd))
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln_2"], x, eps=eps)
     h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))

@@ -58,7 +58,7 @@ def encode(params, input_ids, attention_mask, *, output_hidden_states=False):
     bias = attention_bias(attention_mask)
     hiddens = [h]
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS)
+        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask)
         hiddens.append(h)
     if output_hidden_states:
         return h, hiddens

@@ -55,7 +55,7 @@ def encode(params, input_ids, attention_mask):
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
     bias = attention_bias(attention_mask)
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS)
+        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask)
     return h
 
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels import mha_fused
 from ...nn import core as nn
 
 
@@ -28,8 +29,15 @@ def attention_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
             * jnp.finfo(jnp.float32).min)[:, None, None, :]
 
 
-def multi_head_attention(q, k, v, bias, heads: int):
-    """[B, L, D] x3 + additive bias -> [B, L, D]; fp32 softmax."""
+def multi_head_attention(q, k, v, bias, heads: int, mask=None):
+    """[B, L, D] x3 + additive bias -> [B, L, D]; fp32 softmax.
+
+    When the raw [B, L] key mask is also given, TPU runs the fused Pallas
+    kernel (kernels/mha_fused.py — scores never hit HBM); `bias` is the
+    fallback for the unfused graph and is DCE'd in the fused branch."""
+    if mask is not None and mha_fused.fused_attention_enabled() \
+            and q.shape == k.shape:
+        return mha_fused.mha_trainable(q, k, v, heads=heads, mask=mask)
     b, l, d = q.shape
     hd = d // heads
     q = q.reshape(b, l, heads, hd)
@@ -44,12 +52,12 @@ def multi_head_attention(q, k, v, bias, heads: int):
 
 
 def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
-                   ln_eps: float, act=nn.gelu) -> jnp.ndarray:
+                   ln_eps: float, act=nn.gelu, mask=None) -> jnp.ndarray:
     """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm."""
     q = nn.linear(p["q"], x)
     k = nn.linear(p["k"], x)
     v = nn.linear(p["v"], x)
-    att = multi_head_attention(q, k, v, bias, heads)
+    att = multi_head_attention(q, k, v, bias, heads, mask=mask)
     x = nn.layernorm(p["ln_att"], x + nn.linear(p["out"], att), eps=ln_eps)
     h = nn.linear(p["fc2"], act(nn.linear(p["fc1"], x)))
     return nn.layernorm(p["ln_ffn"], x + h, eps=ln_eps)

@@ -96,17 +96,24 @@ def qformer_cls_feature(params, pixel_values, cfg: Blip2Config):
     return query_features(params, pixel_values, cfg)[:, 0]
 
 
-def forward_lm(params, pixel_values, input_ids, attention_mask,
+def _lm_hidden(params, pixel_values, input_ids, attention_mask,
                cfg: Blip2Config, lora=None):
-    """-> logits [B, 32 + L, vocab] over the combined sequence."""
+    """-> OPT final hidden [B, 32 + L, H] over the combined sequence."""
     q = query_features(params, pixel_values, cfg)
     q_emb = nn.linear(params["projection"], q)            # [B, 32, 2560]
     t_emb = opt_mod.embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
     embeds = jnp.concatenate([q_emb, t_emb], axis=1)
     q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
     mask = jnp.concatenate([q_mask, attention_mask], axis=1)
-    return opt_mod.decode(params["opt"], embeds, mask, cfg.opt, lora=lora,
-                          lora_scale=cfg.lora_scale)
+    return opt_mod.decode_hidden(params["opt"], embeds, mask, cfg.opt,
+                                 lora=lora, lora_scale=cfg.lora_scale)
+
+
+def forward_lm(params, pixel_values, input_ids, attention_mask,
+               cfg: Blip2Config, lora=None):
+    """-> logits [B, 32 + L, vocab] over the combined sequence."""
+    return opt_mod.lm_head(params["opt"], _lm_hidden(
+        params, pixel_values, input_ids, attention_mask, cfg, lora))
 
 
 def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
@@ -134,11 +141,14 @@ def next_token_logits(params, pixel_values, input_ids, attention_mask,
     The prompt is right-padded; the next-token position is the last
     non-pad index per row.
     """
-    logits = forward_lm(params, pixel_values, input_ids, attention_mask,
-                        cfg, lora)
+    h = _lm_hidden(params, pixel_values, input_ids, attention_mask, cfg,
+                   lora)
     n_query = cfg.qformer.n_query
     last = n_query + jnp.sum(attention_mask.astype(jnp.int32), axis=1) - 1
-    return logits[jnp.arange(logits.shape[0]), last]
+    # gather the answer position BEFORE the 50k-vocab projection: the full
+    # [B, 133, 50272] logits are 16x the needed FLOPs and ~100 MB of HBM
+    h_last = h[jnp.arange(h.shape[0]), last]              # [B, H]
+    return opt_mod.lm_head(params["opt"], h_last)
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels import mha_fused
 from ...nn import core as nn
 from ..text.encoder_common import lin, ln_
 
@@ -60,12 +61,18 @@ def init(key, cfg: VisionConfig, dtype=jnp.float32):
 def _layer(p, x, heads, eps):
     b, n, d = x.shape
     h = nn.layernorm(p["ln1"], x, eps=eps)
-    qkv = nn.linear(p["qkv"], h).reshape(b, n, 3, heads, d // heads)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) / np.sqrt(d // heads)
-    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+    qkv = nn.linear(p["qkv"], h)
+    if mha_fused.fused_attention_enabled():
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        att = mha_fused.mha_trainable(q, k, v, heads=heads)
+    else:
+        qkv = qkv.reshape(b, n, 3, heads, d // heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k,
+            preferred_element_type=jnp.float32) / np.sqrt(d // heads)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["proj"], att)
     h = nn.layernorm(p["ln2"], x, eps=eps)
     return x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...kernels import mha_fused
 from ...nn import core as nn
 from ..text.encoder_common import lin, ln_
 
@@ -67,28 +68,34 @@ def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0):
     return base_out + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * lora_scale
 
 
-def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
+def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
+           mask=None):
     b_, n, d = x.shape
     hd = d // cfg.heads
     h = nn.layernorm(p["ln1"], x, eps=cfg.ln_eps)
     q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
     k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
     v = nn.linear(p["v"], h)
-    q = q.reshape(b_, n, cfg.heads, hd)
-    k = k.reshape(b_, n, cfg.heads, hd)
-    v = v.reshape(b_, n, cfg.heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) / np.sqrt(hd)
-    w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
-    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b_, n, d)
+    if mask is not None and mha_fused.fused_attention_enabled():
+        att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
+                                      causal=True)
+    else:
+        q = q.reshape(b_, n, cfg.heads, hd)
+        k = k.reshape(b_, n, cfg.heads, hd)
+        v = v.reshape(b_, n, cfg.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b_, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln2"], x, eps=cfg.ln_eps)
     return x + nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
 
 
-def decode(params, inputs_embeds, attention_mask, cfg: OPTConfig,
-           lora=None, lora_scale=1.0):
-    """inputs_embeds [B, L, H] + mask [B, L] -> logits [B, L, vocab]."""
+def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
+                  lora=None, lora_scale=1.0):
+    """inputs_embeds [B, L, H] + mask [B, L] -> final hidden [B, L, H]
+    (post final_layer_norm; project with ``lm_head`` for logits)."""
     mask = attention_mask.astype(jnp.int32)
     positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
     positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
@@ -100,10 +107,22 @@ def decode(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        h = _layer(lp, h, bias, cfg, layer_lora, lora_scale)
-    h = nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
-    logits = h @ params["embed_tokens"]["w"].astype(h.dtype).T
-    return logits
+        h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask)
+    return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
+
+
+def lm_head(params, h):
+    """Hidden -> vocab logits (tied input embeddings, HF OPT semantics).
+    Accepts [B, L, H] or gathered [B, H]."""
+    return h @ params["embed_tokens"]["w"].astype(h.dtype).T
+
+
+def decode(params, inputs_embeds, attention_mask, cfg: OPTConfig,
+           lora=None, lora_scale=1.0):
+    """inputs_embeds [B, L, H] + mask [B, L] -> logits [B, L, vocab]."""
+    return lm_head(params, decode_hidden(params, inputs_embeds,
+                                         attention_mask, cfg, lora,
+                                         lora_scale))
 
 
 def embed_tokens(params, input_ids):

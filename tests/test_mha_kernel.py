@@ -1,0 +1,186 @@
+"""Fused MHA Pallas kernel vs an independent einsum oracle (+ VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.kernels.mha_fused import (
+    mha, mha_reference, mha_trainable)
+
+RNG = np.random.default_rng(3)
+
+
+def _oracle(q, k, v, heads, mask=None, causal=False):
+    """Independent einsum implementation (numpy-ish, fp32 softmax)."""
+    b, n, d = q.shape
+    dh = d // heads
+    qs = q.reshape(b, n, heads, dh).astype(np.float32)
+    ks = k.reshape(b, n, heads, dh).astype(np.float32)
+    vs = v.reshape(b, n, heads, dh).astype(np.float32)
+    s = np.einsum("bnhd,bmhd->bhnm", qs, ks) / np.sqrt(dh)
+    if mask is not None:
+        s = np.where(mask[:, None, None, :] > 0, s, -1e30)
+    if causal:
+        tri = np.tril(np.ones((n, n), bool))
+        s = np.where(tri[None, None], s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    e = np.exp(s)
+    w = e / e.sum(-1, keepdims=True)
+    o = np.einsum("bhnm,bmhd->bnhd", w, vs)
+    return o.reshape(b, n, d)
+
+
+@pytest.mark.parametrize("b,n,heads,dh", [
+    (3, 197, 12, 64),    # ViT-B16 geometry
+    (2, 64, 12, 64),     # text-tower bucket
+    (1, 257, 16, 88),    # EVA ViT-g geometry (non-128 head dim)
+])
+def test_mha_matches_oracle(b, n, heads, dh):
+    d = heads * dh
+    q = RNG.normal(size=(b, n, d)).astype(np.float32)
+    k = RNG.normal(size=(b, n, d)).astype(np.float32)
+    v = RNG.normal(size=(b, n, d)).astype(np.float32)
+    got = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         heads=heads))
+    want = _oracle(q, k, v, heads)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    ref = np.asarray(mha_reference(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), heads=heads))
+    np.testing.assert_allclose(ref, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mha_key_mask():
+    b, n, heads, dh = 2, 33, 4, 16
+    d = heads * dh
+    q = RNG.normal(size=(b, n, d)).astype(np.float32)
+    k = RNG.normal(size=(b, n, d)).astype(np.float32)
+    v = RNG.normal(size=(b, n, d)).astype(np.float32)
+    mask = np.ones((b, n), np.int32)
+    mask[0, 20:] = 0
+    mask[1, 5:] = 0
+    got = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         heads=heads, mask=jnp.asarray(mask)))
+    want = _oracle(q, k, v, heads, mask=mask)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mha_causal():
+    b, n, heads, dh = 2, 40, 4, 16
+    d = heads * dh
+    q = RNG.normal(size=(b, n, d)).astype(np.float32)
+    k = RNG.normal(size=(b, n, d)).astype(np.float32)
+    v = RNG.normal(size=(b, n, d)).astype(np.float32)
+    mask = np.ones((b, n), np.int32)
+    mask[1, 30:] = 0
+    got = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         heads=heads, mask=jnp.asarray(mask), causal=True))
+    want = _oracle(q, k, v, heads, mask=mask, causal=True)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mha_batch_tile_padding():
+    """b=5 with tile=2 forces a padded tail program."""
+    b, n, heads, dh = 5, 17, 2, 8
+    d = heads * dh
+    q = RNG.normal(size=(b, n, d)).astype(np.float32)
+    k = RNG.normal(size=(b, n, d)).astype(np.float32)
+    v = RNG.normal(size=(b, n, d)).astype(np.float32)
+    got = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         heads=heads, tile=2))
+    np.testing.assert_allclose(got, _oracle(q, k, v, heads),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mha_bf16_close_to_fp32():
+    b, n, heads, dh = 2, 197, 12, 64
+    d = heads * dh
+    q = RNG.normal(size=(b, n, d)).astype(np.float32)
+    k = RNG.normal(size=(b, n, d)).astype(np.float32)
+    v = RNG.normal(size=(b, n, d)).astype(np.float32)
+    got = np.asarray(mha(jnp.asarray(q, jnp.bfloat16),
+                         jnp.asarray(k, jnp.bfloat16),
+                         jnp.asarray(v, jnp.bfloat16),
+                         heads=heads)).astype(np.float32)
+    want = _oracle(q, k, v, heads)
+    # bf16 inputs: ~2-3 decimal digits
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_vit_fused_path_matches_unfused(monkeypatch):
+    """The ViT forward with the fused kernel (forced on via
+    GC_RCA_FUSED_ATTN=1, interpreter on CPU) must match the unfused
+    graph."""
+    from garbage_classification_rca_tpu.models.image import vit
+
+    cfg = vit.ViTConfig(image_size=32, patch_size=16, layers=2, heads=4,
+                        hidden=64, mlp=128)
+    params, state = vit.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+    want, _ = vit.apply(params, state, x, cfg=cfg)
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+    got, _ = vit.apply(params, state, x, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_distilbert_fused_path_matches_unfused(monkeypatch):
+    """Masked encoder attention through the kernel == additive-bias graph."""
+    from garbage_classification_rca_tpu.models.text import distilbert
+
+    params, _ = distilbert.init(jax.random.PRNGKey(1))
+    ids = jnp.asarray(RNG.integers(5, 1000, (2, 16)).astype(np.int32))
+    mask = np.ones((2, 16), np.int32)
+    mask[0, 10:] = 0
+    mask = jnp.asarray(mask)
+
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+    want = distilbert.encode(params["encoder"], ids, mask)
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+    got = distilbert.encode(params["encoder"], ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_opt_fused_causal_path_matches_unfused(monkeypatch):
+    from garbage_classification_rca_tpu.models.vlm import opt
+
+    cfg = opt.OPTConfig(layers=2, hidden=64, heads=4, ffn=128, vocab=100)
+    params = opt.init(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(RNG.integers(4, 90, (2, 12)).astype(np.int32))
+    mask = np.ones((2, 12), np.int32)
+    mask[1, 8:] = 0
+    mask = jnp.asarray(mask)
+    emb = opt.embed_tokens(params, ids)
+
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+    want = opt.decode(params, emb, mask, cfg)
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+    got = opt.decode(params, emb, mask, cfg)
+    # compare only valid positions (padded-query rows are unused garbage)
+    vm = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(np.asarray(got) * vm, np.asarray(want) * vm,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mha_trainable_grads_match_reference():
+    b, n, heads, dh = 2, 19, 2, 8
+    d = heads * dh
+    q = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    tgt = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum((mha_trainable(q, k, v, heads=heads) - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((mha_reference(q, k, v, heads=heads) - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

@@ -44,3 +44,79 @@ def numpy_state_dict(torch_module) -> Dict[str, np.ndarray]:
     """state_dict of a live torch module -> numpy dict (test helper)."""
     return {k: v.detach().cpu().numpy()
             for k, v in torch_module.state_dict().items()}
+
+
+class TrackingDict(dict):
+    """State-dict wrapper that records which keys a converter consumed.
+
+    ``audit()`` reports leftovers so tests can assert a converter reads
+    EVERY checkpoint tensor (a silently-ignored key usually means a
+    misremembered layout — the failure mode behind round-1's converter-
+    fidelity risk). ``num_batches_tracked`` counters are bookkeeping with
+    no numerical content and are pre-excused."""
+
+    IGNORABLE = ("num_batches_tracked",)
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        super().__init__(sd)
+        self.accessed: set = set()
+        self._parent = None
+        self._prefix = ""
+
+    def _mark(self, k):
+        self.accessed.add(k)
+        if self._parent is not None:
+            km = getattr(self, "_keymap", None)
+            self._parent._mark(km[k] if km is not None
+                               else self._prefix + k)
+
+    def __getitem__(self, k):
+        self._mark(k)
+        return super().__getitem__(k)
+
+    def child(self, prefix: str, mapping: Dict[str, np.ndarray]
+              ) -> "TrackingDict":
+        """Prefix-stripped view whose reads also mark this dict
+        (keeps tracking alive through ``strip_prefix``)."""
+        c = TrackingDict(mapping)
+        c._parent = self
+        c._prefix = prefix
+        return c
+
+    def view(self, keymap: Dict[str, str]) -> "TrackingDict":
+        """Arbitrary renamed view: {new_key: original_key}. Reads of the
+        view mark the original keys (for converters that restructure key
+        names, e.g. the fusion image-tower remap)."""
+        c = TrackingDict({nk: dict.__getitem__(self, ok)
+                          for nk, ok in keymap.items()})
+        c._parent = self
+        c._keymap = keymap
+        return c
+
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            return self[k]
+        return default
+
+    def unconsumed(self) -> list:
+        return sorted(k for k in self
+                      if k not in self.accessed
+                      and not k.endswith(self.IGNORABLE))
+
+    def audit(self, allow_unconsumed=()) -> None:
+        """Raise if any non-ignorable key was never read."""
+        left = [k for k in self.unconsumed()
+                if not any(k.startswith(p) for p in allow_unconsumed)]
+        if left:
+            raise ValueError(
+                f"converter left {len(left)} checkpoint keys unconsumed "
+                f"(first 8: {left[:8]})")
+
+
+def subdict(sd, prefix: str):
+    """Prefix-stripped sub-dict; tracking-aware when sd is a TrackingDict."""
+    out = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if hasattr(sd, "child"):
+        return sd.child(prefix, out)
+    return out

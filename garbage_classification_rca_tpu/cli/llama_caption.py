@@ -24,9 +24,18 @@ import sys
 
 from ..data.manifest import build_manifest
 
-# reference llama_caption.py:25
-PROMPT = ("Describe the object in this image in one short sentence, "
-          "focusing on what the object is.")
+# reference llama_caption.py:25, verbatim
+PROMPT = "can you please describe this image in just one sentence?"
+
+
+def ensure_quoted(s: str) -> str:
+    """reference llama_caption.py ensure_quoted, verbatim behavior."""
+    s = s.strip()
+    if not s.startswith('"'):
+        s = '"' + s
+    if not s.endswith('"'):
+        s = s + '"'
+    return s
 
 
 def filename_captioner(sample) -> str:
@@ -34,26 +43,44 @@ def filename_captioner(sample) -> str:
     return f"a photo of a {text}."
 
 
-def make_hf_captioner(model_path: str):
+def make_hf_captioner(model_path: str = None, *, model=None, processor=None):
+    """Reference Mllama caption loop (llama_caption.py:95-146): chat
+    template with an image slot + the verbatim PROMPT, generate up to 200
+    new tokens, strip the prompt preamble, ensure_quoted.
+
+    One documented divergence: the reference slices a magic
+    ``description[72:]`` (the rendered Llama-3.2 preamble length,
+    llama_caption.py:138); we strip by the actual tokenized prompt length,
+    which is the same cut computed robustly.
+
+    model/processor may be passed directly (tests use tiny random-init
+    instances; production passes ``model_path`` to local Mllama weights)."""
     import torch
-    from transformers import AutoProcessor, AutoModelForImageTextToText
     from PIL import Image
 
-    processor = AutoProcessor.from_pretrained(model_path)
-    model = AutoModelForImageTextToText.from_pretrained(
-        model_path, torch_dtype=torch.bfloat16)
+    if model is None or processor is None:
+        from transformers import AutoProcessor, MllamaForConditionalGeneration
+
+        processor = AutoProcessor.from_pretrained(model_path)
+        model = MllamaForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.bfloat16)
+    model.eval()
+
+    messages = [{"role": "user", "content": [
+        {"type": "image"}, {"type": "text", "text": PROMPT}]}]
 
     def caption(sample):
         img = Image.open(sample.image_path).convert("RGB")
-        messages = [{"role": "user", "content": [
-            {"type": "image"}, {"type": "text", "text": PROMPT}]}]
-        text = processor.apply_chat_template(messages,
-                                             add_generation_prompt=True)
-        inputs = processor(img, text, return_tensors="pt")
-        out = model.generate(**inputs, max_new_tokens=40)
-        decoded = processor.decode(out[0][inputs["input_ids"].shape[1]:],
+        input_text = processor.apply_chat_template(
+            messages, add_generation_prompt=True)
+        inputs = processor(img, input_text, add_special_tokens=False,
+                           return_tensors="pt")
+        with torch.no_grad():
+            out = model.generate(**inputs, max_new_tokens=200)
+        n_prompt = inputs["input_ids"].shape[1]
+        decoded = processor.decode(out[0][n_prompt:],
                                    skip_special_tokens=True)
-        return decoded.strip()
+        return ensure_quoted(decoded)
 
     return caption
 

@@ -84,7 +84,14 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)
 
-    if args.model_path and os.path.isdir(args.model_path):
+    from ..train.engine import ResumePlan, maybe_load_resume
+    plan = ResumePlan(maybe_load_resume(args.model_path))
+    if plan.resume is not None:
+        params, state = plan.resume["params"], plan.resume["state"]
+        print(f"Full-resume from {args.model_path} "
+              f"(phase={plan.resume['meta']['phase_name']} "
+              f"epoch={plan.resume['meta']['epoch']})")
+    elif args.model_path and os.path.isdir(args.model_path):
         from ..train.engine import load_orbax
         params, state = load_orbax(args.model_path)
         print(f"Resumed weights from {args.model_path}")
@@ -155,21 +162,31 @@ def main(argv=None):
     logger = MetricsLogger(args.name or f"both_{model_name}",
                            use_wandb=args.wandb, config=vars(args))
 
-    opt, step = make_step(fusion_head_mask(params), args.lr)
-    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-    params, state, opt_state, best = run_phase(
-        phase_name="train", epochs=args.epochs, params=params, state=state,
-        opt=opt, opt_state=opt_state, train_step=step, eval_fn=eval_fn,
-        batcher=train_batcher, batch_size=args.batch_size,
-        acc_steps=args.acc_steps, args=args, mesh=mesh,
-        model_name=model_name, logger=logger,
-        balanced_sampler=args.balanced_sampler, extra_evals=extra_evals)
+    best = None
+    if plan.skip_phase1:
+        best = plan.initial_best()
+        print("Resume targets fine_tune phase; skipping phase 1")
+    else:
+        opt, step = make_step(fusion_head_mask(params), args.lr)
+        opt_state = shard_params(mesh, plan.opt_state(
+            "train", opt, params, opt.init(jax.device_get(params))))
+        params, state, opt_state, best = run_phase(
+            phase_name="train", epochs=args.epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn, batcher=train_batcher,
+            batch_size=args.batch_size,
+            acc_steps=args.acc_steps, args=args, mesh=mesh,
+            model_name=model_name, logger=logger,
+            balanced_sampler=args.balanced_sampler, extra_evals=extra_evals,
+            save_resume=True, resume=plan.for_phase("train"), keep_top_k=3)
 
     if args.ft_epochs > 0:
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
+        opt_state = shard_params(mesh, plan.opt_state(
+            "fine_tune", opt, params, jax.device_get(opt_state)))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -178,7 +195,8 @@ def main(argv=None):
             args=args, mesh=mesh, model_name=model_name, logger=logger,
             scheduler=sched, best=best,
             balanced_sampler=args.balanced_sampler, extra_evals=extra_evals,
-            fine_tuning=True)
+            fine_tuning=True, save_resume=True,
+            resume=plan.for_phase("fine_tune"), keep_top_k=3)
 
     train_batcher.close()
     val_batcher.close()

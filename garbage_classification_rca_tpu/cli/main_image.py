@@ -85,9 +85,17 @@ def main(argv=None):
         norm_stats = (mean.astype("float32"), std.astype("float32"))
         print(f"Mean Train Dataset: {mean}, STD Train Dataset: {std}")
 
-    if args.model_path and os.path.isdir(args.model_path):
-        # resume / warm-start from one of our orbax checkpoints (the
-        # reference has no resume path — SURVEY §5 gap-fill)
+    from ..train.engine import maybe_load_resume
+    resume = maybe_load_resume(args.model_path)
+    if resume is not None:
+        # FULL resume: params + opt_state + scheduler + epoch + RNG
+        params, state = resume["params"], resume["state"]
+        print(f"Full-resume from {args.model_path} "
+              f"(phase={resume['meta']['phase_name']} "
+              f"epoch={resume['meta']['epoch']})")
+    elif args.model_path and os.path.isdir(args.model_path):
+        # warm-start from one of our orbax BEST checkpoints (params only;
+        # the reference has no resume path — SURVEY §5 gap-fill)
         from ..train.engine import load_orbax
         params, state = load_orbax(args.model_path)
         print(f"Resumed weights from {args.model_path}")
@@ -134,18 +142,41 @@ def main(argv=None):
     logger = MetricsLogger(args.name or f"image_{args.image_model}",
                            use_wandb=args.wandb, config=vars(args))
 
+    from ..train.engine import PhaseResult, restore_opt_state
+
+    def phase_resume(phase_name):
+        """resume payload + restored opt_state when it targets this phase."""
+        if resume is not None and \
+                resume["meta"]["phase_name"] == phase_name:
+            return resume
+        return None
+
     # phase 1 — frozen backbone iff --tl (models.py:18-24)
-    mask = head_only_mask(params, head_keys_for(args.image_model)) if args.tl \
-        else all_trainable_mask(params)
-    opt, step = make_step(mask, args.lr, args.acc_steps)
-    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-    params, state, opt_state, best = run_phase(
-        phase_name="train", epochs=args.epochs, params=params, state=state,
-        opt=opt, opt_state=opt_state, train_step=step,
-        eval_fn=eval_fn_factory(spec.eval_batch), batcher=train_batcher,
-        batch_size=batch_size, acc_steps=args.acc_steps, args=args, mesh=mesh,
-        model_name=args.image_model, logger=logger,
-        balanced_sampler=args.balanced_sampler)
+    best = None
+    skip_phase1 = (resume is not None
+                   and resume["meta"]["phase_name"] == "fine_tune")
+    if skip_phase1:
+        best = PhaseResult(float(resume["meta"]["best_val_acc"]),
+                           int(resume["meta"]["best_epoch"]),
+                           resume["meta"]["best_path"] or None)
+        print("Resume targets fine_tune phase; skipping phase 1")
+    else:
+        mask = head_only_mask(params, head_keys_for(args.image_model)) \
+            if args.tl else all_trainable_mask(params)
+        opt, step = make_step(mask, args.lr, args.acc_steps)
+        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        r1 = phase_resume("train")
+        if r1 is not None:
+            opt_state = shard_params(mesh, restore_opt_state(
+                opt, jax.device_get(params), r1["opt_state"]))
+        params, state, opt_state, best = run_phase(
+            phase_name="train", epochs=args.epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn_factory(spec.eval_batch), batcher=train_batcher,
+            batch_size=batch_size, acc_steps=args.acc_steps, args=args,
+            mesh=mesh, model_name=args.image_model, logger=logger,
+            balanced_sampler=args.balanced_sampler,
+            save_resume=True, resume=r1, keep_top_k=3)
 
     # phase 2 — unfreeze all at lr/fraction_lr with plateau scheduling
     if args.ft_epochs > 0:
@@ -154,6 +185,10 @@ def main(argv=None):
                               args.acc_steps_FT)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.2)
+        r2 = phase_resume("fine_tune")
+        if r2 is not None:
+            opt_state = shard_params(mesh, restore_opt_state(
+                opt, jax.device_get(params), r2["opt_state"]))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -161,7 +196,7 @@ def main(argv=None):
             batch_size=ft_batch, acc_steps=args.acc_steps_FT, args=args,
             mesh=mesh, model_name=args.image_model, logger=logger,
             scheduler=sched, best=best, balanced_sampler=args.balanced_sampler,
-            fine_tuning=True)
+            fine_tuning=True, save_resume=True, resume=r2, keep_top_k=3)
 
     train_batcher.close()
     val_batcher.close()

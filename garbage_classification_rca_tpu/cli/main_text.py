@@ -13,6 +13,8 @@ weights are local, reference synonymizer/synonymizer.py:8-126).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,7 +92,20 @@ def main(argv=None):
     class_weights = train_manifest.class_weights() if args.balance_weights else None
 
     tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
-    syn = Synonymizer(seed=args.seed) if args.use_synonyms else None
+    syn = None
+    if args.use_synonyms:
+        # production LLM backend when local weights are provided
+        # (reference runs Llama-3.1-8B-Instruct, synonymizer.py:15)
+        llm_path = os.environ.get("GC_RCA_LLM_PATH")
+        if llm_path:
+            from ..data.synonymize import make_hf_llm_fn
+            syn = Synonymizer(seed=args.seed,
+                              llm_fn=make_hf_llm_fn(llm_path))
+            print(f"Synonymizer: HF LLM backend from {llm_path}")
+        else:
+            syn = Synonymizer(seed=args.seed)
+            print("Synonymizer: rule-table backend (set GC_RCA_LLM_PATH "
+                  "to local Llama weights for the reference LLM backend)")
     train_batcher = SynonymBatcher(
         train_manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_train is not None,
@@ -101,8 +116,16 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers, with_images=False)
 
-    params, state = mdef.init(jax.random.PRNGKey(args.seed),
-                              num_classes=NUM_CLASSES)
+    from ..train.engine import ResumePlan, maybe_load_resume
+    plan = ResumePlan(maybe_load_resume(args.model_path))
+    if plan.resume is not None:
+        params, state = plan.resume["params"], plan.resume["state"]
+        print(f"Full-resume from {args.model_path} "
+              f"(phase={plan.resume['meta']['phase_name']} "
+              f"epoch={plan.resume['meta']['epoch']})")
+    else:
+        params, state = mdef.init(jax.random.PRNGKey(args.seed),
+                                  num_classes=NUM_CLASSES)
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)
 
@@ -134,24 +157,34 @@ def main(argv=None):
     logger = MetricsLogger(args.name or f"text_{args.text_model}",
                            use_wandb=args.wandb, config=vars(args))
 
-    mask = head_only_mask(params, head_keys_for(args.text_model)) if args.tl \
-        else all_trainable_mask(params)
-    opt, step = make_step(mask, args.lr)
-    opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-    params, state, opt_state, best = run_phase(
-        phase_name="train", epochs=args.epochs, params=params, state=state,
-        opt=opt, opt_state=opt_state, train_step=step, eval_fn=eval_fn,
-        batcher=train_batcher, batch_size=args.batch_size,
-        acc_steps=args.acc_steps, args=args, mesh=mesh,
-        model_name=args.text_model, logger=logger,
-        balanced_sampler=args.balanced_sampler,
-        keys=("input_ids", "attention_mask", "label", "valid"))
+    best = None
+    if plan.skip_phase1:
+        best = plan.initial_best()
+        print("Resume targets fine_tune phase; skipping phase 1")
+    else:
+        mask = head_only_mask(params, head_keys_for(args.text_model)) \
+            if args.tl else all_trainable_mask(params)
+        opt, step = make_step(mask, args.lr)
+        opt_state = shard_params(mesh, plan.opt_state(
+            "train", opt, params, opt.init(jax.device_get(params))))
+        params, state, opt_state, best = run_phase(
+            phase_name="train", epochs=args.epochs, params=params,
+            state=state, opt=opt, opt_state=opt_state, train_step=step,
+            eval_fn=eval_fn, batcher=train_batcher,
+            batch_size=args.batch_size,
+            acc_steps=args.acc_steps, args=args, mesh=mesh,
+            model_name=args.text_model, logger=logger,
+            balanced_sampler=args.balanced_sampler,
+            keys=("input_ids", "attention_mask", "label", "valid"),
+            save_resume=True, resume=plan.for_phase("train"), keep_top_k=3)
 
     if args.ft_epochs > 0:
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
+        opt_state = shard_params(mesh, plan.opt_state(
+            "fine_tune", opt, params, jax.device_get(opt_state)))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -160,7 +193,9 @@ def main(argv=None):
             args=args, mesh=mesh, model_name=args.text_model, logger=logger,
             scheduler=sched, best=best,
             balanced_sampler=args.balanced_sampler, fine_tuning=True,
-            keys=("input_ids", "attention_mask", "label", "valid"))
+            keys=("input_ids", "attention_mask", "label", "valid"),
+            save_resume=True, resume=plan.for_phase("fine_tune"),
+            keep_top_k=3)
 
     train_batcher.close()
     val_batcher.close()

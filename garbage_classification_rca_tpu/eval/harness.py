@@ -89,10 +89,18 @@ def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
     labels = np.concatenate(all_labels)
     preds = np.concatenate(all_preds)
     acc = 100.0 * correct / n_total
+    # Honest timing split: per-step wall here includes the host readback
+    # of predictions (np.asarray), which over a remote/tunneled device can
+    # dominate; pipeline_samples_per_s is the end-to-end number (what a
+    # user sees), device-only throughput comes from bench.py's scan-based
+    # measurement. Do NOT compare p50_step_s to bench.py batch latency.
     stats = {
         "wall_s": wall,
+        "pipeline_samples_per_s": n_total / wall if wall > 0 else 0.0,
+        # kept for backward compat; identical to pipeline_samples_per_s
         "samples_per_s": n_total / wall if wall > 0 else 0.0,
         "p50_step_s": float(np.percentile(step_times, 50)) if step_times else 0.0,
+        "p50_includes_host_readback": True,
         "n": n_total,
     }
     return acc, labels, preds, stats

@@ -40,50 +40,58 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _attend(q, k, v, scale, mask, causal):
-    """[T, N, H, Dh] q/k/v (+ mask [T, N] or None) -> [T, N, H*Dh].
-
-    Shared by the kernel body and the XLA oracle so forward/backward and
-    fused/unfused agree bit-for-bit in fp32.
-    """
-    t, n, h, dh = q.shape
-    # batched over (tile, head): contract Dh -> scores [T, H, N, N] fp32
+def _head_attend(qh, kh, vh, scale, mask_bias, causal_bias):
+    """One head's attention over a batch tile: [T, N, Dh] x3 -> [T, N, Dh].
+    Single batch dim (Mosaic's tpu.matmul supports at most one)."""
     s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 2), (0, 2))),
-        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        s = s + (mask.astype(jnp.float32) - 1.0)[:, None, None, :] * (-_NEG)
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        s = jnp.where((col <= row)[None, None], s, _NEG)
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale        # [T, N, N]
+    if mask_bias is not None:
+        s = s + mask_bias
+    if causal_bias is not None:
+        s = s + causal_bias
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-    # [T, H, N, N] @ [T, N, H, Dh] -> [T, H, N, Dh]
-    o = jax.lax.dot_general(
-        w, v, (((3,), (1,)), ((0, 1), (0, 2))),
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vh.dtype)
+    return jax.lax.dot_general(
+        w, vh, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    return jnp.swapaxes(o, 1, 2).reshape(t, n, h * dh)
+
+
+def _causal_bias(n):
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(col <= row, 0.0, _NEG)[None]          # [1, N, N]
+
+
+def _kernel_body(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
+                 causal):
+    """Heads unrolled as static lane slices of the [T, N, D] blocks — no
+    vector reshapes/transposes (Mosaic can't split the lane dim)."""
+    t, n, d = q_ref.shape
+    dh = d // heads
+    mask_bias = None
+    if m_ref is not None:
+        # m_ref is [T, 1, N] (the singleton keeps the block spec's trailing
+        # dims equal to the array dims — Mosaic's tiling requirement)
+        mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)
+    cb = _causal_bias(n) if causal else None
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        oh = _head_attend(q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl],
+                          scale, mask_bias, cb)
+        o_ref[:, :, sl] = oh.astype(o_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads, scale, causal):
-    t, n, d = q_ref.shape
-    dh = d // heads
-    q = q_ref[:].reshape(t, n, heads, dh)
-    k = k_ref[:].reshape(t, n, heads, dh)
-    v = v_ref[:].reshape(t, n, heads, dh)
-    o_ref[:] = _attend(q, k, v, scale, None, causal).astype(o_ref.dtype)
+    _kernel_body(q_ref, k_ref, v_ref, None, o_ref, heads=heads, scale=scale,
+                 causal=causal)
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
                    causal):
-    t, n, d = q_ref.shape
-    dh = d // heads
-    q = q_ref[:].reshape(t, n, heads, dh)
-    k = k_ref[:].reshape(t, n, heads, dh)
-    v = v_ref[:].reshape(t, n, heads, dh)
-    o_ref[:] = _attend(q, k, v, scale, m_ref[:], causal).astype(o_ref.dtype)
+    _kernel_body(q_ref, k_ref, v_ref, m_ref, o_ref, heads=heads,
+                 scale=scale, causal=causal)
 
 
 def _pick_tile(b: int, n: int, heads: int) -> int:
@@ -130,8 +138,8 @@ def mha(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
     if mask is not None:
         kern = functools.partial(_kernel_masked, heads=heads,
                                  scale=float(scale), causal=causal)
-        args.append(mask)
-        in_specs.append(pl.BlockSpec((t, n), lambda g: (g, 0),
+        args.append(mask.reshape(bt, 1, n))
+        in_specs.append(pl.BlockSpec((t, 1, n), lambda g: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
     else:
         kern = functools.partial(_kernel, heads=heads, scale=float(scale),
@@ -156,7 +164,21 @@ def mha_reference(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
         scale = 1.0 / np.sqrt(d // heads)
     dh = d // heads
     rs = lambda a: a.reshape(b, n, heads, dh)
-    return _attend(rs(q), rs(k), rs(v), float(scale), mask, causal)
+    s = jnp.einsum("bnhd,bmhd->bhnm", rs(q), rs(k),
+                   preferred_element_type=jnp.float32) * float(scale)
+    if mask is not None:
+        s = s + ((mask.astype(jnp.float32) - 1.0)
+                 * (-_NEG))[:, None, None, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        s = jnp.where((col <= row)[None, None], s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", w, rs(v),
+                   preferred_element_type=jnp.float32)
+    return o.reshape(b, n, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -128,12 +128,12 @@ def _oracle(p, t, i, reverse: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def rca_fused_trainable(p, t, i, reverse: bool, interpret: bool = False):
-    """Differentiable fused RCA: Pallas forward, XLA-autodiff backward.
+    """Differentiable fused RCA: Pallas forward AND Pallas backward.
 
-    The backward recomputes the (cheap — ~25 MFLOP at B=64) block through
-    the pure-JAX graph and differentiates it; residuals are just the
-    inputs, so no extra HBM is held across the forward.
-    """
+    The backward kernel recomputes the whole block's intermediates in
+    VMEM and emits every gradient (2 input grads + 32 weight grads) in one
+    pass — residuals are just the inputs, so the fused forward stores no
+    attention weights (VERDICT r1 item 6)."""
     return rca_fused(p, t, i, reverse=reverse, interpret=interpret)
 
 
@@ -143,11 +143,192 @@ def _rca_fwd(p, t, i, reverse, interpret):
 
 def _rca_bwd(reverse, interpret, res, g):
     p, t, i = res
-    _, vjp = jax.vjp(lambda p_, t_, i_: _oracle(p_, t_, i_, reverse), p, t, i)
-    return vjp(g)
+    g_ti, g_it = g
+    return rca_fused_bwd(p, t, i, g_ti, g_it, reverse=reverse,
+                         interpret=interpret)
 
 
 rca_fused_trainable.defvjp(_rca_fwd, _rca_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _unit_fwd_res(x_q2, x_kv2, wq, bq, wk, bk, wv, bv, g, be, *, tile,
+                  d_kq, d_v, reverse, eps=1e-5):
+    """Forward recompute of one attention unit, keeping the residuals the
+    backward needs. x_*2 are [tile*16, D] fp32."""
+    q = _proj(x_q2, wq, bq).reshape(tile, N_PATCH, d_kq)
+    k = _proj(x_kv2, wk, bk).reshape(tile, N_PATCH, d_kq)
+    v = _proj(x_kv2, wv, bv).reshape(tile, N_PATCH, d_v)
+    a = _softmax(_bdot(q, k) * (1.0 / math.sqrt(d_kq)))
+    w = (1.0 - a) / (N_PATCH - 1) if reverse else a
+    y = _bdot_nm(w, v)                                     # [T, 16, Dv]
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    d = y - mean
+    inv = jax.lax.rsqrt(jnp.mean(d * d, axis=-1, keepdims=True) + eps)
+    yhat = d * inv
+    z = yhat * g[:] + be[:]
+    out = jnp.maximum(z, 0.0)
+    return out, (q, k, v, a, w, yhat, inv, z)
+
+
+def _unit_bwd(dout, res, x_q2, x_kv2, wq, wk, wv, g, *, tile, d_kq, d_v,
+              reverse):
+    """Backward of one unit. Returns (dx_q2, dx_kv2, and the 8 weight
+    grads). dout: [T, 16, Dv]; dx_* are [T*16, D_in] fp32."""
+    q, k, v, a, w, yhat, inv, z = res
+    dz = jnp.where(z > 0, dout, 0.0)
+    dg = jnp.sum(dz * yhat, axis=(0, 1))
+    dbe = jnp.sum(dz, axis=(0, 1))
+    dyhat = dz * g[:]
+    # layernorm backward
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dy = inv * (dyhat - m1 - yhat * m2)                    # [T, 16, Dv]
+    # y = w @ v
+    dw = _bdot(dy, v)                                      # [T, 16, 16]
+    dv = jax.lax.dot_general(                              # w^T @ dy
+        w, dy, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # [T, 16, Dv]
+    da = -dw / (N_PATCH - 1) if reverse else dw
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    ds = ds * (1.0 / math.sqrt(d_kq))
+    dq = _bdot_nm(ds, k)                                   # [T, 16, Kq]
+    dk = jax.lax.dot_general(                              # ds^T @ q
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    tn = tile * N_PATCH
+    dq2 = dq.reshape(tn, d_kq)
+    dk2 = dk.reshape(tn, d_kq)
+    dv2 = dv.reshape(tn, d_v)
+    dwq = jnp.dot(x_q2.T, dq2, preferred_element_type=jnp.float32)
+    dwk = jnp.dot(x_kv2.T, dk2, preferred_element_type=jnp.float32)
+    dwv = jnp.dot(x_kv2.T, dv2, preferred_element_type=jnp.float32)
+    dbq = jnp.sum(dq2, axis=0)
+    dbk = jnp.sum(dk2, axis=0)
+    dbv = jnp.sum(dv2, axis=0)
+    dx_q2 = jnp.dot(dq2, wq[:].T, preferred_element_type=jnp.float32)
+    dx_kv2 = (jnp.dot(dk2, wk[:].T, preferred_element_type=jnp.float32)
+              + jnp.dot(dv2, wv[:].T, preferred_element_type=jnp.float32))
+    return dx_q2, dx_kv2, (dwq, dbq, dwk, dbk, dwv, dbv, dg, dbe)
+
+
+def _bwd_kernel(t_ref, i_ref,
+                wq_t, bq_t, wk_t, bk_t, wv_t, bv_t, g_t, be_t,
+                wq_i, bq_i, wk_i, bk_i, wv_i, bv_i, g_i, be_i,
+                wq_ti, bq_ti, wk_ti, bk_ti, wv_ti, bv_ti, g_ti, be_ti,
+                wq_it, bq_it, wk_it, bk_it, wv_it, bv_it, g_it, be_it,
+                gti_ref, git_ref,
+                dt_ref, di_ref, *dw_refs, tile: int, reverse: bool):
+    """Recompute forward in VMEM, then the full chain backward. Weight
+    grads accumulate across the (sequential) batch-tile grid."""
+    tn = tile * N_PATCH
+    t2 = t_ref[:].astype(jnp.float32).reshape(tn, 48)
+    i2 = i_ref[:].astype(jnp.float32).reshape(tn, 80)
+
+    t_sa, res_t = _unit_fwd_res(t2, t2, wq_t, bq_t, wk_t, bk_t, wv_t, bv_t,
+                                g_t, be_t, tile=tile, d_kq=SA_KQ, d_v=SA_V,
+                                reverse=False)
+    i_sa, res_i = _unit_fwd_res(i2, i2, wq_i, bq_i, wk_i, bk_i, wv_i, bv_i,
+                                g_i, be_i, tile=tile, d_kq=SA_KQ, d_v=SA_V,
+                                reverse=False)
+    t_sa2 = t_sa.reshape(tn, SA_V)
+    i_sa2 = i_sa.reshape(tn, SA_V)
+    _, res_ti = _unit_fwd_res(t_sa2, i_sa2, wq_ti, bq_ti, wk_ti, bk_ti,
+                              wv_ti, bv_ti, g_ti, be_ti, tile=tile,
+                              d_kq=CA_KQ, d_v=CA_V, reverse=reverse)
+    _, res_it = _unit_fwd_res(i_sa2, t_sa2, wq_it, bq_it, wk_it, bk_it,
+                              wv_it, bv_it, g_it, be_it, tile=tile,
+                              d_kq=CA_KQ, d_v=CA_V, reverse=reverse)
+
+    g_ti_out = gti_ref[:].astype(jnp.float32)
+    g_it_out = git_ref[:].astype(jnp.float32)
+    dtsa_a, disa_a, grads_ti = _unit_bwd(
+        g_ti_out, res_ti, t_sa2, i_sa2, wq_ti, wk_ti, wv_ti, g_ti,
+        tile=tile, d_kq=CA_KQ, d_v=CA_V, reverse=reverse)
+    disa_b, dtsa_b, grads_it = _unit_bwd(
+        g_it_out, res_it, i_sa2, t_sa2, wq_it, wk_it, wv_it, g_it,
+        tile=tile, d_kq=CA_KQ, d_v=CA_V, reverse=reverse)
+    dt_sa = (dtsa_a + dtsa_b).reshape(tile, N_PATCH, SA_V)
+    di_sa = (disa_a + disa_b).reshape(tile, N_PATCH, SA_V)
+
+    dtq, dtkv, grads_t = _unit_bwd(
+        dt_sa, res_t, t2, t2, wq_t, wk_t, wv_t, g_t,
+        tile=tile, d_kq=SA_KQ, d_v=SA_V, reverse=False)
+    diq, dikv, grads_i = _unit_bwd(
+        di_sa, res_i, i2, i2, wq_i, wk_i, wv_i, g_i,
+        tile=tile, d_kq=SA_KQ, d_v=SA_V, reverse=False)
+
+    dt_ref[:] = (dtq + dtkv).reshape(tile, N_PATCH, 48).astype(dt_ref.dtype)
+    di_ref[:] = (diq + dikv).reshape(tile, N_PATCH, 80).astype(di_ref.dtype)
+
+    all_w_grads = grads_t + grads_i + grads_ti + grads_it
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    for ref, gr in zip(dw_refs, all_w_grads):
+        ref[...] += gr.astype(ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "tile", "interpret"))
+def rca_fused_bwd(p, t, i, g_ti, g_it, *, reverse: bool, tile: int = 0,
+                  interpret: bool = False):
+    """Fused backward: returns (dp, dt, di) matching jax.vjp of the
+    oracle graph. Weight grads are fp32."""
+    b = t.shape[0]
+    if tile <= 0:
+        tile = min(b, 256)
+    pad = (-b) % tile
+    if pad:
+        zp = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+        t, i, g_ti, g_it = zp(t), zp(i), zp(g_ti), zp(g_it)
+    bt = t.shape[0]
+    weights = _weights(p)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    grid = (bt // tile,)
+    blk3 = lambda d: pl.BlockSpec((tile, N_PATCH, d), lambda g: (g, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    # weight-grad outputs: whole array resident, every grid step maps to it
+    wg_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    wg_specs = [pl.BlockSpec(w.shape,
+                             (lambda g, n=len(w.shape): (0,) * n),
+                             memory_space=pltpu.VMEM) for w in weights]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile, reverse=reverse),
+        grid=grid,
+        in_specs=[blk3(48), blk3(80)] + w_specs + [blk3(CA_V), blk3(CA_V)],
+        out_specs=tuple([blk3(48), blk3(80)] + wg_specs),
+        out_shape=tuple([jax.ShapeDtypeStruct((bt, N_PATCH, 48), t.dtype),
+                         jax.ShapeDtypeStruct((bt, N_PATCH, 80), i.dtype)]
+                        + wg_shapes),
+        interpret=interpret,
+    )(t, i, *weights, g_ti, g_it)
+    dt, di = outs[0], outs[1]
+    if pad:
+        dt, di = dt[:b], di[:b]
+    wg = list(outs[2:])
+
+    def blk(off):
+        return {"q": {"w": wg[off + 0], "b": wg[off + 1]},
+                "k": {"w": wg[off + 2], "b": wg[off + 3]},
+                "v": {"w": wg[off + 4], "b": wg[off + 5]},
+                "norm": {"scale": wg[off + 6], "bias": wg[off + 7]}}
+
+    used = {"sa_txt": blk(0), "sa_img": blk(8), "rca_ti": blk(16),
+            "rca_it": blk(24)}
+    # dp must mirror p's FULL structure (mm_rca_block passes the whole
+    # fusion params dict; only the 4 attention blocks get nonzero grads)
+    dp = jax.tree_util.tree_map(lambda p_: jnp.zeros(p_.shape, p_.dtype), p)
+    for name, g_blk in used.items():
+        dp[name] = jax.tree_util.tree_map(
+            lambda g_, p_: g_.astype(p_.dtype), g_blk, p[name])
+    return dp, dt, di
 
 
 @functools.partial(jax.jit, static_argnames=("reverse", "tile", "interpret"))

@@ -113,6 +113,37 @@ def forward_gated(params, state, batch, *, train=False, rng=None,
     return nn.linear(params["fc_gated"], gate), new_state
 
 
+def convert_torch(sd, num_classes: int = 4):
+    """Reference RobertaAndMBNet state dict -> our pytree.
+
+    Keys: text_model.* (HF roberta-base), image_model.* (torchvision
+    mobilenet_v3_large incl. its 4-class classifier), plus the fusion
+    heads (CVPR_code/models.py:110-137)."""
+    from ...checkpoint.torch_convert import subdict
+
+    text = rb.convert_encoder(subdict(sd, "text_model."))
+    img_params, img_state = mb.convert_torch(subdict(sd, "image_model."),
+                                             num_classes)
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[prefix + ".weight"]).T,
+                "b": jnp.asarray(sd[prefix + ".bias"])}
+
+    params = {
+        "text": text,
+        "image": img_params,
+        "image_to_hidden": lin("image_to_hidden_size"),
+        "text_to_hidden": lin("text_to_hidden_size"),
+        "concat": lin("concat_layer"),
+        "fc": lin("fc_layer"),
+        "img_feats_hidden": lin("image_features_hidden_layer"),
+        "txt_feats_hidden": lin("text_features_hidden_layer"),
+        "z": lin("z_layer"),
+        "fc_gated": lin("fc_layer_gated"),
+    }
+    return params, {"image": img_state}
+
+
 # spam classifiers (:36-90) are exactly the text zoo classifiers:
 from ..text.distilbert import apply as spam_distilbert_apply  # noqa: E402,F401
 from ..text.bert import apply as spam_bert_apply  # noqa: E402,F401

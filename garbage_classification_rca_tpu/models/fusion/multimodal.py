@@ -454,22 +454,25 @@ _IMG_STAGE_KEYS = ["stem.1"] + [f"stage{i}" for i in range(1, 7)]
 def _image_sd_to_features(sd: dict) -> dict:
     """Rename EfficientNetV2MFullFeatureExtractor keys (image_model.stem/
     stage{i}/final_conv, multimodal_model.py:11-23) back to torchvision
-    features.{i} so eff.convert_torch consumes them."""
-    out = {}
-    for k, v in sd.items():
+    features.{i} so eff.convert_torch consumes them. Tracking-aware:
+    returns a renamed view when sd is a TrackingDict."""
+    keymap = {}
+    for k in sd:
         if not k.startswith("image_model."):
             continue
         r = k[len("image_model."):]
         if r.startswith("stem.0."):
-            out["features.0." + r[len("stem.0."):]] = v
+            keymap["features.0." + r[len("stem.0."):]] = k
         elif r.startswith("stem.1."):
-            out["features.1." + r[len("stem.1."):]] = v
+            keymap["features.1." + r[len("stem.1."):]] = k
         elif r.startswith("stage"):
             i = int(r[len("stage")])
-            out[f"features.{i + 1}." + r.split(".", 1)[1]] = v
+            keymap[f"features.{i + 1}." + r.split(".", 1)[1]] = k
         elif r.startswith("final_conv."):
-            out["features.8." + r[len("final_conv."):]] = v
-    return out
+            keymap["features.8." + r[len("final_conv."):]] = k
+    if hasattr(sd, "view"):
+        return sd.view(keymap)
+    return {nk: sd[ok] for nk, ok in keymap.items()}
 
 
 def _lin(sd, key):
@@ -497,9 +500,10 @@ def convert_torch(sd: dict, cfg: FusionConfig):
     Tolerates every extra head (checkpoints contain all of them) and the
     optional features_only / cross_attention_only heads.
     """
+    from ...checkpoint.torch_convert import subdict
+
     text_mod = _TEXT_MODS[cfg.text_model_name]
-    text_sd = {k[len("text_model."):]: v for k, v in sd.items()
-               if k.startswith("text_model.")}
+    text_sd = subdict(sd, "text_model.")
     if cfg.text_model_name == "bart":
         text_params, _ = text_mod.convert_torch(text_sd,
                                                 num_classes=cfg.num_classes)

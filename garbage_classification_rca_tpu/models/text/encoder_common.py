@@ -98,5 +98,9 @@ def strip_prefix(sd: Dict[str, np.ndarray], *candidates: str
     """
     for pre in candidates:
         if any(k.startswith(pre) for k in sd):
-            return {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre)}
+            out = {k[len(pre):]: v for k, v in sd.items()
+                   if k.startswith(pre)}
+            if hasattr(sd, "child"):     # keep key-consumption tracking
+                return sd.child(pre, out)
+            return out
     return sd

@@ -84,7 +84,8 @@ def stacked_batches(batcher: ImageTextBatcher, batch_size: int,
 
 
 def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
-              args: RunConfig, fine_tuning: bool, out_root: str = ".") -> str:
+              args: RunConfig, fine_tuning: bool, out_root: str = ".",
+              keep_top_k: int = 0) -> str:
     """orbax checkpoint under a reference-style filename
     (main_image.py:185-209)."""
     import orbax.checkpoint as ocp
@@ -104,6 +105,8 @@ def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
     ckpt.save(path, {"params": jax.device_get(params),
                      "state": jax.device_get(state)})
     print(f"Saving weights to {path}")
+    if keep_top_k:
+        _prune_best(base, keep_top_k)
     return path
 
 
@@ -112,6 +115,122 @@ def load_orbax(path: str):
 
     restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     return restored["params"], restored["state"]
+
+
+def _prune_best(base: str, keep_top_k: int) -> None:
+    """Top-k retention: keep only the k best BEST_* checkpoints per model
+    dir (long runs otherwise accumulate a full param copy per best epoch)."""
+    import re
+    import shutil
+
+    if keep_top_k <= 0:
+        return
+    entries = []
+    for name in os.listdir(base):
+        m = re.search(r"VAL_ACC_([0-9.]+)_", name)
+        if name.startswith("BEST_") and m:
+            entries.append((float(m.group(1)), name))
+    entries.sort(reverse=True)
+    for _, name in entries[keep_top_k:]:
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
+def save_train_state(*, out_root: str, model_name: str, params, state,
+                     opt_state, rng, epoch: int, phase_name: str,
+                     scheduler: Optional[PlateauScheduler],
+                     best: "PhaseResult") -> str:
+    """FULL resumable training state (params + optimizer + plateau
+    scheduler + epoch/phase + RNG key) — the reference has no mid-train
+    resume at all (SURVEY §5 gap-fill); round 1's save_best stored only
+    params/state, making 'resume' a lossy warm start (VERDICT item 9).
+
+    One RESUME dir per model, overwritten each epoch."""
+    import orbax.checkpoint as ocp
+
+    base = os.path.join(out_root, "model_weights", model_name)
+    os.makedirs(base, exist_ok=True)
+    path = os.path.abspath(os.path.join(base, "RESUME"))
+    tmp = path + ".tmp"
+    payload = {
+        "params": jax.device_get(params),
+        "state": jax.device_get(state),
+        "opt_state": jax.device_get(opt_state),
+        "rng": jax.device_get(rng),
+        "meta": {
+            "epoch": epoch, "phase_name": phase_name,
+            "scheduler": (scheduler.state_dict() if scheduler else None),
+            "best_val_acc": best.best_val_acc,
+            "best_epoch": best.best_epoch,
+            "best_path": best.best_path or "",
+        },
+    }
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ocp.PyTreeCheckpointer().save(tmp, payload)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return path
+
+
+def load_train_state(path: str) -> Dict:
+    """Restore a save_train_state checkpoint (opt_state is returned as a
+    raw pytree; pass it through ``restore_opt_state`` to rebuild the
+    optax structure)."""
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def maybe_load_resume(model_path: str) -> Optional[Dict]:
+    """Full-resume payload when --model_path points at a RESUME dir
+    (written by save_train_state); None otherwise."""
+    if model_path and os.path.isdir(model_path) and \
+            os.path.basename(os.path.normpath(model_path)) == "RESUME":
+        return load_train_state(model_path)
+    return None
+
+
+class ResumePlan:
+    """Shared two-phase resume plumbing for the train CLIs."""
+
+    def __init__(self, resume: Optional[Dict]):
+        self.resume = resume
+
+    @property
+    def skip_phase1(self) -> bool:
+        return (self.resume is not None
+                and self.resume["meta"]["phase_name"] == "fine_tune")
+
+    def initial_best(self) -> "PhaseResult":
+        m = self.resume["meta"]
+        return PhaseResult(float(m["best_val_acc"]), int(m["best_epoch"]),
+                           m["best_path"] or None)
+
+    def for_phase(self, phase_name: str) -> Optional[Dict]:
+        if self.resume is not None and \
+                self.resume["meta"]["phase_name"] == phase_name:
+            return self.resume
+        return None
+
+    def opt_state(self, phase_name: str, opt, params, default):
+        r = self.for_phase(phase_name)
+        if r is None:
+            return default
+        return restore_opt_state(opt, jax.device_get(params),
+                                 r["opt_state"])
+
+
+def restore_opt_state(opt, params, raw):
+    """Rebuild the optax opt-state STRUCTURE from the flat orbax pytree
+    (orbax restores namedtuples as plain containers)."""
+    template = opt.init(params)
+    leaves = jax.tree_util.tree_leaves(raw)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, [
+        jnp.asarray(l) for l in leaves])
 
 
 @dataclass
@@ -128,14 +247,34 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
               best: Optional[PhaseResult] = None, rng=None,
               balanced_sampler: bool = False, extra_evals=None,
               fine_tuning: bool = False,
-              keys=("image", "input_ids", "attention_mask", "label", "valid")):
-    """One training phase; returns (params, state, opt_state, PhaseResult)."""
+              keys=("image", "input_ids", "attention_mask", "label", "valid"),
+              out_root: str = ".", save_resume: bool = False,
+              resume: Optional[Dict] = None, keep_top_k: int = 0):
+    """One training phase; returns (params, state, opt_state, PhaseResult).
+
+    save_resume writes a full RESUME checkpoint (opt_state + scheduler +
+    epoch + RNG) after every epoch; pass its restored payload back as
+    ``resume`` to continue a killed run bit-identically (the per-epoch RNG
+    streams are derived from args.seed + epoch, so the data order and
+    dropout draws replay exactly)."""
     best = best or PhaseResult(0.0, 0, None)
     rng = rng if rng is not None else jax.random.PRNGKey(args.seed)
+    start_epoch = 0
+    if resume is not None and resume["meta"]["phase_name"] == phase_name:
+        start_epoch = int(resume["meta"]["epoch"]) + 1
+        rng = jnp.asarray(resume["rng"])
+        best = PhaseResult(float(resume["meta"]["best_val_acc"]),
+                           int(resume["meta"]["best_epoch"]),
+                           resume["meta"]["best_path"] or None)
+        if scheduler is not None and resume["meta"]["scheduler"]:
+            scheduler.load_state_dict(resume["meta"]["scheduler"])
+            opt_state = set_learning_rate(opt_state, scheduler.lr)
+        print(f"[{phase_name}] resuming at epoch {start_epoch} "
+              f"(best={best.best_val_acc:.3f})")
     sb = microbatch_sharding(mesh) if mesh is not None else None
     n_batches = math.ceil(len(batcher.m) / batch_size)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         order = None
         if balanced_sampler:
@@ -180,8 +319,15 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
         if val_acc > best.best_val_acc:
             best = PhaseResult(val_acc, epoch, save_best(
                 params, state, model_name=model_name, epoch=epoch,
-                val_acc=val_acc, args=args, fine_tuning=fine_tuning))
+                val_acc=val_acc, args=args, fine_tuning=fine_tuning,
+                out_root=out_root, keep_top_k=keep_top_k))
         if scheduler is not None:
             new_lr = scheduler.step(val_acc)
             opt_state = set_learning_rate(opt_state, new_lr)
+        if save_resume:
+            save_train_state(out_root=out_root, model_name=model_name,
+                             params=params, state=state,
+                             opt_state=opt_state, rng=rng, epoch=epoch,
+                             phase_name=phase_name, scheduler=scheduler,
+                             best=best)
     return params, state, opt_state, best

@@ -24,6 +24,22 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# heavy torch-oracle / full-model parity modules — a quick CI pass runs
+# `pytest -m "not slow"` (~2 min); the full suite is ~15 min on one core
+SLOW_MODULES = {
+    "test_bart", "test_mobilebert", "test_blip2", "test_fusion",
+    "test_fusion_train", "test_efficientnet", "test_vit",
+    "test_large_variants", "test_real_checkpoints", "test_convert_audit",
+    "test_backbones", "test_tp", "test_mha_kernel", "test_distilbert",
+    "test_text_models", "test_llm_backends", "test_bn_fold",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.split(".")[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

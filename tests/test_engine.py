@@ -69,3 +69,103 @@ def test_wandb_flag_degrades_gracefully(tmp_path):
     lg = MetricsLogger("unit2", out_dir=str(tmp_path), use_wandb=True)
     lg.log({"epoch": 0})
     assert os.path.exists(lg.path)
+
+
+def _toy_phase_setup(tiny_dataset, tmp_path):
+    """Tiny linear model + batcher + deterministic eval for run_phase."""
+    from garbage_classification_rca_tpu.train.loop import (
+        all_trainable_mask, make_train_step)
+    from garbage_classification_rca_tpu.train.optim import make_optimizer
+
+    m = build_manifest(str(tiny_dataset))
+    batcher = ImageTextBatcher(m, (8, 8), workers=1)
+
+    def apply(p, s, x, *, train=False, rng=None):
+        flat = x.reshape(x.shape[0], -1)
+        return flat @ p["head"]["w"] + p["head"]["b"], s
+
+    params = {"head": {"w": jnp.zeros((8 * 8 * 3, 4), jnp.float32),
+                       "b": jnp.zeros((4,), jnp.float32)}}
+    opt = make_optimizer("sgd", lr=0.05, reg=0.0)
+    step = make_train_step(
+        apply, opt, compute_dtype=jnp.float32,
+        batch_to_inputs=lambda mb: mb["image"].astype(jnp.float32) / 255.0)
+
+    def eval_fn(p, s):
+        # deterministic params fingerprint as the "val acc"
+        return float(jnp.sum(p["head"]["w"]) * 1e3), {}
+
+    return batcher, apply, params, opt, step, eval_fn
+
+
+def test_full_resume_bit_identical(tiny_dataset, tmp_path):
+    """Kill-after-epoch-0 + resume == uninterrupted 3-epoch run, exactly
+    (params, scheduler LR, RNG stream) — VERDICT r1 item 9."""
+    from garbage_classification_rca_tpu.train.engine import (
+        load_train_state, restore_opt_state, run_phase)
+    from garbage_classification_rca_tpu.train.optim import PlateauScheduler
+
+    args = RunConfig(lr=0.05, reg=0.0, opt="sgd", seed=7)
+    kw = dict(batch_size=4, acc_steps=2, args=args, mesh=None,
+              model_name="resume_unit", fine_tuning=True)
+
+    def fresh():
+        return _toy_phase_setup(tiny_dataset, tmp_path)
+
+    # uninterrupted 3-epoch run
+    b1, apply, params, opt, step, eval_fn = fresh()
+    lg1 = MetricsLogger("u1", out_dir=str(tmp_path / "r1"))
+    sched = PlateauScheduler(0.05, factor=0.4, patience=0)
+    pB, sB, oB, bestB = run_phase(
+        phase_name="fine_tune", epochs=3, params=params, state={},
+        opt=opt, opt_state=opt.init(params), train_step=step,
+        eval_fn=eval_fn, batcher=b1, logger=lg1, scheduler=sched,
+        out_root=str(tmp_path / "runB"), save_resume=True, **kw)
+    b1.close()
+
+    # killed run: 1 epoch only, RESUME written
+    b2, apply, params, opt, step, eval_fn = fresh()
+    lg2 = MetricsLogger("u2", out_dir=str(tmp_path / "r2"))
+    sched2 = PlateauScheduler(0.05, factor=0.4, patience=0)
+    run_phase(phase_name="fine_tune", epochs=1, params=params, state={},
+              opt=opt, opt_state=opt.init(params), train_step=step,
+              eval_fn=eval_fn, batcher=b2, logger=lg2, scheduler=sched2,
+              out_root=str(tmp_path / "runA"), save_resume=True, **kw)
+    b2.close()
+
+    # resume to 3 epochs
+    payload = load_train_state(
+        str(tmp_path / "runA" / "model_weights" / "resume_unit" / "RESUME"))
+    assert payload["meta"]["epoch"] == 0
+    b3, apply, _, opt, step, eval_fn = fresh()
+    lg3 = MetricsLogger("u3", out_dir=str(tmp_path / "r3"))
+    sched3 = PlateauScheduler(0.05, factor=0.4, patience=0)
+    params_r = payload["params"]
+    opt_state_r = restore_opt_state(opt, params_r, payload["opt_state"])
+    pA, sA, oA, bestA = run_phase(
+        phase_name="fine_tune", epochs=3, params=params_r, state={},
+        opt=opt, opt_state=opt_state_r, train_step=step, eval_fn=eval_fn,
+        batcher=b3, logger=lg3, scheduler=sched3,
+        out_root=str(tmp_path / "runA"), save_resume=True, resume=payload,
+        **kw)
+    b3.close()
+
+    np.testing.assert_array_equal(np.asarray(pA["head"]["w"]),
+                                  np.asarray(pB["head"]["w"]))
+    np.testing.assert_array_equal(np.asarray(pA["head"]["b"]),
+                                  np.asarray(pB["head"]["b"]))
+    assert sched3.lr == sched.lr and sched3.num_bad == sched.num_bad
+    assert bestA.best_val_acc == bestB.best_val_acc
+
+
+def test_save_best_top_k_retention(tmp_path):
+    params = {"w": jnp.ones((2,))}
+    args = RunConfig(lr=0.01, reg=0.1, opt="sgd")
+    for i, acc in enumerate([50.0, 60.0, 55.0, 70.0]):
+        save_best(params, {}, model_name="unit_k", epoch=i, val_acc=acc,
+                  args=args, fine_tuning=False, out_root=str(tmp_path),
+                  keep_top_k=2)
+    base = tmp_path / "model_weights" / "unit_k"
+    names = sorted(os.listdir(base))
+    accs = sorted(float(n.split("VAL_ACC_")[1].split("_")[0]) for n in names)
+    assert len(names) == 2 and accs == [60.0, 70.0]

@@ -94,11 +94,13 @@ def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
                  scale=scale, causal=causal)
 
 
-def _pick_tile(b: int, n: int, heads: int) -> int:
-    """Largest batch tile whose fp32 scores stay well inside VMEM
-    (~16 MB/core; leave room for q/k/v/out + double buffering)."""
-    scores_bytes = heads * n * n * 4
-    tile = max(1, int(6 * 1024 * 1024) // max(scores_bytes, 1))
+def _pick_tile(b: int, n: int, heads: int, d: int = 0) -> int:
+    """Largest batch tile fitting VMEM (~16 MB/core): q/k/v/out blocks are
+    double-buffered (8 copies of [t, n, d] bf16) plus one head's fp32
+    scores/weights; budget 9 MB leaves headroom for Mosaic's scratch."""
+    d = d or heads * 64
+    per_sample = 8 * n * d * 2 + 4 * n * n * 4
+    tile = max(1, int(9 * 1024 * 1024) // max(per_sample, 1))
     tile = min(tile, b, 64)
     while b % tile:
         tile -= 1
@@ -122,7 +124,7 @@ def mha(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
         raise ValueError(f"D={d} not divisible by heads={heads}")
     if scale == 0.0:
         scale = 1.0 / np.sqrt(d // heads)
-    t = tile if tile > 0 else _pick_tile(b, n, heads)
+    t = tile if tile > 0 else _pick_tile(b, n, heads, d)
     pad = (-b) % t
     if pad:
         zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
@@ -178,7 +180,10 @@ def mha_reference(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
     w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     o = jnp.einsum("bhnm,bmhd->bnhd", w, rs(v),
                    preferred_element_type=jnp.float32)
-    return o.reshape(b, n, d)
+    # output dtype must equal the kernel path's (bf16 in, bf16 out) — the
+    # custom VJP differentiates this graph and the cotangent dtypes must
+    # match the primal's
+    return o.reshape(b, n, d).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -94,25 +94,30 @@ _TEXT_MODS = {"distilbert": distil_mod, "bert": bert_mod, "bart": bart_mod}
 
 
 def _text_encode(cfg: FusionConfig, params, input_ids, attention_mask,
-                 need_hiddens: bool = False):
+                 need_hiddens: bool = False, train: bool = False):
     """-> (cls_features [B, hid], hidden_states list or None)."""
     if cfg.text_model_name == "distilbert":
         if need_hiddens:
-            h, hiddens = _distil_encode_hiddens(params, input_ids, attention_mask)
+            h, hiddens = _distil_encode_hiddens(params, input_ids,
+                                                attention_mask, train=train)
             return h[:, 0], hiddens
-        return distil_mod.encode(params, input_ids, attention_mask)[:, 0], None
+        return distil_mod.encode(params, input_ids, attention_mask,
+                                 train=train)[:, 0], None
     if cfg.text_model_name == "bert":
         if need_hiddens:
             h, hiddens = bert_mod.encode(params, input_ids, attention_mask,
-                                         output_hidden_states=True)
+                                         output_hidden_states=True,
+                                         train=train)
             return h[:, 0], hiddens
-        return bert_mod.encode(params, input_ids, attention_mask)[:, 0], None
+        return bert_mod.encode(params, input_ids, attention_mask,
+                               train=train)[:, 0], None
     if cfg.text_model_name == "bart":
         return bart_mod.encode_decoder(params, input_ids, attention_mask)[:, 0], None
     raise ValueError(f"Wrong text model: {cfg.text_model_name}")
 
 
-def _distil_encode_hiddens(params, input_ids, attention_mask):
+def _distil_encode_hiddens(params, input_ids, attention_mask,
+                           train: bool = False):
     """DistilBERT encode that also returns per-layer hidden states
     (hierarchical fusion taps layers 2 and 4, multimodal_model.py:755-757)."""
     from ..text.encoder_common import attention_bias, postnorm_layer
@@ -125,7 +130,7 @@ def _distil_encode_hiddens(params, input_ids, attention_mask):
     hiddens = [h]
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, distil_mod.HEADS, distil_mod.LN_EPS,
-                           mask=attention_mask)
+                           mask=attention_mask, train=train)
         hiddens.append(h)
     return h, hiddens
 
@@ -245,7 +250,8 @@ def drop_modalities(cfg: FusionConfig, images, input_ids, attention_mask,
 def _towers(cfg, params, state, images, input_ids, attention_mask, *,
             train, rng, need_stages=False, need_hiddens=False):
     text_cls, hiddens = _text_encode(cfg, params["text"], input_ids,
-                                     attention_mask, need_hiddens)
+                                     attention_mask, need_hiddens,
+                                     train=train)
     s3, s6, pooled, img_state = effv2.extractor_features(
         params["image"], state["image"], images, effv2.CONFIGS["eff_v2_medium"],
         train=train, rng=rng)

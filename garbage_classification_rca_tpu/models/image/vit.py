@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...kernels import mha_fused
+from ...kernels import mha_fused, transformer_block
 from ...nn import core as nn
 from ..registry import ModelDef
 
@@ -77,34 +77,54 @@ def init(key, cfg: ViTConfig, num_classes: int = 4, dtype=jnp.float32):
     return params, {}
 
 
-def _encoder_layer(p, x, heads: int, eps: float):
+def _encoder_layer(p, x, heads: int, eps: float,
+                   train: bool = False):
+    d_model = x.shape[-1]
+    ffn = p["fc1"]["w"].shape[1]
+    if mha_fused.fused_attention_enabled() and not train \
+            and transformer_block.attn_fits(d_model):
+        # fully fused encoder layer (kernels/transformer_block.py): two
+        # Pallas kernels — LN1+QKV+attention+out-proj+residual and
+        # LN2+MLP+residual. Nothing between LN1's input and the residual
+        # sum touches HBM (the XLA graph materializes LN outputs, the
+        # [B,N,3D] qkv, [B,H,N,N] scores/weights, the attention output and
+        # the [B,N,4D] MLP hidden — ~650 MB/layer at bs128; measured ViT
+        # eval 2940 -> 3922 img/s). Weight matrices live in VMEM, so each
+        # sub-block gates on its weights fitting (L16's 16.8 MB MLP falls
+        # back to XLA). GC_RCA_FUSED_ATTN=0 restores the unfused graph.
+        h = transformer_block.attn_block_trainable(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["qkv"]["w"], p["qkv"]["b"], p["out"]["w"], p["out"]["b"],
+            heads=heads, eps=eps)
+        if transformer_block.mlp_fits(d_model, ffn):
+            return transformer_block.mlp_block_trainable(
+                h, p["ln_2"]["scale"], p["ln_2"]["bias"],
+                p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+                eps=eps)
+        y = nn.layernorm(p["ln_2"], h, eps=eps)
+        return h + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], y)))
     b, n, d = x.shape
     h = nn.layernorm(p["ln_1"], x, eps=eps)
     qkv = nn.linear(p["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = d // heads
-    if mha_fused.fused_attention_enabled():
-        # fused Pallas attention: scores/weights never leave VMEM (the XLA
-        # path writes+reads [B,12,197,197] in HBM twice per layer); fp32
-        # softmax inside. GC_RCA_FUSED_ATTN=0 restores the unfused graph.
-        att = mha_fused.mha_trainable(q, k, v, heads=heads)
-    else:
-        q = q.reshape(b, n, heads, hd)
-        k = k.reshape(b, n, heads, hd)
-        v = v.reshape(b, n, heads, hd)
-        # softmax runs in the compute dtype: bf16 eval gains ~8% (measured
-        # 57.4 -> 53.2 ms/batch on v5e — the [B,12,197,197] tensor halves);
-        # --compute_dtype=float32 restores exact fp32 softmax for audits
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * x.dtype.type(1 / np.sqrt(hd))
-        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+    q = q.reshape(b, n, heads, hd)
+    k = k.reshape(b, n, heads, hd)
+    v = v.reshape(b, n, heads, hd)
+    # softmax runs in the compute dtype: bf16 eval gains ~8% (measured
+    # 57.4 -> 53.2 ms/batch on v5e — the [B,12,197,197] tensor halves);
+    # --compute_dtype=float32 restores exact fp32 softmax for audits
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * x.dtype.type(1 / np.sqrt(hd))
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln_2"], x, eps=eps)
     h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
     return x + h
 
 
-def features(params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+def features(params, x: jnp.ndarray, cfg: ViTConfig,
+             train: bool = False) -> jnp.ndarray:
     """NHWC image -> CLS feature [B, hidden]."""
     b = x.shape[0]
     h = nn.conv2d(params["conv_proj"], x, stride=cfg.patch_size)
@@ -114,15 +134,17 @@ def features(params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     h = jnp.concatenate([cls, h], axis=1)
     h = h + params["pos_embedding"].astype(h.dtype)
     for lp in params["layers"]:
-        h = _encoder_layer(lp, h, cfg.heads, cfg.ln_eps)
+        h = _encoder_layer(lp, h, cfg.heads, cfg.ln_eps, train=train)
     h = nn.layernorm(params["ln"], h, eps=cfg.ln_eps)
     return h[:, 0]
 
 
 def apply(params, state, x, *, cfg: ViTConfig, train: bool = False,
           rng: Optional[jax.Array] = None):
-    del train, rng  # ViT here has no dropout at inference-parity settings
-    feats = features(params, x, cfg)
+    del rng  # ViT here has no dropout at inference-parity settings
+    # train: fused eval kernels OFF — their recompute-VJP backward measured
+    # 2x slower than the XLA fwd+bwd (890 vs 472 img/s, v5e bs128)
+    feats = features(params, x, cfg, train=train)
     return nn.linear(params["head"], feats), state
 
 

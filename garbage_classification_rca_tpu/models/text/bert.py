@@ -49,7 +49,8 @@ def init_encoder(key, dtype=jnp.float32):
     }
 
 
-def encode(params, input_ids, attention_mask, *, output_hidden_states=False):
+def encode(params, input_ids, attention_mask, *, output_hidden_states=False,
+           train=False):
     l = input_ids.shape[1]
     h = nn.embedding(params["word_emb"], input_ids)
     h = h + nn.embedding(params["pos_emb"], jnp.arange(l)[None, :])
@@ -58,15 +59,16 @@ def encode(params, input_ids, attention_mask, *, output_hidden_states=False):
     bias = attention_bias(attention_mask)
     hiddens = [h]
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask)
+        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
+                           train=train)
         hiddens.append(h)
     if output_hidden_states:
         return h, hiddens
     return h
 
 
-def cls_feature(params, input_ids, attention_mask):
-    return encode(params, input_ids, attention_mask)[:, 0]
+def cls_feature(params, input_ids, attention_mask, train=False):
+    return encode(params, input_ids, attention_mask, train=train)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32):
@@ -78,7 +80,8 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 def apply(params, state, batch, *, train=False, rng=None,
           drop_ratio: float = 0.6):
     input_ids, attention_mask = batch
-    pooled = cls_feature(params["encoder"], input_ids, attention_mask)
+    pooled = cls_feature(params["encoder"], input_ids, attention_mask,
+                         train=train)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

@@ -46,7 +46,7 @@ def init_encoder(key, dtype=jnp.float32):
     }
 
 
-def encode(params, input_ids, attention_mask):
+def encode(params, input_ids, attention_mask, train=False):
     """-> last_hidden_state [B, L, 768] (HF output[0] parity)."""
     l = input_ids.shape[1]
     h = nn.embedding(params["word_emb"], input_ids)
@@ -55,13 +55,14 @@ def encode(params, input_ids, attention_mask):
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
     bias = attention_bias(attention_mask)
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask)
+        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
+                           train=train)
     return h
 
 
-def cls_feature(params, input_ids, attention_mask):
+def cls_feature(params, input_ids, attention_mask, train=False):
     """hidden_state[:, 0] — reference text_models.py:30-31."""
-    return encode(params, input_ids, attention_mask)[:, 0]
+    return encode(params, input_ids, attention_mask, train=train)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32, drop_ratio: float = 0.6):
@@ -76,7 +77,8 @@ def init(key, num_classes: int = 4, dtype=jnp.float32, drop_ratio: float = 0.6):
 def apply(params, state, batch, *, train: bool = False,
           rng: Optional[jax.Array] = None, drop_ratio: float = 0.6):
     input_ids, attention_mask = batch
-    pooled = cls_feature(params["encoder"], input_ids, attention_mask)
+    pooled = cls_feature(params["encoder"], input_ids, attention_mask,
+                         train=train)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

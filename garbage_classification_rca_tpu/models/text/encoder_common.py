@@ -29,14 +29,17 @@ def attention_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
             * jnp.finfo(jnp.float32).min)[:, None, None, :]
 
 
-def multi_head_attention(q, k, v, bias, heads: int, mask=None):
+def multi_head_attention(q, k, v, bias, heads: int, mask=None,
+                         train: bool = False):
     """[B, L, D] x3 + additive bias -> [B, L, D]; fp32 softmax.
 
-    When the raw [B, L] key mask is also given, TPU runs the fused Pallas
-    kernel (kernels/mha_fused.py — scores never hit HBM); `bias` is the
-    fallback for the unfused graph and is DCE'd in the fused branch."""
-    if mask is not None and mha_fused.fused_attention_enabled() \
-            and q.shape == k.shape:
+    When the raw [B, L] key mask is also given, TPU EVAL runs the fused
+    Pallas kernel (kernels/mha_fused.py — scores never hit HBM); `bias` is
+    the fallback for the unfused graph and is DCE'd in the fused branch.
+    Training keeps the pure-XLA graph: the kernel's recompute-VJP backward
+    measured ~2x slower than XLA fwd+bwd (ViT train 890 -> 472 img/s)."""
+    if mask is not None and not train and \
+            mha_fused.fused_attention_enabled() and q.shape == k.shape:
         return mha_fused.mha_trainable(q, k, v, heads=heads, mask=mask)
     b, l, d = q.shape
     hd = d // heads
@@ -52,12 +55,13 @@ def multi_head_attention(q, k, v, bias, heads: int, mask=None):
 
 
 def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
-                   ln_eps: float, act=nn.gelu, mask=None) -> jnp.ndarray:
+                   ln_eps: float, act=nn.gelu, mask=None,
+                   train: bool = False) -> jnp.ndarray:
     """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm."""
     q = nn.linear(p["q"], x)
     k = nn.linear(p["k"], x)
     v = nn.linear(p["v"], x)
-    att = multi_head_attention(q, k, v, bias, heads, mask=mask)
+    att = multi_head_attention(q, k, v, bias, heads, mask=mask, train=train)
     x = nn.layernorm(p["ln_att"], x + nn.linear(p["out"], att), eps=ln_eps)
     h = nn.linear(p["fc2"], act(nn.linear(p["fc1"], x)))
     return nn.layernorm(p["ln_ffn"], x + h, eps=ln_eps)

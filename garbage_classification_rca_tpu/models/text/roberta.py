@@ -29,7 +29,7 @@ LN_EPS = 1e-12
 PAD_IDX = 1
 
 
-def encode(params, input_ids, attention_mask):
+def encode(params, input_ids, attention_mask, train=False):
     mask = attention_mask.astype(jnp.int32)
     pos_ids = jnp.cumsum(mask, axis=1) * mask + PAD_IDX
     h = nn.embedding(params["word_emb"], input_ids)
@@ -38,12 +38,13 @@ def encode(params, input_ids, attention_mask):
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
     bias = attention_bias(attention_mask)
     for lp in params["layers"]:
-        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask)
+        h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
+                           train=train)
     return h
 
 
-def cls_feature(params, input_ids, attention_mask):
-    return encode(params, input_ids, attention_mask)[:, 0]
+def cls_feature(params, input_ids, attention_mask, train=False):
+    return encode(params, input_ids, attention_mask, train=train)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32):
@@ -59,7 +60,8 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 def apply(params, state, batch, *, train=False, rng=None,
           drop_ratio: float = 0.6):
     input_ids, attention_mask = batch
-    pooled = cls_feature(params["encoder"], input_ids, attention_mask)
+    pooled = cls_feature(params["encoder"], input_ids, attention_mask,
+                         train=train)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

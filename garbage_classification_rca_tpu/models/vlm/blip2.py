@@ -97,7 +97,7 @@ def qformer_cls_feature(params, pixel_values, cfg: Blip2Config):
 
 
 def _lm_hidden(params, pixel_values, input_ids, attention_mask,
-               cfg: Blip2Config, lora=None):
+               cfg: Blip2Config, lora=None, train=False):
     """-> OPT final hidden [B, 32 + L, H] over the combined sequence."""
     q = query_features(params, pixel_values, cfg)
     q_emb = nn.linear(params["projection"], q)            # [B, 32, 2560]
@@ -106,7 +106,8 @@ def _lm_hidden(params, pixel_values, input_ids, attention_mask,
     q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
     mask = jnp.concatenate([q_mask, attention_mask], axis=1)
     return opt_mod.decode_hidden(params["opt"], embeds, mask, cfg.opt,
-                                 lora=lora, lora_scale=cfg.lora_scale)
+                                 lora=lora, lora_scale=cfg.lora_scale,
+                                 train=train)
 
 
 def forward_lm(params, pixel_values, input_ids, attention_mask,
@@ -121,8 +122,11 @@ def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
     """HF Blip2ForConditionalGeneration loss: next-token CE over the text
     segment, ignoring -100 labels (blip_2_training.py collate builds
     labels = input_ids with pads masked)."""
-    logits = forward_lm(params, pixel_values, input_ids, attention_mask,
-                        cfg, lora)
+    # train path: fused eval kernels off in the OPT tower (LoRA grads
+    # flow through its attention; recompute-VJP backward is ~2x slower)
+    logits = opt_mod.lm_head(params["opt"], _lm_hidden(
+        params, pixel_values, input_ids, attention_mask, cfg, lora,
+        train=True))
     n_query = cfg.qformer.n_query
     text_logits = logits[:, n_query:, :]
     shift_logits = text_logits[:, :-1].astype(jnp.float32)

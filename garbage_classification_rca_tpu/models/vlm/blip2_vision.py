@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...kernels import mha_fused
+from ...kernels import mha_fused, transformer_block
 from ...nn import core as nn
 from ..text.encoder_common import lin, ln_
 
@@ -59,20 +59,38 @@ def init(key, cfg: VisionConfig, dtype=jnp.float32):
 
 
 def _layer(p, x, heads, eps):
+    d_model = x.shape[-1]
+    ffn = p["fc1"]["w"].shape[1]
+    if mha_fused.fused_attention_enabled() \
+            and transformer_block.blocks_fit(d_model, ffn):
+        # fully fused pre-LN encoder layer (tiny-config tests); the real
+        # EVA ViT-g geometry (1408/6144) exceeds VMEM-resident weights, so
+        # full size uses the attention-only kernel below
+        h = transformer_block.attn_block_trainable(
+            x, p["ln1"]["scale"], p["ln1"]["bias"],
+            p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
+            heads=heads, eps=eps)
+        return transformer_block.mlp_block_trainable(
+            h, p["ln2"]["scale"], p["ln2"]["bias"],
+            p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+            eps=eps)
     b, n, d = x.shape
-    h = nn.layernorm(p["ln1"], x, eps=eps)
-    qkv = nn.linear(p["qkv"], h)
     if mha_fused.fused_attention_enabled():
+        h = nn.layernorm(p["ln1"], x, eps=eps)
+        qkv = nn.linear(p["qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         att = mha_fused.mha_trainable(q, k, v, heads=heads)
-    else:
-        qkv = qkv.reshape(b, n, 3, heads, d // heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scores = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k,
-            preferred_element_type=jnp.float32) / np.sqrt(d // heads)
-        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
+        x = x + nn.linear(p["proj"], att)
+        h = nn.layernorm(p["ln2"], x, eps=eps)
+        return x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
+    h = nn.layernorm(p["ln1"], x, eps=eps)
+    qkv = nn.linear(p["qkv"], h).reshape(b, n, 3, heads, d // heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scores = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k,
+        preferred_element_type=jnp.float32) / np.sqrt(d // heads)
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, d)
     x = x + nn.linear(p["proj"], att)
     h = nn.layernorm(p["ln2"], x, eps=eps)
     return x + nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))

@@ -69,14 +69,15 @@ def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0):
 
 
 def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
-           mask=None):
+           mask=None, train=False):
     b_, n, d = x.shape
     hd = d // cfg.heads
     h = nn.layernorm(p["ln1"], x, eps=cfg.ln_eps)
     q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
     k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
     v = nn.linear(p["v"], h)
-    if mask is not None and mha_fused.fused_attention_enabled():
+    if mask is not None and not train \
+            and mha_fused.fused_attention_enabled():
         att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
                                       causal=True)
     else:
@@ -93,7 +94,7 @@ def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
 
 
 def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
-                  lora=None, lora_scale=1.0):
+                  lora=None, lora_scale=1.0, train=False):
     """inputs_embeds [B, L, H] + mask [B, L] -> final hidden [B, L, H]
     (post final_layer_norm; project with ``lm_head`` for logits)."""
     mask = attention_mask.astype(jnp.int32)
@@ -107,7 +108,8 @@ def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask)
+        h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask,
+                   train=train)
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
 
 

@@ -1,0 +1,104 @@
+"""Fused transformer-block kernels vs the unfused graph (+ VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.kernels import transformer_block as tb
+
+RNG = np.random.default_rng(9)
+
+
+def _mk(b=3, n=17, d=32, heads=4, ffn=64, dtype=np.float32):
+    x = RNG.normal(size=(b, n, d)).astype(dtype)
+    ls = RNG.normal(size=(d,)).astype(np.float32) * 0.1 + 1.0
+    lb = RNG.normal(size=(d,)).astype(np.float32) * 0.1
+    wqkv = (RNG.normal(size=(d, 3 * d)) * 0.1).astype(dtype)
+    bqkv = (RNG.normal(size=(3 * d,)) * 0.1).astype(dtype)
+    wout = (RNG.normal(size=(d, d)) * 0.1).astype(dtype)
+    bout = (RNG.normal(size=(d,)) * 0.1).astype(dtype)
+    w1 = (RNG.normal(size=(d, ffn)) * 0.1).astype(dtype)
+    b1 = (RNG.normal(size=(ffn,)) * 0.1).astype(dtype)
+    w2 = (RNG.normal(size=(ffn, d)) * 0.1).astype(dtype)
+    b2 = (RNG.normal(size=(d,)) * 0.1).astype(dtype)
+    j = jnp.asarray
+    return (j(x), j(ls), j(lb), j(wqkv), j(bqkv), j(wout), j(bout),
+            j(w1), j(b1), j(w2), j(b2))
+
+
+def test_attn_block_matches_reference():
+    x, ls, lb, wqkv, bqkv, wout, bout, *_ = _mk()
+    got = tb.attn_block(x, ls, lb, wqkv, bqkv, wout, bout, heads=4)
+    want = tb.attn_block_reference(x, ls, lb, wqkv, bqkv, wout, bout,
+                                   heads=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_attn_block_tile_padding():
+    x, ls, lb, wqkv, bqkv, wout, bout, *_ = _mk(b=5)
+    got = tb.attn_block(x, ls, lb, wqkv, bqkv, wout, bout, heads=4, tile=2)
+    want = tb.attn_block_reference(x, ls, lb, wqkv, bqkv, wout, bout,
+                                   heads=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu"])
+def test_mlp_block_matches_reference(act):
+    x, ls, lb, _, _, _, _, w1, b1, w2, b2 = _mk()
+    got = tb.mlp_block(x, ls, lb, w1, b1, w2, b2, act=act)
+    want = tb.mlp_block_reference(x, ls, lb, w1, b1, w2, b2, act=act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_block_kernels_reproduce_vit_layer():
+    """attn_block + mlp_block == the unfused ViT encoder layer."""
+    from garbage_classification_rca_tpu.models.image import vit
+
+    cfg = vit.ViTConfig(image_size=32, patch_size=16, layers=1, heads=4,
+                        hidden=64, mlp=128)
+    params, _ = vit.init(jax.random.PRNGKey(0), cfg)
+    lp = params["layers"][0]
+    x = jnp.asarray(RNG.normal(size=(2, 5, 64)).astype(np.float32))
+
+    import os
+    os.environ["GC_RCA_FUSED_ATTN"] = "0"
+    try:
+        want = vit._encoder_layer(lp, x, cfg.heads, cfg.ln_eps)
+    finally:
+        os.environ.pop("GC_RCA_FUSED_ATTN")
+
+    h = tb.attn_block(x, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                      lp["qkv"]["w"], lp["qkv"]["b"],
+                      lp["out"]["w"], lp["out"]["b"],
+                      heads=cfg.heads, eps=cfg.ln_eps)
+    got = tb.mlp_block(h, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
+                       lp["fc1"]["w"], lp["fc1"]["b"],
+                       lp["fc2"]["w"], lp["fc2"]["b"], eps=cfg.ln_eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_trainable_blocks_grads_match_reference():
+    x, ls, lb, wqkv, bqkv, wout, bout, w1, b1, w2, b2 = _mk(b=2, n=9)
+
+    def loss_fused(x, wqkv, wout, w1, w2):
+        h = tb.attn_block_trainable(x, ls, lb, wqkv, bqkv, wout, bout,
+                                    heads=4)
+        y = tb.mlp_block_trainable(h, ls, lb, w1, b1, w2, b2)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(x, wqkv, wout, w1, w2):
+        h = tb.attn_block_reference(x, ls, lb, wqkv, bqkv, wout, bout,
+                                    heads=4)
+        y = tb.mlp_block_reference(h, ls, lb, w1, b1, w2, b2)
+        return jnp.sum(y ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, wqkv, wout, w1, w2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wqkv, wout, w1, w2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -114,6 +114,21 @@ class TrackingDict(dict):
                 f"(first 8: {left[:8]})")
 
 
+def convert_checked(convert_fn, sd, what: str, **kw):
+    """Run a converter with a readable error when the checkpoint's key
+    layout doesn't match the requested architecture (a raw KeyError from
+    deep inside a converter is unhelpful to CLI users)."""
+    try:
+        return convert_fn(sd, **kw)
+    except KeyError as e:
+        sample = sorted(sd)[:3]
+        raise SystemExit(
+            f"checkpoint does not match {what}: converter needs key {e} "
+            f"but the file contains keys like {sample}. Did you pass the "
+            "right --image_model/--text_model/--late_fusion for this "
+            ".pth?") from e
+
+
 def subdict(sd, prefix: str):
     """Prefix-stripped sub-dict; tracking-aware when sd is a TrackingDict."""
     out = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}

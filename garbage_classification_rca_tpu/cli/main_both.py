@@ -96,9 +96,12 @@ def main(argv=None):
         params, state = load_orbax(args.model_path)
         print(f"Resumed weights from {args.model_path}")
     elif args.model_path:
-        from ..checkpoint.torch_convert import load_torch_state_dict
+        from ..checkpoint.torch_convert import (convert_checked,
+                                                load_torch_state_dict)
         _, _, convert_fn = build_fusion(cfg)
-        params, state = convert_fn(load_torch_state_dict(args.model_path))
+        params, state = convert_checked(
+            convert_fn, load_torch_state_dict(args.model_path),
+            f"--late_fusion={args.late_fusion}/--text_model={args.text_model}")
         print(f"Warm-started from torch checkpoint {args.model_path}")
     else:
         params, state = init_fn(jax.random.PRNGKey(args.seed))

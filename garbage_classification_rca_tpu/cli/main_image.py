@@ -100,9 +100,11 @@ def main(argv=None):
         params, state = load_orbax(args.model_path)
         print(f"Resumed weights from {args.model_path}")
     elif args.model_path:
-        from ..checkpoint.torch_convert import load_torch_state_dict
-        params, state = mdef.convert_torch(
-            load_torch_state_dict(args.model_path), num_classes=NUM_CLASSES)
+        from ..checkpoint.torch_convert import (convert_checked,
+                                                load_torch_state_dict)
+        params, state = convert_checked(
+            mdef.convert_torch, load_torch_state_dict(args.model_path),
+            f"--image_model={args.image_model}", num_classes=NUM_CLASSES)
         print(f"Warm-started from torch checkpoint {args.model_path}")
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),

@@ -54,8 +54,11 @@ def main(argv=None):
         if mdef.convert_torch is None:
             print(f"No torch converter registered for {args.image_model}")
             sys.exit(1)
+        from ..checkpoint.torch_convert import convert_checked
         sd = load_torch_state_dict(args.model_path)
-        params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
+        params, state = convert_checked(
+            mdef.convert_torch, sd, f"--image_model={args.image_model}",
+            num_classes=NUM_CLASSES)
 
     if "bn_eps" in mdef.extras:
         # inference-time conv+BN folding: numerically identical to eval-mode

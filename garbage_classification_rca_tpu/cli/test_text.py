@@ -63,8 +63,11 @@ def main(argv=None):
         from ..train.engine import load_orbax
         params, state = load_orbax(args.model_path)
     else:
+        from ..checkpoint.torch_convert import convert_checked
         sd = load_torch_state_dict(args.model_path)
-        params, state = mdef.convert_torch(sd, num_classes=NUM_CLASSES)
+        params, state = convert_checked(
+            mdef.convert_torch, sd, f"--text_model={args.text_model}",
+            num_classes=NUM_CLASSES)
 
     if args.compute_dtype == "bfloat16":
         from ..utils.dtype import cast_float_params

@@ -79,7 +79,7 @@ def bench_mm_rca(batch_size: int = 128):
     """Flagship multimodal eval: MM-RCA (EffNetV2-M@480 + DistilBERT +
     fused Pallas RCA block), bf16, uint8 images — BASELINE.json config #4.
     The reference runs this at bs=16 on a V100 (calculate_test_accuracy_
-    both.py:159), est. ~45 samples/s."""
+    both.py:159); derived baseline ~50 samples/s (BASELINE.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

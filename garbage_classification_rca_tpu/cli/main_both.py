@@ -171,8 +171,8 @@ def main(argv=None):
         print("Resume targets fine_tune phase; skipping phase 1")
     else:
         opt, step = make_step(fusion_head_mask(params), args.lr)
-        opt_state = shard_params(mesh, plan.opt_state(
-            "train", opt, params, opt.init(jax.device_get(params))))
+        opt_state = shard_params(mesh, plan.opt_state("train", opt,
+                                                       params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -188,8 +188,9 @@ def main(argv=None):
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
-        opt_state = shard_params(mesh, plan.opt_state(
-            "fine_tune", opt, params, jax.device_get(opt_state)))
+        if plan.for_phase("fine_tune") is not None:
+            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
+                                                          params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

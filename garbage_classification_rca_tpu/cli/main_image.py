@@ -85,14 +85,14 @@ def main(argv=None):
         norm_stats = (mean.astype("float32"), std.astype("float32"))
         print(f"Mean Train Dataset: {mean}, STD Train Dataset: {std}")
 
-    from ..train.engine import maybe_load_resume
-    resume = maybe_load_resume(args.model_path)
-    if resume is not None:
+    from ..train.engine import ResumePlan, maybe_load_resume
+    plan = ResumePlan(maybe_load_resume(args.model_path))
+    if plan.resume is not None:
         # FULL resume: params + opt_state + scheduler + epoch + RNG
-        params, state = resume["params"], resume["state"]
+        params, state = plan.resume["params"], plan.resume["state"]
         print(f"Full-resume from {args.model_path} "
-              f"(phase={resume['meta']['phase_name']} "
-              f"epoch={resume['meta']['epoch']})")
+              f"(phase={plan.resume['meta']['phase_name']} "
+              f"epoch={plan.resume['meta']['epoch']})")
     elif args.model_path and os.path.isdir(args.model_path):
         # warm-start from one of our orbax BEST checkpoints (params only;
         # the reference has no resume path — SURVEY §5 gap-fill)
@@ -144,33 +144,17 @@ def main(argv=None):
     logger = MetricsLogger(args.name or f"image_{args.image_model}",
                            use_wandb=args.wandb, config=vars(args))
 
-    from ..train.engine import PhaseResult, restore_opt_state
-
-    def phase_resume(phase_name):
-        """resume payload + restored opt_state when it targets this phase."""
-        if resume is not None and \
-                resume["meta"]["phase_name"] == phase_name:
-            return resume
-        return None
-
     # phase 1 — frozen backbone iff --tl (models.py:18-24)
     best = None
-    skip_phase1 = (resume is not None
-                   and resume["meta"]["phase_name"] == "fine_tune")
-    if skip_phase1:
-        best = PhaseResult(float(resume["meta"]["best_val_acc"]),
-                           int(resume["meta"]["best_epoch"]),
-                           resume["meta"]["best_path"] or None)
+    if plan.skip_phase1:
+        best = plan.initial_best()
         print("Resume targets fine_tune phase; skipping phase 1")
     else:
         mask = head_only_mask(params, head_keys_for(args.image_model)) \
             if args.tl else all_trainable_mask(params)
         opt, step = make_step(mask, args.lr, args.acc_steps)
-        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
-        r1 = phase_resume("train")
-        if r1 is not None:
-            opt_state = shard_params(mesh, restore_opt_state(
-                opt, jax.device_get(params), r1["opt_state"]))
+        opt_state = shard_params(mesh, plan.opt_state("train", opt,
+                                                       params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -178,7 +162,7 @@ def main(argv=None):
             batch_size=batch_size, acc_steps=args.acc_steps, args=args,
             mesh=mesh, model_name=args.image_model, logger=logger,
             balanced_sampler=args.balanced_sampler,
-            save_resume=True, resume=r1, keep_top_k=3)
+            save_resume=True, resume=plan.for_phase("train"), keep_top_k=3)
 
     # phase 2 — unfreeze all at lr/fraction_lr with plateau scheduling
     if args.ft_epochs > 0:
@@ -187,10 +171,9 @@ def main(argv=None):
                               args.acc_steps_FT)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.2)
-        r2 = phase_resume("fine_tune")
-        if r2 is not None:
-            opt_state = shard_params(mesh, restore_opt_state(
-                opt, jax.device_get(params), r2["opt_state"]))
+        if plan.for_phase("fine_tune") is not None:
+            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
+                                                          params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -198,7 +181,8 @@ def main(argv=None):
             batch_size=ft_batch, acc_steps=args.acc_steps_FT, args=args,
             mesh=mesh, model_name=args.image_model, logger=logger,
             scheduler=sched, best=best, balanced_sampler=args.balanced_sampler,
-            fine_tuning=True, save_resume=True, resume=r2, keep_top_k=3)
+            fine_tuning=True, save_resume=True,
+            resume=plan.for_phase("fine_tune"), keep_top_k=3)
 
     train_batcher.close()
     val_batcher.close()

@@ -165,8 +165,8 @@ def main(argv=None):
         mask = head_only_mask(params, head_keys_for(args.text_model)) \
             if args.tl else all_trainable_mask(params)
         opt, step = make_step(mask, args.lr)
-        opt_state = shard_params(mesh, plan.opt_state(
-            "train", opt, params, opt.init(jax.device_get(params))))
+        opt_state = shard_params(mesh, plan.opt_state("train", opt,
+                                                       params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -183,8 +183,9 @@ def main(argv=None):
         opt, step = make_step(all_trainable_mask(params), ft_lr)
         opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
-        opt_state = shard_params(mesh, plan.opt_state(
-            "fine_tune", opt, params, jax.device_get(opt_state)))
+        if plan.for_phase("fine_tune") is not None:
+            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
+                                                          params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

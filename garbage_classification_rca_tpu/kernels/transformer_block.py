@@ -127,7 +127,7 @@ def blocks_fit(d: int, ffn: int) -> bool:
     return attn_fits(d) and mlp_fits(d, ffn)
 
 
-def _tile_for(b, n, d, heads, ffn):
+def _tile_for(b, n, d, ffn):
     """Batch tile: keep scores + the larger of qkv / mlp-hidden in VMEM."""
     per_sample = max(n * n * 4 + 3 * n * d * 2,   # one head's scores + qkv
                      n * ffn * 2 * 2)             # mlp hidden (fp32+bf16)
@@ -170,7 +170,7 @@ def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, *, heads: int,
         interpret = jax.default_backend() != "tpu"
     b, n, d = x.shape
     if tile <= 0:
-        tile = _tile_for(b, n, d, heads, 4 * d)
+        tile = _tile_for(b, n, d, 4 * d)
     x_p, pad = _pad_batch(x, tile)
     out = _call(functools.partial(_attn_kernel, heads=heads, eps=eps),
                 x_p, (ln_scale, ln_bias, wqkv, bqkv, wout, bout),
@@ -187,7 +187,7 @@ def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float = 1e-6,
         interpret = jax.default_backend() != "tpu"
     b, n, d = x.shape
     if tile <= 0:
-        tile = _tile_for(b, n, d, 1, w1.shape[1])
+        tile = _tile_for(b, n, d, w1.shape[1])
     x_p, pad = _pad_batch(x, tile)
     out = _call(functools.partial(_mlp_kernel, eps=eps, act=act),
                 x_p, (ln_scale, ln_bias, w1, b1, w2, b2),

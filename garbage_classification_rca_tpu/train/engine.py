@@ -169,9 +169,17 @@ def save_train_state(*, out_root: str, model_name: str, params, state,
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ocp.PyTreeCheckpointer().save(tmp, payload)
+    # crash-safe swap: keep the previous RESUME until the new one is in
+    # place (a kill between delete and rename must not lose all resume
+    # state — the whole point of this checkpoint)
+    prev = path + ".prev"
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, prev)
     os.replace(tmp, path)
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
     return path
 
 
@@ -186,10 +194,18 @@ def load_train_state(path: str) -> Dict:
 
 def maybe_load_resume(model_path: str) -> Optional[Dict]:
     """Full-resume payload when --model_path points at a RESUME dir
-    (written by save_train_state); None otherwise."""
-    if model_path and os.path.isdir(model_path) and \
-            os.path.basename(os.path.normpath(model_path)) == "RESUME":
+    (written by save_train_state); None otherwise. Falls back to the
+    RESUME.prev kept during the crash-safe swap."""
+    if not model_path or \
+            os.path.basename(os.path.normpath(model_path)) != "RESUME":
+        return None
+    if os.path.isdir(model_path):
         return load_train_state(model_path)
+    prev = os.path.normpath(model_path) + ".prev"
+    if os.path.isdir(prev):
+        print(f"RESUME missing but {prev} exists (interrupted checkpoint "
+              "swap) — resuming from it")
+        return load_train_state(prev)
     return None
 
 
@@ -215,12 +231,14 @@ class ResumePlan:
             return self.resume
         return None
 
-    def opt_state(self, phase_name: str, opt, params, default):
+    def opt_state(self, phase_name: str, opt, params):
+        """Restored opt state for a matching resume, else a fresh init
+        (built lazily — a resumed run never pays for the discarded init)."""
+        host = jax.device_get(params)
         r = self.for_phase(phase_name)
         if r is None:
-            return default
-        return restore_opt_state(opt, jax.device_get(params),
-                                 r["opt_state"])
+            return opt.init(host)
+        return restore_opt_state(opt, host, r["opt_state"])
 
 
 def restore_opt_state(opt, params, raw):

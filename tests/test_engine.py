@@ -169,3 +169,32 @@ def test_save_best_top_k_retention(tmp_path):
     names = sorted(os.listdir(base))
     accs = sorted(float(n.split("VAL_ACC_")[1].split("_")[0]) for n in names)
     assert len(names) == 2 and accs == [60.0, 70.0]
+
+
+def test_resume_swap_crash_fallback(tmp_path):
+    """A kill between the RESUME swap's rename steps must not lose resume
+    state: maybe_load_resume falls back to RESUME.prev."""
+    import shutil
+
+    from garbage_classification_rca_tpu.train.engine import (
+        PhaseResult, maybe_load_resume, save_train_state)
+
+    params = {"w": jnp.ones((2,))}
+    path = save_train_state(
+        out_root=str(tmp_path), model_name="swapunit", params=params,
+        state={}, opt_state={"m": jnp.zeros((2,))}, rng=jax.random.PRNGKey(0),
+        epoch=3, phase_name="train", scheduler=None,
+        best=PhaseResult(50.0, 1, None))
+    assert maybe_load_resume(path)["meta"]["epoch"] == 3
+    # simulate the crash window: new RESUME never landed, old moved aside
+    shutil.move(path, path + ".prev")
+    payload = maybe_load_resume(path)
+    assert payload is not None and payload["meta"]["epoch"] == 3
+    # second checkpoint overwrites cleanly and removes the .prev
+    path2 = save_train_state(
+        out_root=str(tmp_path), model_name="swapunit", params=params,
+        state={}, opt_state={"m": jnp.zeros((2,))}, rng=jax.random.PRNGKey(1),
+        epoch=4, phase_name="train", scheduler=None,
+        best=PhaseResult(60.0, 4, None))
+    assert maybe_load_resume(path2)["meta"]["epoch"] == 4
+    assert not os.path.exists(path2 + ".prev")

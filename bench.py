@@ -35,10 +35,11 @@ REFERENCE_VIT_B16_EVAL_SPS = 292.0
 SCAN_STEPS = 20
 
 
-def bench_vit_b16(batch_size: int = 128):
+def bench_vit_b16(batch_size: int = 256):
     # v5e measurements (2026-08-16): unfused XLA graph 2606 img/s (bs64);
     # fused attention kernel 2940 (bs128); fully fused encoder blocks
-    # (kernels/transformer_block.py) 3922 img/s (bs128) = 138 TF/s eff.
+    # (kernels/transformer_block.py) 3922 img/s (bs128), 4002 (bs256),
+    # 4006 (bs512 — saturated) = ~141 TF/s effective.
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -369,7 +370,7 @@ def main():
     import jax
 
     n_chips = max(len(jax.devices()), 1)
-    vit_bs = 128
+    vit_bs = 256
     sps, per_batch = bench_vit_b16(vit_bs)
     sps_chip = sps / n_chips
     print(f"# ViT-B16 eval: {sps:.1f} samples/s on {n_chips} chip(s), "
@@ -403,6 +404,15 @@ def main():
         print(f"# distilbert text eval: {d_sps:.1f} samples/s on {n_chips} "
               f"chip(s) (bs=512, seq=64 bucket, bf16, vs_baseline~"
               f"{d_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x)")
+        # strict apples-to-apples row: the reference pads every text to the
+        # tokenizer max (512, CustomImageTextFolder.py:301-336); the 64-token
+        # bucket above is prediction-identical for the few-word garbage texts
+        # (PARITY.md) but this row removes the padding advantage entirely.
+        d512_sps = bench_distilbert_text(seq_len=512)
+        print(f"# distilbert text eval: {d512_sps:.1f} samples/s on {n_chips} "
+              f"chip(s) (bs=512, seq=512 reference-exact padding, bf16, "
+              f"vs_baseline~"
+              f"{d512_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x)")
     except Exception as e:
         print(f"# distilbert bench failed: {type(e).__name__}: {e}")
     try:

@@ -47,3 +47,36 @@ def test_headline_mm_rca_values():
     assert cfg.epochs == 30 and cfg.ft_epochs == 40
     assert cfg.acc_steps == 10 and cfg.balance_weights is True
     assert cfg.prob_aug == 1.0 and cfg.text_model == "distilbert"
+
+
+GENERATED = sorted(pathlib.Path("scripts/reference").glob("*/*.sh"))
+
+
+@pytest.mark.skipif(not GENERATED, reason="generated launchers absent")
+@pytest.mark.parametrize("script", GENERATED, ids=lambda s: f"gen-{s.stem}")
+def test_generated_reference_launchers_parse(script):
+    """Every scripts/reference/ launcher (tools/gen_reference_launchers.py)
+    must carry a flag set our shim accepts, with $DATASET placeholders in
+    the dataset flags."""
+    flags = []
+    for line in script.read_text().splitlines():
+        line = line.strip().rstrip("\\").strip()
+        if line.startswith("--"):
+            if line.startswith(("--dataset_folder_name=", "--dataset_folder_name_val=")):
+                assert "DATASET" in line, line
+                k, _ = line.split("=", 1)
+                line = f"{k}=/tmp/ds"
+            flags.append(line)
+    assert flags, "no flags extracted"
+    cfg = args_parser(flags)
+    if any(f.startswith("--image_model") for f in flags):
+        assert cfg.image_model in IMAGE_ARCHS
+    if any(f.startswith("--text_model") for f in flags):
+        assert cfg.text_model in TEXT_ARCHS
+
+
+def test_generated_launchers_cover_every_reference_slurm():
+    """One generated launcher per reference SLURM wrapper (20 files)."""
+    if not SCRIPTS or not GENERATED:
+        pytest.skip("reference or generated scripts unavailable")
+    assert {s.name for s in GENERATED} == {s.name for s in SCRIPTS}

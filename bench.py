@@ -366,6 +366,59 @@ def bench_train_mm_rca(batch_size: int = 16, acc: int = 2, steps: int = 4):
     return batch_size * acc * steps / wall
 
 
+def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
+    """BLIP-2 LoRA train step (third-pillar train path): grad-accumulated
+    AdamW over the LoRA q/k adapters at the reference microbatch envelope
+    (blip_2_training.py:226-229 — bs16, accumulation 8; acc=2 here keeps
+    the bench short with identical per-microbatch math). Off by default in
+    main() (GC_RCA_BENCH_BLIP2_TRAIN=1) — the full 3.74B fwd+bwd program
+    compiles for minutes and the driver's bench window is finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        make_lora_train_step)
+
+    cfg = blip2.Blip2Config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    opt, step = make_lora_train_step(cfg, params, acc_steps=acc)
+    opt_state = opt.init(lora)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(rng.integers(
+            0, 255, (acc, micro_bs, 224, 224, 3)).astype(np.uint8)),
+        "input_ids": jax.device_put(rng.integers(
+            4, 50000, (acc, micro_bs, 100)).astype(np.int32)),
+        "attention_mask": jax.device_put(
+            np.ones((acc, micro_bs, 100), np.int32)),
+        "label_tokens": jax.device_put(rng.integers(
+            4, 50000, (acc, micro_bs, 4)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(lora, opt_state, batch, rng):
+        def body(carry, i):
+            lora, opt_state = carry
+            b = dict(batch)
+            b["image"] = batch["image"] + (i % 2).astype(jnp.uint8)
+            lora, opt_state, loss = step(lora, opt_state, b, rng)
+            return (lora, opt_state), loss
+        (lora, _), losses = jax.lax.scan(
+            body, (lora, opt_state), jnp.arange(steps))
+        return losses[-1]
+
+    float(run(lora, opt_state, batch, key))
+    t0 = time.perf_counter()
+    float(run(lora, opt_state, batch, key))
+    wall = time.perf_counter() - t0
+    return micro_bs * acc * steps / wall
+
+
 def main():
     import jax
 
@@ -433,6 +486,10 @@ def main():
                   f"samples/s on {n_chips} chip(s)")
             tm = bench_train_mm_rca()
             print(f"# MM-RCA TRAIN (SGD full-FT, bs16 acc2 @480): {tm:.1f} "
+                  f"samples/s on {n_chips} chip(s)")
+        if os.environ.get("GC_RCA_BENCH_BLIP2_TRAIN", "0") == "1":
+            tb = bench_train_blip2()
+            print(f"# BLIP-2 LoRA TRAIN (AdamW, mb16 acc2): {tb:.1f} "
                   f"samples/s on {n_chips} chip(s)")
     except Exception as e:
         print(f"# train bench failed: {type(e).__name__}: {e}")

@@ -401,20 +401,23 @@ def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
     key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def run(lora, opt_state, batch, rng):
+    def run(params, lora, opt_state, batch):
+        # params threaded as an argument: a closure would re-capture the
+        # 7.5 GB of frozen weights as compile-time constants
         def body(carry, i):
             lora, opt_state = carry
             b = dict(batch)
             b["image"] = batch["image"] + (i % 2).astype(jnp.uint8)
-            lora, opt_state, loss = step(lora, opt_state, b, rng)
+            lora, opt_state, loss = step.raw(params, lora, opt_state, b)
             return (lora, opt_state), loss
         (lora, _), losses = jax.lax.scan(
             body, (lora, opt_state), jnp.arange(steps))
         return losses[-1]
 
-    float(run(lora, opt_state, batch, key))
+    del key
+    float(run(params, lora, opt_state, batch))
     t0 = time.perf_counter()
-    float(run(lora, opt_state, batch, key))
+    float(run(params, lora, opt_state, batch))
     wall = time.perf_counter() - t0
     return micro_bs * acc * steps / wall
 

@@ -41,7 +41,7 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
     one lax.scan inside a single device program."""
     opt = optax.adamw(BLIP2_LR)
 
-    def loss_fn(lora, mb):
+    def loss_fn(lora, frozen, mb):
         x = normalize_clip(mb["image"])
         labels = jnp.where(mb["label_tokens"] ==
                            jnp.int32(1), -100, mb["label_tokens"])
@@ -52,18 +52,20 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
             1)
         full_labels = jnp.concatenate(
             [jnp.full_like(mb["input_ids"], -100), labels], 1)
-        return blip2.lm_loss(params, x, ids, mask, full_labels, cfg, lora)
+        return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg, lora)
 
     grad_fn = jax.value_and_grad(loss_fn)
 
+    # the frozen 3.7B params enter as a jit ARGUMENT: closing over them
+    # would bake ~7.5 GB of bf16 weights into the executable as captured
+    # constants (re-uploaded per compile, doubling HBM residency)
     @jax.jit
-    def step(lora, opt_state, batch, rng):
-        del rng
+    def _step(frozen, lora, opt_state, batch):
         acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
         def micro(carry, mb):
             grads_acc, loss_acc = carry
-            loss, grads = grad_fn(lora, mb)
+            loss, grads = grad_fn(lora, frozen, mb)
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
@@ -76,20 +78,30 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
         lora = optax.apply_updates(lora, updates)
         return lora, opt_state, loss_sum / acc
 
-    return opt, step
+    def step(lora, opt_state, batch, rng):
+        del rng
+        return _step(params, lora, opt_state, batch)
+
+    step.raw = _step   # (frozen, lora, opt_state, batch) — for callers that
+    return opt, step   # nest this in a larger jit (e.g. bench scan loops)
 
 
 def make_eval_step(cfg, params, answer_first_tokens):
+    # params as a jit argument, not a captured constant (see _step above)
     @jax.jit
-    def step(lora, batch):
+    def _step(frozen, lora, batch):
         x = normalize_clip(batch["image"])
         next_logits = blip2.next_token_logits(
-            params, x, batch["input_ids"], batch["attention_mask"], cfg, lora)
+            frozen, x, batch["input_ids"], batch["attention_mask"], cfg, lora)
         cls_logits = class_logits_from_next_token(
             next_logits.astype(jnp.float32), answer_first_tokens)
         preds = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         correct = jnp.sum((preds == batch["label"]) * batch["valid"])
         return preds, correct
+
+    def step(lora, batch):
+        return _step(params, lora, batch)
+
     return step
 
 

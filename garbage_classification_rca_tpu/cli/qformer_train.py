@@ -31,9 +31,11 @@ QF_LR = 5e-4
 def make_steps(cfg, params):
     opt = optax.adamw(QF_LR)
 
-    def loss_fn(trainable, batch):
+    # frozen BLIP-2 params enter as a jit ARGUMENT: closing over them
+    # would embed GBs of weights in the executable as captured constants
+    def loss_fn(trainable, frozen, batch):
         x = normalize_clip(batch["image"])
-        feat = blip2.qformer_cls_feature(params, x, cfg).astype(jnp.float32)
+        feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
         logits = nn.linear(trainable["classifier"], feat)
         return cross_entropy_loss(logits, batch["label"],
                                   valid=batch["valid"])
@@ -41,18 +43,24 @@ def make_steps(cfg, params):
     grad_fn = jax.value_and_grad(loss_fn)
 
     @jax.jit
-    def train_step(trainable, opt_state, batch):
-        loss, grads = grad_fn(trainable, batch)
+    def _train_step(frozen, trainable, opt_state, batch):
+        loss, grads = grad_fn(trainable, frozen, batch)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(trainable, batch):
+    def _eval_step(frozen, trainable, batch):
         x = normalize_clip(batch["image"])
-        feat = blip2.qformer_cls_feature(params, x, cfg).astype(jnp.float32)
+        feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
         preds = jnp.argmax(nn.linear(trainable["classifier"], feat),
                            axis=-1).astype(jnp.int32)
         return preds, jnp.sum((preds == batch["label"]) * batch["valid"])
+
+    def train_step(trainable, opt_state, batch):
+        return _train_step(params, trainable, opt_state, batch)
+
+    def eval_step(trainable, batch):
+        return _eval_step(params, trainable, batch)
 
     return opt, train_step, eval_step
 

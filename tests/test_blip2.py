@@ -192,3 +192,40 @@ def test_lora_roundtrip_with_peft(models, converted):
     got0 = blip2.forward_lm(params, jnp.asarray(pix.transpose(0, 2, 3, 1)),
                             jnp.asarray(ids), jnp.asarray(mask), cfg)
     assert not np.allclose(np.asarray(got0), want, atol=1e-5)
+
+
+def test_lora_train_step_params_as_args():
+    """make_lora_train_step must thread the frozen params as a jit ARGUMENT
+    (closing over the full-size model would bake ~7.5 GB of constants into
+    the executable); step.raw is the arg-passing form for callers nesting
+    the step in a larger jit. Both must produce identical updates."""
+    import jax
+    import numpy as np
+
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        tiny_blip2_config)
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        make_lora_train_step)
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    cfg = tiny_blip2_config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg)
+    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg)
+    opt, step = make_lora_train_step(cfg, params, acc_steps=2)
+    opt_state = opt.init(lora)
+
+    rng = np.random.default_rng(0)
+    sz = cfg.vision.image_size
+    batch = {
+        "image": rng.integers(0, 255, (2, 2, sz, sz, 3)).astype(np.uint8),
+        "input_ids": rng.integers(4, 100, (2, 2, 6)).astype(np.int32),
+        "attention_mask": np.ones((2, 2, 6), np.int32),
+        "label_tokens": rng.integers(4, 100, (2, 2, 4)).astype(np.int32),
+    }
+    l1, o1, loss1 = step(lora, opt_state, batch, jax.random.PRNGKey(2))
+    l2, o2, loss2 = step.raw(params, lora, opt_state, batch)
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(l1),
+                    jax.tree_util.tree_leaves(l2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

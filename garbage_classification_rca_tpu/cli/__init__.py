@@ -4,6 +4,12 @@ GC_RCA_PLATFORM=cpu[:N] pins the JAX backend before first use — needed
 because this image's sitecustomize imports jax's config at interpreter
 startup with the TPU platform already selected, so JAX_PLATFORMS set by a
 caller arrives too late (hermetic CI drives / machines without the chip).
+
+GC_RCA_COMPILE_CACHE=<dir|0> controls the persistent XLA compilation
+cache (default: ~/.cache/gc_rca_tpu/xla). TPU compiles for the full-size
+models take minutes; the cache turns every repeat CLI invocation of the
+same (model, batch) program into a sub-second load (measured 10.9 s ->
+0.8 s for a matmul-chain program across processes on v5e).
 """
 
 import os as _os
@@ -16,3 +22,17 @@ if _plat:
     _jax.config.update("jax_platforms", name)
     if name == "cpu":
         _jax.config.update("jax_num_cpu_devices", int(n) if n else 8)
+
+_cache = _os.environ.get("GC_RCA_COMPILE_CACHE", "")
+if _cache != "0":
+    import jax as _jax
+
+    if not _cache:
+        _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                               "gc_rca_tpu", "xla")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except OSError:
+        pass  # read-only home: run uncached

@@ -427,10 +427,13 @@ def main():
 
     import jax
 
-    # persistent XLA cache (same policy as the CLIs): first driver round
-    # pays the ~3-min-per-program remote compiles, later rounds reload in
-    # <1 s. Timings are unaffected — each bench times the second in-process
-    # invocation of an already-built executable.
+    # persistent XLA cache (same policy as the CLIs). Honest expectation,
+    # measured 2026-08-17: entries ARE reused across processes (atimes
+    # confirm hits) but a full bench rerun stayed ~25 min — on this
+    # tunneled backend the per-program device load/session setup, not XLA
+    # compilation, dominates. Small/medium programs (e.g. test_image CLI:
+    # 7m14s -> 2m53s) benefit substantially; timings are unaffected either
+    # way (each bench times the second in-process invocation).
     cache = os.environ.get("GC_RCA_COMPILE_CACHE", "")
     if cache != "0":
         if not cache:

@@ -128,9 +128,9 @@ def main(argv=None):
                               extended_desc=args.extended_desc_val)
     print(f"Num of test images: {len(manifest)}")
     tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
-    from ..parallel.mesh import round_up_batch
-    batch_size = round_up_batch(args.eval_batch_size or MULTIMODAL_EVAL_BATCH,
-                                mesh)
+    from ..parallel.mesh import clamp_eval_batch
+    batch_size = clamp_eval_batch(args.eval_batch_size or MULTIMODAL_EVAL_BATCH,
+                                  len(manifest), mesh)
     batcher = ImageTextBatcher(
         manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
         seq_len=args.seq_len or DEFAULT_SEQ_LEN,

@@ -75,11 +75,11 @@ def main(argv=None):
     params = shard_params(mesh, params)
     state = shard_params(mesh, state)
 
-    from ..parallel.mesh import round_up_batch
-    batch_size = round_up_batch(batch_size, mesh)
-
     manifest = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(manifest)}")
+
+    from ..parallel.mesh import clamp_eval_batch
+    batch_size = clamp_eval_batch(batch_size, len(manifest), mesh)
     batcher = ImageTextBatcher(manifest, spec.input_size,
                                workers=args.data_workers)
 

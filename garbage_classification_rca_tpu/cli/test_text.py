@@ -82,9 +82,10 @@ def main(argv=None):
                               extended_desc=args.extended_desc_val)
     print(f"Num of test samples: {len(manifest)}")
     tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
-    from ..parallel.mesh import round_up_batch
-    batch_size = round_up_batch(
-        args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch, mesh)
+    from ..parallel.mesh import clamp_eval_batch
+    batch_size = clamp_eval_batch(
+        args.eval_batch_size or TEXT_ARCHS[args.text_model].eval_batch,
+        len(manifest), mesh)
     batcher = ImageTextBatcher(
         manifest, (0, 0), tokenizer=tok, seq_len=args.seq_len or DEFAULT_SEQ_LEN,
         extended_desc=args.extended_desc_val is not None,

@@ -98,6 +98,15 @@ def round_up_batch(batch_size: int, mesh: Optional[Mesh],
     return ((batch_size + n - 1) // n) * n
 
 
+def clamp_eval_batch(batch_size: int, n_samples: int,
+                     mesh: Optional[Mesh], axis: str = DATA_AXIS) -> int:
+    """Eval batch for a dataset of n_samples: no bigger than the dataset
+    (a table-sized 256-batch program for a 16-image run wastes the whole
+    compile + forward on padding), mesh-divisible, at least 1 sample.
+    Numerics are unchanged either way — tail padding is masked by `valid`."""
+    return round_up_batch(max(1, min(batch_size, n_samples)), mesh)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
     """Device-put a host batch with its leading dim sharded over the mesh."""
     s = batch_sharding(mesh, axis)

@@ -39,3 +39,18 @@ def test_pad_batch_to_multiple():
     assert n == 13
     assert padded["a"].shape == (16, 3)
     assert padded["b"].shape == (16,)
+
+
+def test_clamp_eval_batch():
+    """Eval batch clamps to the dataset size (mesh-divisible, >=1) so tiny
+    runs don't compile/execute table-sized programs full of padding."""
+    from garbage_classification_rca_tpu.parallel.mesh import (
+        clamp_eval_batch, make_mesh)
+
+    mesh = make_mesh("data:8")
+    assert clamp_eval_batch(256, 16, mesh) == 16
+    assert clamp_eval_batch(256, 17, mesh) == 24   # rounded up to /8
+    assert clamp_eval_batch(256, 5000, mesh) == 256
+    assert clamp_eval_batch(256, 3, mesh) == 8
+    assert clamp_eval_batch(256, 16, None) == 16
+    assert clamp_eval_batch(256, 0, None) == 1

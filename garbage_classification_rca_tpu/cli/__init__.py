@@ -6,10 +6,10 @@ startup with the TPU platform already selected, so JAX_PLATFORMS set by a
 caller arrives too late (hermetic CI drives / machines without the chip).
 
 GC_RCA_COMPILE_CACHE=<dir|0> controls the persistent XLA compilation
-cache (default: ~/.cache/gc_rca_tpu/xla). TPU compiles for the full-size
-models take minutes; the cache turns every repeat CLI invocation of the
-same (model, batch) program into a sub-second load (measured 10.9 s ->
-0.8 s for a matmul-chain program across processes on v5e).
+cache (default: ~/.cache/gc_rca_tpu/xla). Repeat CLI invocations of the
+same (model, batch) program skip the XLA compile (measured 10.9 s ->
+0.8 s cross-process for a matmul chain; test_image CLI 7m14s -> 2m53s on
+the tunneled v5e, where the residual is input upload, not compile).
 """
 
 import os as _os

@@ -104,7 +104,7 @@ def clamp_eval_batch(batch_size: int, n_samples: int,
     (a table-sized 256-batch program for a 16-image run wastes the whole
     compile + forward on padding), mesh-divisible, at least 1 sample.
     Numerics are unchanged either way — tail padding is masked by `valid`."""
-    return round_up_batch(max(1, min(batch_size, n_samples)), mesh)
+    return round_up_batch(max(1, min(batch_size, n_samples)), mesh, axis)
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):

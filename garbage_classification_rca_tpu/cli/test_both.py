@@ -105,8 +105,13 @@ def main(argv=None):
     cfg = fusion_config_from_args(args)
     init_fn, apply_fn, convert_fn = build_fusion(cfg)
     if os.path.isdir(args.model_path):
-        from ..train.engine import load_orbax
+        import jax as _jax
+
+        from ..train.engine import check_loaded_tree, load_orbax
         params, state = load_orbax(args.model_path)
+        check_loaded_tree(
+            params, lambda: init_fn(_jax.random.PRNGKey(0)),
+            f"--late_fusion={args.late_fusion} --text_model={args.text_model}")
     else:
         sd = load_torch_state_dict(args.model_path)
         params, state = convert_fn(sd)

@@ -48,8 +48,14 @@ def main(argv=None):
     print(f"Image Model: {args.image_model}")
     if os.path.isdir(args.model_path):
         # our own training output (orbax dir, train/engine.save_best)
-        from ..train.engine import load_orbax
+        import jax as _jax
+
+        from ..train.engine import check_loaded_tree, load_orbax
         params, state = load_orbax(args.model_path)
+        check_loaded_tree(
+            params,
+            lambda: mdef.init(_jax.random.PRNGKey(0), num_classes=NUM_CLASSES),
+            f"--image_model={args.image_model}")
     else:
         if mdef.convert_torch is None:
             print(f"No torch converter registered for {args.image_model}")

@@ -60,8 +60,14 @@ def main(argv=None):
 
     mdef = get_text_model(args.text_model)
     if os.path.isdir(args.model_path):
-        from ..train.engine import load_orbax
+        import jax as _jax
+
+        from ..train.engine import check_loaded_tree, load_orbax
         params, state = load_orbax(args.model_path)
+        check_loaded_tree(
+            params,
+            lambda: mdef.init(_jax.random.PRNGKey(0), num_classes=NUM_CLASSES),
+            f"--text_model={args.text_model}")
     else:
         from ..checkpoint.torch_convert import convert_checked
         sd = load_torch_state_dict(args.model_path)

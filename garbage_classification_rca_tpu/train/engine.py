@@ -117,6 +117,32 @@ def load_orbax(path: str):
     return restored["params"], restored["state"]
 
 
+def check_loaded_tree(loaded_params, init_fn, flag_desc: str) -> None:
+    """Readable error when an orbax checkpoint doesn't match the model the
+    CLI flags select (e.g. --image_model=res18 pointed at a shuffle_net
+    run dir) — otherwise the mismatch surfaces mid-forward as a raw
+    KeyError. init_fn() must return (params, state); it runs under
+    jax.eval_shape, so no arrays are materialized."""
+    import jax
+
+    expected, _ = jax.eval_shape(init_fn)
+    want = {jax.tree_util.keystr(kp) for kp, _ in
+            jax.tree_util.tree_flatten_with_path(expected)[0]}
+    got = {jax.tree_util.keystr(kp) for kp, _ in
+           jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
+    if want == got:
+        return
+    missing = sorted(want - got)[:5]
+    unexpected = sorted(got - want)[:5]
+    raise SystemExit(
+        f"checkpoint does not match {flag_desc}: "
+        + (f"missing {missing}{'...' if len(want - got) > 5 else ''} "
+           if missing else "")
+        + (f"unexpected {unexpected}"
+           f"{'...' if len(got - want) > 5 else ''}" if unexpected else "")
+        + " — was this run dir trained with a different model flag?")
+
+
 def _prune_best(base: str, keep_top_k: int) -> None:
     """Top-k retention: keep only the k best BEST_* checkpoints per model
     dir (long runs otherwise accumulate a full param copy per best epoch)."""

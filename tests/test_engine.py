@@ -198,3 +198,26 @@ def test_resume_swap_crash_fallback(tmp_path):
         best=PhaseResult(60.0, 4, None))
     assert maybe_load_resume(path2)["meta"]["epoch"] == 4
     assert not os.path.exists(path2 + ".prev")
+
+
+def test_check_loaded_tree_mismatch_readable():
+    """Orbax dir trained with a different model flag must fail with a
+    readable SystemExit naming missing/unexpected keys, not a mid-forward
+    KeyError (and pass silently on a match)."""
+    import jax
+    import pytest
+
+    from garbage_classification_rca_tpu.models import get_image_model
+    from garbage_classification_rca_tpu.train.engine import check_loaded_tree
+
+    sn = get_image_model("shuffle_net")
+    rn = get_image_model("res18")
+    sn_params, _ = jax.eval_shape(
+        lambda: sn.init(jax.random.PRNGKey(0), num_classes=4))
+    check_loaded_tree(
+        sn_params, lambda: sn.init(jax.random.PRNGKey(0), num_classes=4),
+        "--image_model=shuffle_net")  # match: no raise
+    with pytest.raises(SystemExit, match="--image_model=res18"):
+        check_loaded_tree(
+            sn_params, lambda: rn.init(jax.random.PRNGKey(0), num_classes=4),
+            "--image_model=res18")

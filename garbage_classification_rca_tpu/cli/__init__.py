@@ -36,3 +36,15 @@ if _cache != "0":
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except OSError:
         pass  # read-only home: run uncached
+
+
+def resolve_model(getter, name: str):
+    """Reference-style clean exit on an unknown model name (the reference
+    prints 'Invalid Model: ...' and sys.exit(1)s — main_image.py:358-359 —
+    instead of a traceback)."""
+    try:
+        return getter(name)
+    except KeyError as e:
+        print(f"Invalid Model: {name}")
+        print(e.args[0])
+        raise SystemExit(1)

@@ -56,7 +56,8 @@ def head_keys_for(arch: str):
 
 def main(argv=None):
     args = args_parser(argv)
-    mdef = get_image_model(args.image_model)
+    from . import resolve_model
+    mdef = resolve_model(get_image_model, args.image_model)
     spec = IMAGE_ARCHS[args.image_model]
     batch_size = args.batch_size or spec.train_batch
     ft_batch = args.batch_size_FT or spec.ft_batch

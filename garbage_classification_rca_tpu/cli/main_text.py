@@ -77,7 +77,8 @@ class SynonymBatcher(ImageTextBatcher):
 
 def main(argv=None):
     args = args_parser(argv)
-    mdef = get_text_model(args.text_model)
+    from . import resolve_model
+    mdef = resolve_model(get_text_model, args.text_model)
     spec = TEXT_ARCHS[args.text_model]
 
     mesh = make_mesh(args.mesh_shape)

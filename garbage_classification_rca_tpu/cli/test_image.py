@@ -41,7 +41,8 @@ def main(argv=None):
         print("Please provide test model path")
         sys.exit(0)
 
-    mdef = get_image_model(args.image_model)
+    from . import resolve_model
+    mdef = resolve_model(get_image_model, args.image_model)
     spec = IMAGE_ARCHS[args.image_model]
     batch_size = args.eval_batch_size or spec.eval_batch
 

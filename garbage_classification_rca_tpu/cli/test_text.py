@@ -58,7 +58,8 @@ def main(argv=None):
         print("Please provide test model path")
         sys.exit(0)
 
-    mdef = get_text_model(args.text_model)
+    from . import resolve_model
+    mdef = resolve_model(get_text_model, args.text_model)
     if os.path.isdir(args.model_path):
         import jax as _jax
 

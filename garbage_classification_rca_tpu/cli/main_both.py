@@ -57,8 +57,15 @@ def fusion_head_mask(params):
 
 def main(argv=None):
     args = args_parser(argv)
+    if args.opt not in ("sgd", "adamw"):
+        print("Invalid optimizer!")   # reference wording, main_image.py:536
+        raise SystemExit(1)
     cfg = fusion_config_from_args(args)
-    init_fn, apply_fn, _ = build_fusion(cfg)
+    try:
+        init_fn, apply_fn, _ = build_fusion(cfg)
+    except ValueError:
+        print("Wrong late fusion strategy: ", args.late_fusion)  # reference main_both.py:342
+        raise SystemExit(1)
 
     mesh = make_mesh(args.mesh_shape)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32

@@ -56,6 +56,9 @@ def head_keys_for(arch: str):
 
 def main(argv=None):
     args = args_parser(argv)
+    if args.opt not in ("sgd", "adamw"):
+        print("Invalid optimizer!")   # reference wording, main_image.py:536
+        raise SystemExit(1)
     from . import resolve_model
     mdef = resolve_model(get_image_model, args.image_model)
     spec = IMAGE_ARCHS[args.image_model]

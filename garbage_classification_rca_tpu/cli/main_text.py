@@ -77,6 +77,9 @@ class SynonymBatcher(ImageTextBatcher):
 
 def main(argv=None):
     args = args_parser(argv)
+    if args.opt not in ("sgd", "adamw"):
+        print("Invalid optimizer!")   # reference wording, main_image.py:536
+        raise SystemExit(1)
     from . import resolve_model
     mdef = resolve_model(get_text_model, args.text_model)
     spec = TEXT_ARCHS[args.text_model]

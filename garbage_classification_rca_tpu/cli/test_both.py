@@ -103,7 +103,11 @@ def main(argv=None):
         sys.exit(0)
 
     cfg = fusion_config_from_args(args)
-    init_fn, apply_fn, convert_fn = build_fusion(cfg)
+    try:
+        init_fn, apply_fn, convert_fn = build_fusion(cfg)
+    except ValueError:
+        print("Wrong late fusion strategy: ", args.late_fusion)  # reference main_both.py:342
+        raise SystemExit(1)
     if os.path.isdir(args.model_path):
         import jax as _jax
 

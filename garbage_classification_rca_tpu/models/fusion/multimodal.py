@@ -565,8 +565,19 @@ def convert_torch(sd: dict, cfg: FusionConfig):
     return params, {"image": img_state}
 
 
+STRATEGIES = ("gated", "classic", "normalized", "clip", "MM_RCA",
+              "hierarchical", "bimodal")
+
+
 def build_fusion(cfg: FusionConfig):
-    """-> (init_fn, apply_fn, convert_fn) for the configured strategy."""
+    """-> (init_fn, apply_fn, convert_fn) for the configured strategy.
+
+    Validates the strategy EAGERLY (the reference errors at model
+    construction, main_both.py:342-343 — deferring to forward() would let
+    a typo'd --late_fusion train for 0 epochs 'successfully')."""
+    if cfg.strategy not in STRATEGIES:
+        raise ValueError(f"unknown late-fusion strategy '{cfg.strategy}'; "
+                         f"known: {list(STRATEGIES)}")
 
     def _init(key, dtype=jnp.float32):
         return init(key, cfg, dtype)

@@ -27,12 +27,47 @@ goal is >=10x/chip => vs_baseline >= 10.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 # DeiT-base (= ViT-B/16 compute graph) published V100 throughput: 292.3
 # img/s (Touvron et al., ICML 2021). Derivation + FLOP math: BASELINE.md.
 REFERENCE_VIT_B16_EVAL_SPS = 292.0
-SCAN_STEPS = 20
+SCAN_STEPS = int(os.environ.get("GC_RCA_BENCH_SCAN", "20"))
+
+# Every vs_baseline denominator except ViT's (anchored on DeiT's published
+# 292.3 img/s) is a derived estimate (FLOPs + public V100 specs) — flagged
+# on each printed line per VERDICT r2.
+DERIVED = "derived baseline, BASELINE.md"
+
+# Multi-chip readiness: when >1 device is visible, main() builds a 1-D
+# data mesh and every bench shards its batch over it (params replicated),
+# so the same command measures dp scaling on real multi-chip hardware.
+# Smoke-tested on a virtual CPU mesh via
+#   GC_RCA_PLATFORM=cpu:8 GC_RCA_BENCH_SMOKE=1 python bench.py
+_MESH = None
+
+
+def _put_data(x):
+    """device_put a batch array, sharded over the data mesh if present."""
+    import jax
+
+    if _MESH is None:
+        return jax.device_put(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(_MESH, P("data")))
+
+
+def _put_repl(tree):
+    """Replicate params/state across the mesh (no-op single-device)."""
+    import jax
+
+    if _MESH is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(tree, NamedSharding(_MESH, P()))
 
 
 def bench_vit_b16(batch_size: int = 256):
@@ -50,6 +85,7 @@ def bench_vit_b16(batch_size: int = 256):
     mdef = get_image_model("transformer_B16")
     params, state = mdef.init(jax.random.PRNGKey(0), num_classes=4)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    params = _put_repl(params)
 
     @jax.jit
     def run(params, images):
@@ -66,7 +102,7 @@ def bench_vit_b16(batch_size: int = 256):
         return acc
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(
+    images = _put_data(
         rng.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8))
     int(run(params, images))          # compile + first run
     t0 = time.perf_counter()
@@ -76,11 +112,17 @@ def bench_vit_b16(batch_size: int = 256):
     return batch_size / per_batch, per_batch
 
 
-def bench_mm_rca(batch_size: int = 128):
+def bench_mm_rca(batch_size: int = 128, seq_len: int = 64):
     """Flagship multimodal eval: MM-RCA (EffNetV2-M@480 + DistilBERT +
     fused Pallas RCA block), bf16, uint8 images — BASELINE.json config #4.
     The reference runs this at bs=16 on a V100 (calculate_test_accuracy_
-    both.py:159); derived baseline ~50 samples/s (BASELINE.md)."""
+    both.py:159); derived baseline ~50 samples/s (BASELINE.md).
+
+    seq_len=64 is the production token bucket (prediction-identical for
+    the few-word garbage texts, PARITY.md); seq_len=512 is the
+    reference-exact padding (CustomImageTextFolder.py:301-336 pads every
+    text to the tokenizer max) matching the 50 img/s denominator's
+    DistilBERT@512 FLOP count — the strict apples-to-apples row."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,6 +142,7 @@ def bench_mm_rca(batch_size: int = 128):
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         params)
+    params = _put_repl(params)
 
     @jax.jit
     def run(params, ids, mask, images):
@@ -114,9 +157,10 @@ def bench_mm_rca(batch_size: int = 128):
         return acc
 
     rng = np.random.default_rng(0)
-    ids = jax.device_put(rng.integers(100, 30000, (batch_size, 64)).astype(np.int32))
-    mask = jax.device_put(np.ones((batch_size, 64), np.int32))
-    images = jax.device_put(
+    ids = _put_data(rng.integers(100, 30000, (batch_size, seq_len)
+                                 ).astype(np.int32))
+    mask = _put_data(np.ones((batch_size, seq_len), np.int32))
+    images = _put_data(
         rng.integers(0, 255, (batch_size, 480, 480, 3)).astype(np.uint8))
     int(run(params, ids, mask, images))
     t0 = time.perf_counter()
@@ -146,6 +190,7 @@ def bench_blip2(batch_size: int = 8):
 
     cfg = blip2.Blip2Config()
     params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = _put_repl(params)
 
     @jax.jit
     def run(params, pix, ids, mask):
@@ -159,11 +204,11 @@ def bench_blip2(batch_size: int = 8):
         return acc
 
     rng = np.random.default_rng(0)
-    pix = jax.device_put(rng.integers(0, 255, (batch_size, 224, 224, 3)
-                                      ).astype(np.uint8))
-    ids = jax.device_put(rng.integers(4, 50000, (batch_size, 100)
-                                      ).astype(np.int32))
-    mask = jax.device_put(np.ones((batch_size, 100), np.int32))
+    pix = _put_data(rng.integers(0, 255, (batch_size, 224, 224, 3)
+                                 ).astype(np.uint8))
+    ids = _put_data(rng.integers(4, 50000, (batch_size, 100)
+                                 ).astype(np.int32))
+    mask = _put_data(np.ones((batch_size, 100), np.int32))
     int(run(params, pix, ids, mask))
     t0 = time.perf_counter()
     int(run(params, pix, ids, mask))
@@ -194,6 +239,7 @@ def bench_shufflenet(batch_size: int = 512):
     mdef = get_image_model("shuffle_net")
     params, state = mdef.init(jax.random.PRNGKey(0), num_classes=4)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    params = _put_repl(params)
 
     @jax.jit
     def run(params, images):
@@ -206,7 +252,7 @@ def bench_shufflenet(batch_size: int = 512):
         return acc
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(
+    images = _put_data(
         rng.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8))
     int(run(params, images))
     t0 = time.perf_counter()
@@ -228,6 +274,7 @@ def bench_distilbert_text(batch_size: int = 512, seq_len: int = 64):
     mdef = get_text_model("distilbert")
     params, state = mdef.init(jax.random.PRNGKey(0), num_classes=4)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    params = _put_repl(params)
 
     @jax.jit
     def run(params, ids, mask):
@@ -240,9 +287,9 @@ def bench_distilbert_text(batch_size: int = 512, seq_len: int = 64):
         return acc
 
     rng = np.random.default_rng(0)
-    ids = jax.device_put(rng.integers(100, 30000, (batch_size, seq_len)
-                                      ).astype(np.int32))
-    mask = jax.device_put(np.ones((batch_size, seq_len), np.int32))
+    ids = _put_data(rng.integers(100, 30000, (batch_size, seq_len)
+                                 ).astype(np.int32))
+    mask = _put_data(np.ones((batch_size, seq_len), np.int32))
     int(run(params, ids, mask))
     t0 = time.perf_counter()
     int(run(params, ids, mask))
@@ -422,10 +469,38 @@ def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
     return micro_bs * acc * steps / wall
 
 
+class _SmokeSkip(Exception):
+    pass
+
+
 def main():
-    import os
+    global _MESH
+
+    # GC_RCA_PLATFORM=cpu[:N]: same pinning hook as the CLIs (sitecustomize
+    # preselects the axon TPU, so JAX_PLATFORMS from a caller is too late).
+    # Used by the multi-chip smoke: GC_RCA_PLATFORM=cpu:8 GC_RCA_BENCH_SMOKE=1.
+    plat = os.environ.get("GC_RCA_PLATFORM")
+    if plat:
+        name, _, n = plat.partition(":")
+        if name == "cpu" and (int(n) if n else 1) > 1:
+            # slow hosts: XLA:CPU in-process collectives abort at a 40 s
+            # rendezvous timeout; raise it before backend init (same as
+            # __graft_entry__.dryrun_multichip)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "collective_call_terminate" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+                    + " --xla_cpu_collective_timeout_seconds=3600").strip()
 
     import jax
+
+    if plat:
+        name, _, n = plat.partition(":")
+        jax.config.update("jax_platforms", name)
+        if name == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(n) if n else 8)
 
     # persistent XLA cache (same policy as the CLIs). Honest expectation,
     # measured 2026-08-17: entries ARE reused across processes (atimes
@@ -444,16 +519,26 @@ def main():
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               5.0)
-        except OSError:
+        except (OSError, ValueError):
             pass
 
     n_chips = max(len(jax.devices()), 1)
-    vit_bs = 256
+    if n_chips > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        _MESH = Mesh(_np.array(jax.devices()), ("data",))
+        print(f"# data mesh over {n_chips} devices; batches dp-sharded, "
+              "throughput reported per chip")
+    smoke = os.environ.get("GC_RCA_BENCH_SMOKE") == "1"
+
+    vit_bs = 8 * n_chips if smoke else 256
     sps, per_batch = bench_vit_b16(vit_bs)
     sps_chip = sps / n_chips
     print(f"# ViT-B16 eval: {sps:.1f} samples/s on {n_chips} chip(s), "
           f"batch latency {per_batch * 1e3:.2f} ms (bs={vit_bs}, bf16, "
-          f"fused attention)")
+          f"fused attention; baseline anchored on DeiT's published "
+          f"292.3 img/s, BASELINE.md)")
     # headline JSON first: the sub-benches below compile for minutes and a
     # runner timeout must not cost the recorded metric
     print(json.dumps({
@@ -462,50 +547,78 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_chip / REFERENCE_VIT_B16_EVAL_SPS, 2),
     }), flush=True)
+    # smoke skips MM-RCA: its full-depth EffNetV2-M@480 XLA:CPU compile
+    # takes >10 min on a 1-core host, and the dp-sharding wiring under
+    # test is the same _put_data/_put_repl path the other rows cover
+    if smoke:
+        print("# MM-RCA rows skipped in smoke mode (heavy XLA:CPU compile)")
     try:
-        mm_sps, mm_batch = bench_mm_rca()
+        mm_bs = 128
+        if smoke:
+            raise _SmokeSkip
+        mm_sps, mm_batch = bench_mm_rca(mm_bs)
         mm_chip = mm_sps / n_chips
         print(f"# MM-RCA eval: {mm_sps:.1f} samples/s on {n_chips} chip(s), "
-              f"batch latency {mm_batch * 1e3:.2f} ms (bs=128, 480px, bf16, "
-              f"vs_baseline~{mm_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x)")
+              f"batch latency {mm_batch * 1e3:.2f} ms (bs={mm_bs}, 480px, "
+              f"seq=64 pipeline bucket, bf16, vs_baseline~"
+              f"{mm_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x, {DERIVED})")
+        # strict apples-to-apples row: the 50 img/s denominator counts
+        # DistilBERT@512 FLOPs (reference pads all text to tokenizer max),
+        # so measure at seq=512 too — model-speed claim without the
+        # token-bucket pipeline win (VERDICT r2 weak #2).
+        if not smoke:
+            mm512_sps, mm512_batch = bench_mm_rca(mm_bs, seq_len=512)
+            mm512_chip = mm512_sps / n_chips
+            print(f"# MM-RCA eval: {mm512_sps:.1f} samples/s on {n_chips} "
+                  f"chip(s), batch latency {mm512_batch * 1e3:.2f} ms "
+                  f"(bs={mm_bs}, 480px, seq=512 reference-exact padding, "
+                  f"bf16, vs_baseline~"
+                  f"{mm512_chip / REFERENCE_MM_RCA_EVAL_SPS:.1f}x, {DERIVED})")
+    except _SmokeSkip:
+        pass
     except Exception as e:  # never lose the headline JSON line
         print(f"# MM-RCA bench failed: {type(e).__name__}: {e}")
     try:
-        s_sps = bench_shufflenet()
+        s_bs = 8 * n_chips if smoke else 512
+        s_sps = bench_shufflenet(s_bs)
         print(f"# shuffle_net eval: {s_sps:.1f} samples/s on {n_chips} "
-              f"chip(s) (bs=512, bf16, vs_baseline~"
-              f"{s_sps / n_chips / REFERENCE_SHUFFLENET_EVAL_SPS:.1f}x)")
+              f"chip(s) (bs={s_bs}, bf16, vs_baseline~"
+              f"{s_sps / n_chips / REFERENCE_SHUFFLENET_EVAL_SPS:.1f}x, "
+              f"{DERIVED})")
     except Exception as e:
         print(f"# shuffle_net bench failed: {type(e).__name__}: {e}")
     try:
-        d_sps = bench_distilbert_text()
+        d_bs = 8 * n_chips if smoke else 512
+        d_sps = bench_distilbert_text(d_bs)
         print(f"# distilbert text eval: {d_sps:.1f} samples/s on {n_chips} "
-              f"chip(s) (bs=512, seq=64 bucket, bf16, vs_baseline~"
-              f"{d_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x)")
+              f"chip(s) (bs={d_bs}, seq=64 bucket, bf16, vs_baseline~"
+              f"{d_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x, "
+              f"{DERIVED})")
         # strict apples-to-apples row: the reference pads every text to the
         # tokenizer max (512, CustomImageTextFolder.py:301-336); the 64-token
         # bucket above is prediction-identical for the few-word garbage texts
         # (PARITY.md) but this row removes the padding advantage entirely.
-        d512_sps = bench_distilbert_text(seq_len=512)
-        print(f"# distilbert text eval: {d512_sps:.1f} samples/s on {n_chips} "
-              f"chip(s) (bs=512, seq=512 reference-exact padding, bf16, "
-              f"vs_baseline~"
-              f"{d512_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x)")
+        if not smoke:
+            d512_sps = bench_distilbert_text(d_bs, seq_len=512)
+            print(f"# distilbert text eval: {d512_sps:.1f} samples/s on "
+                  f"{n_chips} chip(s) (bs={d_bs}, seq=512 reference-exact "
+                  f"padding, bf16, vs_baseline~"
+                  f"{d512_sps / n_chips / REFERENCE_DISTILBERT_EVAL_SPS:.1f}x,"
+                  f" {DERIVED})")
     except Exception as e:
         print(f"# distilbert bench failed: {type(e).__name__}: {e}")
     try:
-        import os
-        if os.environ.get("GC_RCA_BENCH_BLIP2", "1") != "0":
+        if os.environ.get("GC_RCA_BENCH_BLIP2", "1") != "0" and not smoke:
             bs = int(os.environ.get("GC_RCA_BLIP2_BS", "16"))
             b_sps = bench_blip2(bs)
             print(f"# BLIP-2 (3.74B) 1-token eval: {b_sps:.1f} samples/s on "
-                  f"{n_chips} chip(s) (bs={bs}, bf16, "
-                  f"vs_baseline~{b_sps / n_chips / REFERENCE_BLIP2_EVAL_SPS:.1f}x)")
+                  f"{n_chips} chip(s) (bs={bs}, bf16, vs_baseline~"
+                  f"{b_sps / n_chips / REFERENCE_BLIP2_EVAL_SPS:.1f}x, "
+                  f"{DERIVED})")
     except Exception as e:
         print(f"# BLIP-2 bench failed: {type(e).__name__}: {e}")
     try:
-        import os
-        if os.environ.get("GC_RCA_BENCH_TRAIN", "1") != "0":
+        if os.environ.get("GC_RCA_BENCH_TRAIN", "1") != "0" and not smoke:
             tv = bench_train_vit_b16()
             print(f"# ViT-B16 TRAIN (SGD full-FT, bs128): {tv:.1f} "
                   f"samples/s on {n_chips} chip(s)")

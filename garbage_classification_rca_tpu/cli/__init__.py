@@ -34,8 +34,8 @@ if _cache != "0":
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except OSError:
-        pass  # read-only home: run uncached
+    except (OSError, ValueError):
+        pass  # read-only home / bad cache value: run uncached
 
 
 def resolve_model(getter, name: str):

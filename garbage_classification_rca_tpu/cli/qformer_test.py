@@ -30,6 +30,23 @@ def main(argv=None):
     cfg, params, _, tok = build_blip2(args, with_lora=False)
     if args.classifier_weights and os.path.isdir(args.classifier_weights):
         trainable, _ = load_orbax(args.classifier_weights)
+    elif args.classifier_weights and os.path.isfile(args.classifier_weights):
+        # reference two-file layout: the classifier is its own torch .pth
+        # (MultimodalClassifier = Linear(768,4) saved via state_dict(),
+        # q_former_training.py:33-47; loaded q_former_test_set.py:270)
+        import jax.numpy as jnp
+        from ..checkpoint.torch_convert import load_torch_state_dict
+        csd = load_torch_state_dict(args.classifier_weights)
+        if csd["classifier.weight"].shape[1] != cfg.qformer.hidden:
+            raise SystemExit(
+                f"--classifier_weights expects Linear({cfg.qformer.hidden}"
+                f", 4) but {args.classifier_weights} has "
+                f"Linear({csd['classifier.weight'].shape[1]}, "
+                f"{csd['classifier.weight'].shape[0]}) — trained against a "
+                "different Q-Former width?")
+        trainable = {"classifier": {
+            "w": jnp.asarray(csd["classifier.weight"]).T,
+            "b": jnp.asarray(csd["classifier.bias"])}}
     else:
         trainable = {"classifier": blip2.init_classifier(
             jax.random.PRNGKey(args.seed + 2), cfg)}

@@ -163,11 +163,17 @@ def next_token_logits(params, pixel_values, input_ids, attention_mask,
 def convert_torch(sd, cfg: Blip2Config):
     """Full Blip2ForConditionalGeneration state dict -> params pytree.
     Accepts peft-wrapped checkpoints: 'base_model.model.' prefixes are
-    stripped and 'lora_A/lora_B' tensors are returned separately."""
-    sd = {k.replace("base_model.model.", ""): v for k, v in sd.items()}
+    stripped and 'lora_A/lora_B' tensors are returned separately.
+
+    Tracking-aware: when sd is a checkpoint.TrackingDict, the prefix/
+    base_layer renames go through sd.view() so an every-key-consumed
+    audit sees through the peft rewrites (tests/test_blip2*.py)."""
     lora = _extract_lora(sd, cfg)
-    sd = {k.replace(".base_layer", ""): v for k, v in sd.items()
-          if "lora_" not in k}
+    keymap = {k.replace("base_model.model.", "")
+               .replace(".base_layer", ""): k
+              for k in sd if "lora_" not in k}
+    sd = (sd.view(keymap) if hasattr(sd, "view")
+          else {nk: sd[ok] for nk, ok in keymap.items()})
     vis = strip_prefix(sd, "vision_model.")
     qsd = strip_prefix(sd, "qformer.")
     osd = strip_prefix(sd, "language_model.model.decoder.")
@@ -177,14 +183,19 @@ def convert_torch(sd, cfg: Blip2Config):
         "projection": lin(sd, "language_projection"),
         "opt": opt_mod.convert_torch(osd, cfg.opt),
     }
+    # HF ties OPT's lm_head to embed_tokens; state_dict() may carry the
+    # duplicate key — consume it (it has no independent content)
+    if "language_model.lm_head.weight" in sd:
+        sd["language_model.lm_head.weight"]
     return params, lora
 
 
 def _extract_lora(sd, cfg: Blip2Config) -> Optional[Dict]:
     lora: Dict = {}
-    for k, v in sd.items():
+    for k in list(sd):
         if "lora_A" not in k and "lora_B" not in k:
             continue
+        v = sd[k]       # subscript read: marks the key under a TrackingDict
         # ...decoder.layers.{i}.self_attn.{q,k}_proj.lora_{A,B}.default.weight
         parts = k.split(".")
         li = int(parts[parts.index("layers") + 1])

@@ -126,21 +126,31 @@ def check_loaded_tree(loaded_params, init_fn, flag_desc: str) -> None:
     import jax
 
     expected, _ = jax.eval_shape(init_fn)
-    want = {jax.tree_util.keystr(kp) for kp, _ in
+    want = {jax.tree_util.keystr(kp): tuple(leaf.shape) for kp, leaf in
             jax.tree_util.tree_flatten_with_path(expected)[0]}
-    got = {jax.tree_util.keystr(kp) for kp, _ in
+    got = {jax.tree_util.keystr(kp): tuple(getattr(leaf, "shape", ()))
+           for kp, leaf in
            jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
     if want == got:
         return
-    missing = sorted(want - got)[:5]
-    unexpected = sorted(got - want)[:5]
+    missing = sorted(set(want) - set(got))[:5]
+    unexpected = sorted(set(got) - set(want))[:5]
+    # same keys, different leaf shapes (e.g. a head trained with another
+    # num_classes, or a config variant) — would otherwise fail mid-forward
+    # as a raw XLA shape error (ADVICE r2)
+    mismatched = sorted(f"{k}: checkpoint{got[k]} != model{want[k]}"
+                        for k in set(want) & set(got)
+                        if want[k] != got[k])[:5]
     raise SystemExit(
         f"checkpoint does not match {flag_desc}: "
-        + (f"missing {missing}{'...' if len(want - got) > 5 else ''} "
+        + (f"missing {missing}"
+           f"{'...' if len(set(want) - set(got)) > 5 else ''} "
            if missing else "")
         + (f"unexpected {unexpected}"
-           f"{'...' if len(got - want) > 5 else ''}" if unexpected else "")
-        + " — was this run dir trained with a different model flag?")
+           f"{'...' if len(set(got) - set(want)) > 5 else ''} "
+           if unexpected else "")
+        + (f"shape mismatch {mismatched} " if mismatched else "")
+        + "— was this run dir trained with a different model flag?")
 
 
 def _prune_best(base: str, keep_top_k: int) -> None:

@@ -27,7 +27,8 @@ import pytest  # noqa: E402
 # heavy torch-oracle / full-model parity modules — a quick CI pass runs
 # `pytest -m "not slow"` (~2 min); the full suite is ~15 min on one core
 SLOW_MODULES = {
-    "test_bart", "test_mobilebert", "test_blip2", "test_fusion",
+    "test_bart", "test_mobilebert", "test_blip2", "test_blip2_real_layout",
+    "test_fusion", "test_report_identity",
     "test_fusion_train", "test_efficientnet", "test_vit",
     "test_large_variants", "test_real_checkpoints", "test_convert_audit",
     "test_backbones", "test_tp", "test_mha_kernel", "test_distilbert",

@@ -52,9 +52,13 @@ def models():
 
 @pytest.fixture(scope="module")
 def converted(models):
+    from garbage_classification_rca_tpu.checkpoint.torch_convert import (
+        TrackingDict)
     from garbage_classification_rca_tpu.models.vlm import blip2
     tm, cfg = models
-    params, lora = blip2.convert_torch(numpy_state_dict(tm), cfg)
+    td = TrackingDict(numpy_state_dict(tm))
+    params, lora = blip2.convert_torch(td, cfg)
+    td.audit()          # every HF checkpoint tensor consumed (VERDICT r2 #4)
     assert lora is None
     return params
 
@@ -177,8 +181,11 @@ def test_lora_roundtrip_with_peft(models, converted):
             p.data.normal_(0, 0.05)
     pm = pm.eval()
 
-    sd = numpy_state_dict(pm)
+    from garbage_classification_rca_tpu.checkpoint.torch_convert import (
+        TrackingDict)
+    sd = TrackingDict(numpy_state_dict(pm))
     params, lora = blip2.convert_torch(sd, cfg)
+    sd.audit()     # peft rewrites (base_model prefix, base_layer, lora_A/B)
     assert lora is not None and 0 in lora and "q" in lora[0]
 
     pix, ids, mask = _inputs()

@@ -80,3 +80,22 @@ def test_generated_launchers_cover_every_reference_slurm():
     if not SCRIPTS or not GENERATED:
         pytest.skip("reference or generated scripts unavailable")
     assert {s.name for s in GENERATED} == {s.name for s in SCRIPTS}
+
+
+@pytest.mark.skipif(not GENERATED, reason="generated launchers absent")
+@pytest.mark.parametrize("script", GENERATED, ids=lambda s: f"suffix-{s.stem}")
+def test_launcher_dataset_suffix_applied_exactly_once(script):
+    """ADVICE r2 (medium): every train CLI appends _Train/_Val itself
+    (e.g. cli/blip2_train.py:121-123), so no launcher may bake the suffix
+    into --dataset_folder_name — otherwise the resolved path doubles to
+    ${DATASET}_Train_Train. The resolved path must carry the suffix
+    exactly once."""
+    text = script.read_text()
+    for line in text.splitlines():
+        line = line.strip().rstrip("\\").strip()
+        if line.startswith("--dataset_folder_name"):
+            assert "_Train" not in line and "_Val" not in line, (
+                f"{script}: pre-suffixed dataset flag {line!r}")
+    base = "/tmp/ds"
+    resolved = base + "_Train"          # what each train CLI builds
+    assert resolved.count("_Train") == 1

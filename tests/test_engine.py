@@ -221,3 +221,10 @@ def test_check_loaded_tree_mismatch_readable():
         check_loaded_tree(
             sn_params, lambda: rn.init(jax.random.PRNGKey(0), num_classes=4),
             "--image_model=res18")
+    # same arch, different head width (num_classes): keys all match, so
+    # only a shape comparison catches it before the mid-forward XLA error
+    # (ADVICE r2)
+    with pytest.raises(SystemExit, match="shape mismatch"):
+        check_loaded_tree(
+            sn_params, lambda: sn.init(jax.random.PRNGKey(0), num_classes=7),
+            "--image_model=shuffle_net")

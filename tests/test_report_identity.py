@@ -238,3 +238,100 @@ def test_real_checkpoint_cli_report_identity(tmp_path, monkeypatch):
             labels, preds, str(tmp_path / f"torch_{arch}"), arch, "image")
         assert name == tname, (name, tname)
         assert got == want, f"{arch}: CLI report != torch report"
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE),
+                    reason="/tmp/fixture not mounted")
+def test_real_checkpoint_text_cli_report_identity(tmp_path, monkeypatch):
+    """distilbert_cls real .pth through cli.test_text vs HF-replica —
+    WordPiece fixture vocab tokenizes the fixture filenames identically on
+    both sides (real pretrained vocab is not available offline)."""
+    from transformers import DistilBertConfig, DistilBertModel
+    from garbage_classification_rca_tpu.checkpoint.torch_convert import (
+        load_torch_state_dict)
+    from garbage_classification_rca_tpu.cli import test_text
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+
+    ckpt = os.path.join(FIXTURE, "distilbert_cls.pth")
+    sd = load_torch_state_dict(ckpt)
+    enc = DistilBertModel(DistilBertConfig())
+    missing, unexpected = enc.load_state_dict(
+        {k[len("model."):]: torch.tensor(v) for k, v in sd.items()
+         if k.startswith("model.")}, strict=False)
+    assert not missing and not unexpected
+    enc.eval()
+    w_out = torch.tensor(sd["out.weight"])
+    b_out = torch.tensor(sd["out.bias"])
+
+    name, got = _run_cli(
+        test_text.main,
+        ["--text_model=distilbert", f"--model_path={ckpt}",
+         f"--dataset_folder_name={os.path.join(FIXTURE, 'testset')}",
+         f"--vocab_dir={VOCAB}", "--compute_dtype=float32",
+         "--eval_batch_size=8"],
+        tmp_path, monkeypatch, "cli_text")
+
+    m = build_manifest(os.path.join(FIXTURE, "testset"))
+    tok = get_tokenizer("distilbert", vocab_dir=VOCAB)
+
+    def fwd(b):
+        ids = torch.tensor(b["input_ids"].astype(np.int64))
+        mask = torch.tensor(b["attention_mask"].astype(np.int64))
+        h = enc(ids, attention_mask=mask)[0][:, 0]
+        return h @ w_out.T + b_out
+
+    labels, preds = _torch_preds(fwd, m, (0, 0), tokenizer=tok)
+    tname, want = _torch_report_csv(labels, preds, str(tmp_path / "torch_t"),
+                                    "distilbert", "text")
+    assert name == tname
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE),
+                    reason="/tmp/fixture not mounted")
+def test_real_checkpoint_mm_rca_cli_report_identity(tmp_path, monkeypatch):
+    """mm_rca real .pth (all-heads 1306-key layout) through cli.test_both
+    vs the torch FusionRef replica — report CSVs byte-identical."""
+    from transformers import DistilBertConfig, DistilBertModel
+    from garbage_classification_rca_tpu.checkpoint.torch_convert import (
+        load_torch_state_dict)
+    from garbage_classification_rca_tpu.cli import test_both
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+    from tests.torch_refs.fusion_ref import FusionRef
+
+    ckpt = os.path.join(FIXTURE, "mm_rca.pth")
+    sd = load_torch_state_dict(ckpt)
+    text = DistilBertModel(DistilBertConfig())
+    ref = FusionRef(text, batch_size=16, reverse=True, features_only=True,
+                    cross_attention_only=True)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False)
+    assert not missing and not unexpected
+    ref.eval()
+    ref.features_only = ref.cross_attention_only = False
+
+    name, got = _run_cli(
+        test_both.main,
+        ["--late_fusion=MM_RCA", "--reverse", "--text_model=distilbert",
+         f"--model_path={ckpt}",
+         f"--dataset_folder_name={os.path.join(FIXTURE, 'testset')}",
+         f"--vocab_dir={VOCAB}", "--compute_dtype=float32",
+         "--eval_batch_size=8"],
+        tmp_path, monkeypatch, "cli_mm")
+
+    m = build_manifest(os.path.join(FIXTURE, "testset"))
+    tok = get_tokenizer("distilbert", vocab_dir=VOCAB)
+
+    def fwd(b):
+        ids = torch.tensor(b["input_ids"].astype(np.int64))
+        mask = torch.tensor(b["attention_mask"].astype(np.int64))
+        return ref(ids, mask, _normalize_torch(b["image"]),
+                   strategy="MM_RCA")
+
+    labels, preds = _torch_preds(fwd, m, (480, 480), tokenizer=tok)
+    tname, want = _torch_report_csv(labels, preds, str(tmp_path / "torch_mm"),
+                                    "MM_RCA", "both")
+    assert name == tname
+    assert got == want

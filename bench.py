@@ -512,18 +512,9 @@ def main():
     # compilation, dominates. Small/medium programs (e.g. test_image CLI:
     # 7m14s -> 2m53s) benefit substantially; timings are unaffected either
     # way (each bench times the second in-process invocation).
-    cache = os.environ.get("GC_RCA_COMPILE_CACHE", "")
-    if cache != "0":
-        if not cache:
-            cache = os.path.join(os.path.expanduser("~"), ".cache",
-                                 "gc_rca_tpu", "xla")
-        try:
-            os.makedirs(cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              5.0)
-        except (OSError, ValueError):
-            pass
+    from garbage_classification_rca_tpu.utils.xla_cache import (
+        enable_compile_cache)
+    enable_compile_cache(5.0)
 
     n_chips = max(len(jax.devices()), 1)
     if n_chips > 1:

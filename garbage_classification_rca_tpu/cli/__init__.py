@@ -23,19 +23,9 @@ if _plat:
     if name == "cpu":
         _jax.config.update("jax_num_cpu_devices", int(n) if n else 8)
 
-_cache = _os.environ.get("GC_RCA_COMPILE_CACHE", "")
-if _cache != "0":
-    import jax as _jax
+from ..utils.xla_cache import enable_compile_cache as _enable_cache
 
-    if not _cache:
-        _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
-                               "gc_rca_tpu", "xla")
-    try:
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except (OSError, ValueError):
-        pass  # read-only home / bad cache value: run uncached
+_enable_cache(5.0)
 
 
 def resolve_model(getter, name: str):

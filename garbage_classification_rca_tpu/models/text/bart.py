@@ -214,6 +214,12 @@ def convert_torch(sd, num_classes: int = 4, n_layers: int = None):
     if head_dense is not None:
         params["head_dense"] = head_dense
         params["head_out"] = head_out
+    # HF ties encoder/decoder embed_tokens to `shared`; state_dict() keeps
+    # the duplicate keys — read-and-discard so real checkpoints audit as
+    # fully consumed
+    for k in ("encoder.embed_tokens.weight", "decoder.embed_tokens.weight"):
+        if k in sd:
+            sd[k]
     return params, {}
 
 

@@ -107,6 +107,12 @@ def convert_encoder(sd) -> dict:
             "fc2": lin(sd, pre + "output.dense"),
             "ln_ffn": ln_(sd, pre + "output.LayerNorm"),
         })
+    # BertModel ships a pooler, but the reference pools the raw CLS hidden
+    # state (text_models.py:91-97 `hidden_state[:, 0]`) — read-and-discard
+    # so real checkpoints audit as fully consumed
+    for k in ("pooler.dense.weight", "pooler.dense.bias"):
+        if k in sd:
+            sd[k]
     return p
 
 

@@ -119,7 +119,9 @@ def convert_torch(sd, num_classes: int = 4):
         if w.shape[1] != num_classes:
             raise ValueError("score head class-count mismatch")
         score = {"w": w}
-        sd = {k: v for k, v in sd.items() if not k.startswith("score.")}
+    # strip_prefix drops the score.* keys (they don't carry the prefix)
+    # while keeping TrackingDict consumption linked — a plain dict rebuild
+    # here would break the every-key-consumed audit's accounting
     sd = strip_prefix(sd, "transformer.")
     from .encoder_common import ln_
     params = {

@@ -159,6 +159,56 @@ def test_text_converter_consumes_all_keys_tiny(name):
     td.audit()
 
 
+def _full_text_sd(name):
+    """Reference-layout state dict at the REAL pretrained geometry (the
+    layout our converters hard-code)."""
+    import transformers as tf
+
+    torch.manual_seed(0)
+    if name == "distilbert":
+        m = tf.DistilBertModel(tf.DistilBertConfig())
+    elif name == "bert":
+        m = tf.BertModel(tf.BertConfig())
+    elif name == "roberta":
+        m = tf.RobertaModel(tf.RobertaConfig())
+    elif name == "bart":
+        m = tf.BartForSequenceClassification(tf.BartConfig(num_labels=4))
+    elif name == "gpt2":
+        m = tf.GPT2ForSequenceClassification(tf.GPT2Config(num_labels=4))
+    elif name == "mobile_bert":
+        # the reference wraps MobileBertForSequenceClassification (its own
+        # classifier replaced), NOT a bare encoder + out head
+        # (text_models.py:162-173)
+        m = tf.MobileBertForSequenceClassification(
+            tf.MobileBertConfig(num_labels=4))
+    sd = numpy_state_dict(m)
+    if name == "mobile_bert":
+        return {f"model.{k}": v for k, v in sd.items()}
+    if name in ("distilbert", "bert", "roberta"):
+        sd = {f"model.{k}": v for k, v in sd.items()}
+        sd["out.weight"] = np.zeros((4, 768), np.float32)
+        sd["out.bias"] = np.zeros((4,), np.float32)
+    return sd
+
+
+ALL_TEXT = ["distilbert", "bert", "roberta", "bart", "gpt2", "mobile_bert"]
+
+
+@pytest.mark.parametrize("name", ALL_TEXT)
+def test_text_converter_consumes_all_keys_full(name):
+    """Every tensor of a FULL-geometry reference-layout text checkpoint is
+    read by the converter (the tiny variants above skip for converters that
+    hard-code the pretrained layer count, which left bart/gpt2/mobile_bert
+    and the full-size layouts unaudited without the /tmp/fixture mount)."""
+    from garbage_classification_rca_tpu.models import get_text_model
+
+    pytest.importorskip("transformers")
+    sd = _full_text_sd(name)
+    td = TrackingDict(sd)
+    get_text_model(name).convert_torch(td)
+    td.audit()
+
+
 # ---------------------------------------------------------------------------
 # REAL reference checkpoints (strongest evidence; skipped if not mounted)
 # ---------------------------------------------------------------------------

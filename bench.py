@@ -297,6 +297,42 @@ def bench_distilbert_text(batch_size: int = 512, seq_len: int = 64):
     return batch_size / (wall / SCAN_STEPS)
 
 
+def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
+    """KV-cached greedy decode (models/vlm/blip2.generate — the serving
+    path beyond the reference's 1-token eval). Off by default
+    (GC_RCA_BENCH_BLIP2_GEN=1): the 3.74B prefill+scan program compiles
+    for minutes over the tunnel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.cli.blip2_common import normalize_clip
+
+    cfg = blip2.Blip2Config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = _put_repl(params)
+
+    @jax.jit
+    def run(params, pix, ids, mask):
+        toks, valid = blip2.generate(params, normalize_clip(pix), ids, mask,
+                                     cfg, max_new_tokens=new_tokens,
+                                     eos_id=-1)
+        return jnp.sum(toks * valid)
+
+    rng = np.random.default_rng(0)
+    pix = _put_data(rng.integers(0, 255, (batch_size, 224, 224, 3)
+                                 ).astype(np.uint8))
+    ids = _put_data(rng.integers(4, 50000, (batch_size, 100)
+                                 ).astype(np.int32))
+    mask = _put_data(np.ones((batch_size, 100), np.int32))
+    int(run(params, pix, ids, mask))
+    t0 = time.perf_counter()
+    int(run(params, pix, ids, mask))
+    wall = time.perf_counter() - t0
+    return batch_size * new_tokens / wall, wall
+
+
 def bench_train_vit_b16(batch_size: int = 128, steps: int = 8):
     """Train-path bench (VERDICT r1 item 7): full fine-tune SGD step at
     the reference train envelope (main_image.py transformer_B16 bs128)."""
@@ -619,6 +655,11 @@ def main():
             tm = bench_train_mm_rca()
             print(f"# MM-RCA TRAIN (SGD full-FT, bs16 acc2 @480): {tm:.1f} "
                   f"samples/s on {n_chips} chip(s)")
+        if os.environ.get("GC_RCA_BENCH_BLIP2_GEN", "0") == "1":
+            g_tps, g_wall = bench_blip2_generate()
+            print(f"# BLIP-2 KV-cache generate (bs8, 8 new tokens): "
+                  f"{g_tps:.1f} tokens/s on {n_chips} chip(s) "
+                  f"({g_wall * 1e3:.0f} ms end-to-end incl. prefill)")
         if os.environ.get("GC_RCA_BENCH_BLIP2_TRAIN", "0") == "1":
             tb = bench_train_blip2()
             print(f"# BLIP-2 LoRA TRAIN (AdamW, mb16 acc2): {tb:.1f} "

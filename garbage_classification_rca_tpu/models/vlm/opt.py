@@ -131,6 +131,98 @@ def embed_tokens(params, input_ids):
     return nn.embedding(params["embed_tokens"], input_ids)
 
 
+# ---------------------------------------------------------------------------
+# KV-cached incremental decoding (beyond the reference's 1-token eval:
+# a TPU-native serving path — static cache shapes, lax.scan decode loop)
+# ---------------------------------------------------------------------------
+
+
+def _qkv(p, h, lora, lora_scale):
+    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
+    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
+    return q, k, nn.linear(p["v"], h)
+
+
+def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
+            max_new_tokens: int, lora=None, lora_scale=1.0):
+    """Full-prompt forward that also fills per-layer K/V caches.
+
+    Returns (hidden [B, L, H] post final-LN, caches). Caches are
+    {"k": [n_layers, B, T, H], "v": ...} with T = L + max_new_tokens,
+    prompt K/V written at [0, L) (padded rows included — attention masks
+    them), generation slots zero-initialised.
+    """
+    mask = attention_mask.astype(jnp.int32)
+    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
+    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
+    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
+                                     ).astype(inputs_embeds.dtype)
+    b, l, d = h.shape
+    t_max = l + max_new_tokens
+    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+    pad = mask.astype(jnp.float32)[:, None, None, :]
+    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    ks, vs = [], []
+    for i, lp in enumerate(params["layers"]):
+        layer_lora = None if lora is None else lora.get(i)
+        hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+        q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
+        hd = d // cfg.heads
+        qh = q.reshape(b, l, cfg.heads, hd)
+        kh = k.reshape(b, l, cfg.heads, hd)
+        vh = v.reshape(b, l, cfg.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
+        h = h + nn.linear(lp["out"], att)
+        hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
+        h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+        ks.append(jnp.pad(k, ((0, 0), (0, max_new_tokens), (0, 0))))
+        vs.append(jnp.pad(v, ((0, 0), (0, max_new_tokens), (0, 0))))
+    caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+    return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
+
+
+def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
+                cfg: OPTConfig, lora=None, lora_scale=1.0):
+    """One incremental token: tok_emb [B, H], write_index [B] (per-row slot
+    for this token's K/V — rows are right-padded so slots are ragged),
+    positions [B] (OPT learned-position index), attn_mask [B, T] marking
+    every K/V slot this token may attend to (valid prompt + generated so
+    far + itself). Returns (hidden [B, H] post final-LN, updated caches).
+    """
+    b, d = tok_emb.shape
+    hd = d // cfg.heads
+    h = tok_emb + nn.embedding(params["embed_positions"], positions
+                               ).astype(tok_emb.dtype)
+    bias = ((1.0 - attn_mask.astype(jnp.float32))
+            * jnp.finfo(jnp.float32).min)[:, None, None, :]   # [B,1,1,T]
+    new_k, new_v = [], []
+    scatter = jax.vmap(
+        lambda c, row, i: jax.lax.dynamic_update_slice(c, row[None], (i, 0)))
+    for i, lp in enumerate(params["layers"]):
+        layer_lora = None if lora is None else lora.get(i)
+        hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+        q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
+        ck = scatter(caches["k"][i], k.astype(caches["k"].dtype), write_index)
+        cv = scatter(caches["v"][i], v.astype(caches["v"].dtype), write_index)
+        qh = q.reshape(b, cfg.heads, hd)
+        kh = ck.reshape(b, -1, cfg.heads, hd)
+        vh = cv.reshape(b, -1, cfg.heads, hd)
+        scores = jnp.einsum("bhd,bmhd->bhm", qh, kh,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        w = jax.nn.softmax(scores + bias[:, 0], axis=-1).astype(vh.dtype)
+        att = jnp.einsum("bhm,bmhd->bhd", w, vh).reshape(b, d)
+        h = h + nn.linear(lp["out"], att)
+        hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
+        h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+        new_k.append(ck)
+        new_v.append(cv)
+    caches = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
+
+
 def convert_torch(sd, cfg: OPTConfig):
     """HF keys under language_model.model.decoder.* (prefix-stripped)."""
     params = {

@@ -164,6 +164,62 @@ def test_next_token_logits_match_generate_argmax(models, converted):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_generate_matches_hf_greedy(models, converted):
+    """KV-cached multi-token greedy decode == HF generate (num_beams=1,
+    do_sample=False). Unpadded prompts (HF right-pad generation semantics
+    differ; our 1-token path's padded-row handling is covered above)."""
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    tm.config.image_token_id = 3
+    rng = np.random.default_rng(4)
+    b, lp = 2, 6
+    pix = rng.normal(size=(b, 3, 56, 56)).astype(np.float32)
+    ids = rng.integers(4, 200, (b, lp)).astype(np.int32)
+    mask = np.ones((b, lp), np.int32)
+    n_query = cfg.qformer.n_query
+    ph = np.full((b, n_query), 3, ids.dtype)
+    ids_hf = np.concatenate([ph, ids], axis=1)
+    mask_hf = np.ones_like(ids_hf)
+    n_new = 5
+    with torch.no_grad():
+        out = tm.generate(pixel_values=torch.tensor(pix),
+                          input_ids=torch.tensor(ids_hf, dtype=torch.long),
+                          attention_mask=torch.tensor(mask_hf,
+                                                      dtype=torch.long),
+                          max_new_tokens=n_new, do_sample=False,
+                          num_beams=1, min_new_tokens=n_new)
+    want = out[:, -n_new:].numpy()
+    toks, valid = blip2.generate(
+        converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        jnp.asarray(ids), jnp.asarray(mask), cfg,
+        max_new_tokens=n_new, eos_id=-1)   # eos off: match min_new_tokens
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(toks), want)
+
+
+def test_generate_padded_rows_and_eos(models, converted):
+    """Right-padded prompts: each row's first generated token must equal
+    its own 1-token constrained decode (next_token_logits argmax); EOS
+    masks the tail of `valid`."""
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    tm, cfg = models
+    pix, ids, mask = _inputs()                # row 0 right-padded
+    next_logits = blip2.next_token_logits(
+        converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        jnp.asarray(ids), jnp.asarray(mask), cfg)
+    want_first = np.argmax(np.asarray(next_logits, np.float32), -1)
+    toks, valid = blip2.generate(
+        converted, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+        jnp.asarray(ids), jnp.asarray(mask), cfg, max_new_tokens=3,
+        eos_id=int(want_first[0]))   # row 0's first token acts as EOS
+    toks, valid = np.asarray(toks), np.asarray(valid)
+    np.testing.assert_array_equal(toks[:, 0], want_first)
+    assert valid[0, 0] and not valid[0, 1:].any()   # EOS then masked
+    assert valid[1].all() or (toks[1] == int(want_first[0])).any()
+
+
 def test_lora_roundtrip_with_peft(models, converted):
     """peft-wrapped checkpoint: adapters extracted + forward parity."""
     import jax.numpy as jnp

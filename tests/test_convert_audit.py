@@ -209,6 +209,28 @@ def test_text_converter_consumes_all_keys_full(name):
     td.audit()
 
 
+def test_fusion_converter_consumes_all_keys_full():
+    """The all-heads fusion checkpoint (EffV2MediumAndDistilbertGated
+    builds EVERY head regardless of strategy, multimodal_model.py:156-328,
+    so the .pth carries ~1306 keys): the converter must read every one —
+    hermetic twin of the fixture-gated real-mm_rca audit below."""
+    from transformers import DistilBertConfig, DistilBertModel
+    from garbage_classification_rca_tpu.models.fusion import (
+        FusionConfig, build_fusion)
+    from torch_refs.fusion_ref import FusionRef
+
+    pytest.importorskip("transformers")
+    torch.manual_seed(0)
+    text = DistilBertModel(DistilBertConfig())
+    ref = FusionRef(text, batch_size=16, reverse=True, features_only=True,
+                    cross_attention_only=True)
+    _, _, convert_fn = build_fusion(FusionConfig(strategy="MM_RCA",
+                                                 reverse=True))
+    td = TrackingDict(numpy_state_dict(ref))
+    convert_fn(td)
+    td.audit()
+
+
 # ---------------------------------------------------------------------------
 # REAL reference checkpoints (strongest evidence; skipped if not mounted)
 # ---------------------------------------------------------------------------

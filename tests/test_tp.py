@@ -39,3 +39,52 @@ def test_opt_tp_matches_single_device():
     # the sharding must actually split the MLP kernel over 'model'
     fc1 = sharded["layers"][0]["fc1"]["w"]
     assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_opt_tp_kv_cache_generate_matches_single_device():
+    """The serving decode loop (prefill + KV-cache decode_step) under a
+    data x model mesh reproduces the single-device token stream — the
+    multi-chip serving story for blip2.generate's OPT stage."""
+    cfg = jopt.OPTConfig(layers=2, hidden=64, heads=4, ffn=128, vocab=97,
+                         max_pos=64)
+    params = jopt.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    b, l, n_new = 4, 10, 4
+    ids = rng.integers(0, 97, (b, l)).astype(np.int32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, -3:] = 0
+
+    def greedy(params, ids, mask):
+        embeds = jopt.embed_tokens(params, ids)
+        n_valid = jnp.sum(mask, axis=1)
+        h, caches = jopt.prefill(params, embeds, mask, cfg, n_new)
+        tok = jnp.argmax(jopt.lm_head(
+            params, h[jnp.arange(b), n_valid - 1]).astype(jnp.float32),
+            axis=-1).astype(jnp.int32)
+        slot_ids = jnp.arange(l + n_new)[None, :]
+        base = jnp.pad(mask, ((0, 0), (0, n_new)))
+
+        def step(carry, t):
+            caches, tok = carry
+            attn = base | ((slot_ids >= l) & (slot_ids <= l + t)
+                           ).astype(jnp.int32)
+            h, caches = jopt.decode_step(
+                params, caches, jopt.embed_tokens(params, tok),
+                jnp.full((b,), l, jnp.int32) + t,
+                n_valid + t + cfg.pos_offset, attn, cfg)
+            nxt = jnp.argmax(jopt.lm_head(params, h).astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            return (caches, nxt), tok
+
+        (_, _), toks = jax.lax.scan(step, (caches, tok), jnp.arange(n_new))
+        return jnp.transpose(toks)
+
+    want = np.asarray(greedy(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    mesh = pm.make_mesh("data:2,model:4")
+    sharded = shard_with_specs(mesh, params, opt_param_specs(params))
+    bs = pm.batch_sharding(mesh)
+    got = np.asarray(jax.jit(greedy)(
+        sharded, jax.device_put(jnp.asarray(ids), bs),
+        jax.device_put(jnp.asarray(mask), bs)))
+    np.testing.assert_array_equal(got, want)

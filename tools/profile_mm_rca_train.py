@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--seq", type=int, default=64)
+    ap.add_argument("--eval", action="store_true",
+                    help="profile the EVAL forward (BN-folded, bf16, "
+                         "Pallas RCA) instead of the train step")
     args = ap.parse_args()
 
     plat = os.environ.get("GC_RCA_PLATFORM")
@@ -100,6 +103,10 @@ def main():
         return ms, gflops, gbytes
 
     f32 = jnp.float32
+
+    if args.eval:
+        return _eval_profile(args, timed, cfg, apply_fn, params, state,
+                             ecfg, u8, ids, mask)
 
     # --- text tower fwd+bwd ---
     tparams = params["text"]
@@ -197,6 +204,59 @@ def main():
     print(f"{'residual (head+opt+loss)':<28} {resid:9.2f} ms")
     print(f"late trunk (stage4..final) = {t_img[0] - t_im3[0]:.2f} ms of "
           f"the image tower's {t_img[0]:.2f} ms")
+
+
+def _eval_profile(args, timed, cfg, apply_fn, params, state, ecfg, u8, ids,
+                  mask):
+    """Eval-forward segments: BN-folded image trunk, text tower, full
+    eval forward (towers + fused Pallas RCA head), matching bench.py's
+    MM-RCA eval configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.data.images import normalize_on_device
+    from garbage_classification_rca_tpu.models.image import (
+        efficientnet_common as effc)
+    from garbage_classification_rca_tpu.models.text import distilbert as distil
+    from garbage_classification_rca_tpu.nn.fold import fold_batchnorm
+
+    f32 = jnp.float32
+    params["image"], state["image"] = fold_batchnorm(
+        params["image"], state["image"], 1e-3)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+    def txt_seg(acc, tp):
+        j = (acc.astype(jnp.int32) % 2)
+        h = distil.encode(tp, ids + j, mask)
+        return jnp.sum(h[:, 0].astype(f32))
+
+    def img_seg(acc, ip):
+        x = normalize_on_device(u8 + (acc.astype(jnp.int32) % 2
+                                      ).astype(jnp.uint8),
+                                dtype=jnp.bfloat16)
+        _, pooled, _ = effc.features_all_stages(ip, state["image"], x, ecfg)
+        return jnp.sum(pooled.astype(f32))
+
+    def full_seg(acc, p):
+        x = normalize_on_device(u8 + (acc.astype(jnp.int32) % 2
+                                      ).astype(jnp.uint8),
+                                dtype=jnp.bfloat16)
+        logits, _ = apply_fn(p, state, (ids, mask, x), train=False,
+                             eval_mode=True)
+        return jnp.sum(logits.astype(f32))
+
+    print(f"MM-RCA EVAL per-stage profile  (bs={args.batch} @480, "
+          f"seq={args.seq}, bf16, BN-folded, "
+          f"backend={jax.default_backend()}, scan={args.steps})")
+    print(f"{'segment':<28} {'ms/step':>9}     {'flops':>9}  {'eff':>7}"
+          f"     {'bytes':>5}  {'bw':>9}")
+    t_txt = timed("txt: DistilBERT fwd", txt_seg, params["text"])
+    t_img = timed("img: EffNetV2-M fwd (folded)", img_seg, params["image"])
+    t_all = timed("FULL eval forward", full_seg, params)
+    print(f"{'residual (RCA head)':<28} "
+          f"{t_all[0] - t_img[0] - t_txt[0]:9.2f} ms")
 
 
 if __name__ == "__main__":

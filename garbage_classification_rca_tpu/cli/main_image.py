@@ -84,8 +84,8 @@ def main(argv=None):
         # and normalize with them instead of ImageNet stats
         from .calculate_mean_std import compute_stats
         print("Calculating Train Dataset statistics...")
-        mean, std, _, _ = compute_stats(args.dataset_folder_name + TRAIN_SUFFIX,
-                                        spec.input_size)
+        mean, std, _ = compute_stats(args.dataset_folder_name + TRAIN_SUFFIX,
+                                     spec.input_size)
         norm_stats = (mean.astype("float32"), std.astype("float32"))
         print(f"Mean Train Dataset: {mean}, STD Train Dataset: {std}")
 

@@ -42,6 +42,38 @@ def main(argv=None):
     aft = answer_first_token_table(b, m.classes)
     step = make_eval_step(cfg, params, aft)
 
+    if args.max_new_tokens > 1:
+        # serving path: KV-cache greedy decode + the reference's
+        # find_closest_string word mapping (blip_2_training.py:118-134) —
+        # equivalent to the 1-token constrained path for trained models,
+        # robust to multi-token/verbose answers
+        import jax.numpy as jnp
+
+        from ..models.vlm import blip2 as blip2_mod
+        from ..models.vlm.prompts import (ANSWER_TO_CLASS_IDX, ANSWER_WORDS,
+                                          find_closest_string)
+        from .blip2_common import normalize_clip
+
+        n_new = args.max_new_tokens
+        gen = jax.jit(lambda frozen, lora, pix, ids, mask:
+                      blip2_mod.generate(frozen, normalize_clip(pix), ids,
+                                         mask, cfg, lora=lora,
+                                         max_new_tokens=n_new))
+
+        def step(lora, batch):  # noqa: F811 — same (preds, correct) contract
+            toks, tvalid = gen(params, lora, batch["image"],
+                               batch["input_ids"], batch["attention_mask"])
+            toks, tvalid = np.asarray(toks), np.asarray(tvalid)
+            preds = []
+            for r in range(toks.shape[0]):
+                text = tok.decode(toks[r][tvalid[r]])
+                word = find_closest_string(text, ANSWER_WORDS)
+                preds.append(ANSWER_TO_CLASS_IDX[word])
+            preds = np.asarray(preds, np.int32)
+            correct = int(((preds == np.asarray(batch["label"]))
+                           * np.asarray(batch["valid"])).sum())
+            return preds, correct
+
     correct, all_p, all_l = 0, [], []
     bs = args.eval_batch_size or 16
     for batch in b.iter_batches(bs):

@@ -106,6 +106,11 @@ class RunConfig:
     vocab_dir: str = ""                # dir with vocab.txt / vocab.json +
                                        # merges.txt; defaults to the model
                                        # checkpoint's directory
+    max_new_tokens: int = 1            # blip2_test decode length: 1 =
+                                       # reference-exact constrained decode
+                                       # (blip_2_training.py:296); >1 = the
+                                       # KV-cache generate serving path +
+                                       # find_closest_string mapping
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -246,6 +251,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     p.add_argument('--seq_len', type=int, default=d.seq_len)
+    p.add_argument('--max_new_tokens', type=int, default=d.max_new_tokens)
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     return p
 

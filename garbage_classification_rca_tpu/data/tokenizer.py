@@ -53,6 +53,11 @@ class BaseTokenizer:
             mask[i, :len(tm)] = tm
         return Encoded(ids, mask)
 
+    def decode(self, ids: Sequence[int]) -> str:
+        """Token ids -> text (specials skipped); the multi-token
+        generation eval path (blip2_test --max_new_tokens)."""
+        raise NotImplementedError
+
 
 # ---------------------------------------------------------------------------
 # basic whitespace+punctuation pre-tokenizer (BERT BasicTokenizer subset)
@@ -135,6 +140,23 @@ class WordPieceTokenizer(BaseTokenizer):
         ids = ids[:max_len - 1] + [self.sep_id]
         return ids, [1] * len(ids)
 
+    def decode(self, ids) -> str:
+        inv = getattr(self, "_inv", None)
+        if inv is None:
+            inv = self._inv = {i: t for t, i in self.vocab.items()}
+        skip = {self.pad_id, self.cls_id, self.sep_id}
+        out = []
+        for i in ids:
+            i = int(i)
+            if i in skip:
+                continue
+            t = inv.get(i, "[UNK]")
+            if t.startswith("##") and out:
+                out[-1] += t[2:]
+            else:
+                out.append(t)
+        return " ".join(out)
+
 
 class ByteLevelBPETokenizer(BaseTokenizer):
     """GPT-2-style byte-level BPE (vocab.json + merges.txt).
@@ -206,6 +228,17 @@ class ByteLevelBPETokenizer(BaseTokenizer):
             ids = ids + [self.eos_id]
         return ids, [1] * len(ids)
 
+    def decode(self, ids) -> str:
+        inv = getattr(self, "_inv", None)
+        if inv is None:
+            inv = self._inv = {i: t for t, i in self.vocab.items()}
+            self._byte_dec = {c: b for b, c in self.byte_enc.items()}
+        skip = {self.bos_id, self.eos_id, self.pad_id} - {None}
+        text = "".join(inv.get(int(i), "") for i in ids
+                       if int(i) not in skip)
+        return bytes(self._byte_dec.get(c, ord("?")) for c in text).decode(
+            "utf-8", errors="replace")
+
 
 def _bytes_to_unicode() -> Dict[int, str]:
     bs = (list(range(ord("!"), ord("~") + 1)) +
@@ -247,6 +280,12 @@ class HashTokenizer(BaseTokenizer):
             ids.append(self.reserved + self._fnv1a(w) % span)
         ids = ids[:max_len - 1] + [self.sep_id]
         return ids, [1] * len(ids)
+
+    def decode(self, ids) -> str:
+        """Hashing is one-way — placeholder ids only (real decoding needs
+        --vocab_dir; the CLI warns loudly when hashing is in effect)."""
+        skip = {self.pad_id, self.cls_id, self.sep_id}
+        return " ".join(f"<{int(i)}>" for i in ids if int(i) not in skip)
 
 
 # reference text_models.py — per-tower max token sizes (config defaults)

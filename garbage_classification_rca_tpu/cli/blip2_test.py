@@ -36,11 +36,16 @@ def main(argv=None):
         restored, _ = load_orbax(args.model_path)
         lora = restored["lora"]
 
+    from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+    lora = shard_params(mesh, lora)
+
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
     aft = answer_first_token_table(b, m.classes)
-    step = make_eval_step(cfg, params, aft)
+    step = make_eval_step(cfg, params, aft, mesh=mesh)
 
     if args.max_new_tokens > 1:
         # serving path: KV-cache greedy decode + the reference's
@@ -75,7 +80,7 @@ def main(argv=None):
             return preds, correct
 
     correct, all_p, all_l = 0, [], []
-    bs = args.eval_batch_size or 16
+    bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
     for batch in b.iter_batches(bs):
         preds, c = step(lora, batch)
         correct += int(c)

@@ -86,10 +86,9 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
     return opt, step   # nest this in a larger jit (e.g. bench scan loops)
 
 
-def make_eval_step(cfg, params, answer_first_tokens):
+def make_eval_step(cfg, params, answer_first_tokens, mesh=None):
     # params as a jit argument, not a captured constant (see _step above)
-    @jax.jit
-    def _step(frozen, lora, batch):
+    def _step_fn(frozen, lora, batch):
         x = normalize_clip(batch["image"])
         next_logits = blip2.next_token_logits(
             frozen, x, batch["input_ids"], batch["attention_mask"], cfg, lora)
@@ -98,6 +97,18 @@ def make_eval_step(cfg, params, answer_first_tokens):
         preds = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         correct = jnp.sum((preds == batch["label"]) * batch["valid"])
         return preds, correct
+
+    if mesh is None:
+        _step = jax.jit(_step_fn)
+    else:
+        # dp over the mesh like the image/text eval CLIs: params
+        # replicated, batch sharded on axis 'data'
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+        shard = {k: bs for k in ("image", "input_ids", "attention_mask",
+                                 "label_tokens", "label", "valid")}
+        _step = jax.jit(_step_fn, in_shardings=(rs, rs, shard),
+                        out_shardings=(bs, rs))
 
     def step(lora, batch):
         return _step(params, lora, batch)

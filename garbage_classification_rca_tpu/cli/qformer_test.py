@@ -51,13 +51,18 @@ def main(argv=None):
         trainable = {"classifier": blip2.init_classifier(
             jax.random.PRNGKey(args.seed + 2), cfg)}
 
+    from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+    trainable = shard_params(mesh, trainable)
+
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
-    _, _, eval_step = make_steps(cfg, params)
+    _, _, eval_step = make_steps(cfg, params, mesh=mesh)
 
     correct, all_p, all_l = 0, [], []
-    bs = args.eval_batch_size or 16
+    bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
     for batch in b.iter_batches(bs):
         preds, c = eval_step(trainable, batch)
         correct += int(c)

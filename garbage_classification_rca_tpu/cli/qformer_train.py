@@ -28,7 +28,7 @@ VAL_SUFFIX = "_Val"
 QF_LR = 5e-4
 
 
-def make_steps(cfg, params):
+def make_steps(cfg, params, mesh=None):
     opt = optax.adamw(QF_LR)
 
     # frozen BLIP-2 params enter as a jit ARGUMENT: closing over them
@@ -48,13 +48,24 @@ def make_steps(cfg, params):
         updates, opt_state = opt.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
-    @jax.jit
-    def _eval_step(frozen, trainable, batch):
+    def _eval_fn(frozen, trainable, batch):
         x = normalize_clip(batch["image"])
         feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
         preds = jnp.argmax(nn.linear(trainable["classifier"], feat),
                            axis=-1).astype(jnp.int32)
         return preds, jnp.sum((preds == batch["label"]) * batch["valid"])
+
+    if mesh is None:
+        _eval_step = jax.jit(_eval_fn)
+    else:
+        # dp eval like the other test CLIs (params replicated, batch
+        # sharded over axis 'data')
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+        shard = {k: bsh for k in ("image", "input_ids", "attention_mask",
+                                  "label_tokens", "label", "valid")}
+        _eval_step = jax.jit(_eval_fn, in_shardings=(rsh, rsh, shard),
+                             out_shardings=(bsh, rsh))
 
     def train_step(trainable, opt_state, batch):
         return _train_step(params, trainable, opt_state, batch)

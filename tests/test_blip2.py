@@ -292,3 +292,54 @@ def test_lora_train_step_params_as_args():
     for a, b in zip(jax.tree_util.tree_leaves(l1),
                     jax.tree_util.tree_leaves(l2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_blip2_eval_steps_sharded_match_single(models, converted):
+    """cli.blip2_test / qformer_test dp eval: the mesh-sharded step must
+    reproduce the unsharded step's predictions exactly (params replicated,
+    batch over axis 'data')."""
+    import jax
+    import numpy as np
+
+    from garbage_classification_rca_tpu.cli.blip2_train import make_eval_step
+    from garbage_classification_rca_tpu.cli.qformer_train import make_steps
+    from garbage_classification_rca_tpu.parallel.mesh import (
+        make_mesh, shard_params)
+    from garbage_classification_rca_tpu.models.vlm import blip2 as blip2_mod
+
+    tm, cfg = models
+    del tm
+    rng = np.random.default_rng(5)
+    b, l = 8, 9
+    batch = {
+        "image": rng.integers(0, 255, (b, 56, 56, 3)).astype(np.uint8),
+        "input_ids": rng.integers(4, 200, (b, l)).astype(np.int32),
+        "attention_mask": np.ones((b, l), np.int32),
+        "label_tokens": rng.integers(4, 200, (b, 2)).astype(np.int32),
+        "label": rng.integers(0, 4, (b,)).astype(np.int32),
+        "valid": np.asarray([1] * 7 + [0], np.int32),
+    }
+    aft = np.asarray([5, 6, 7, 8], np.int32)
+    lora = blip2_mod.init_lora(jax.random.PRNGKey(0), cfg)
+
+    single = make_eval_step(cfg, converted, aft)
+    p_want, c_want = single(lora, batch)
+
+    mesh = make_mesh("data:8")
+    sharded_params = shard_params(mesh, converted)
+    sharded = make_eval_step(cfg, sharded_params, aft, mesh=mesh)
+    p_got, c_got = sharded(shard_params(mesh, lora), batch)
+    np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p_want))
+    assert int(c_got) == int(c_want)
+
+    clf = {"classifier": {"w": np.zeros((cfg.qformer.hidden, 4), np.float32)
+                          + rng.normal(size=(cfg.qformer.hidden, 4)),
+                          "b": np.zeros((4,), np.float32)}}
+    import jax.numpy as jnp
+    clf = jax.tree_util.tree_map(jnp.asarray, clf)
+    _, _, qsingle = make_steps(cfg, converted)
+    _, _, qsharded = make_steps(cfg, sharded_params, mesh=mesh)
+    qp_want, qc_want = qsingle(clf, batch)
+    qp_got, qc_got = qsharded(shard_params(mesh, clf), batch)
+    np.testing.assert_array_equal(np.asarray(qp_got), np.asarray(qp_want))
+    assert int(qc_got) == int(qc_want)

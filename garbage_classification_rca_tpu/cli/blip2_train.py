@@ -35,10 +35,13 @@ BLIP2_LR = 5e-4          # reference blip_2_training.py:228
 BLIP2_ACC = 8            # reference :229
 
 
-def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
+def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
+                         mesh=None):
     """Grad-accumulating LoRA step: the reference steps AdamW every 8
     microbatches (blip_2_training.py:280-293); here the 8 microbatches are
-    one lax.scan inside a single device program."""
+    one lax.scan inside a single device program. With a mesh, the
+    microbatch axis stays replicated and the batch axis is sharded over
+    'data' (XLA psums the LoRA grads across chips)."""
     opt = optax.adamw(BLIP2_LR)
 
     def loss_fn(lora, frozen, mb):
@@ -59,8 +62,7 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
     # the frozen 3.7B params enter as a jit ARGUMENT: closing over them
     # would bake ~7.5 GB of bf16 weights into the executable as captured
     # constants (re-uploaded per compile, doubling HBM residency)
-    @jax.jit
-    def _step(frozen, lora, opt_state, batch):
+    def _step_fn(frozen, lora, opt_state, batch):
         acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
         def micro(carry, mb):
@@ -77,6 +79,17 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC):
         updates, opt_state = opt.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
         return lora, opt_state, loss_sum / acc
+
+    if mesh is None:
+        _step = jax.jit(_step_fn)
+    else:
+        from ..parallel.mesh import replicated_sharding
+        from ..train.loop import microbatch_sharding
+        rs, mbs = replicated_sharding(mesh), microbatch_sharding(mesh)
+        shard = {k: mbs for k in ("image", "input_ids", "attention_mask",
+                                  "label_tokens", "label", "valid")}
+        _step = jax.jit(_step_fn, in_shardings=(rs, rs, rs, shard),
+                        out_shardings=(rs, rs, rs))
 
     def step(lora, opt_state, batch, rng):
         del rng
@@ -137,9 +150,14 @@ def main(argv=None):
     val_b = Blip2Batcher(val_m, tok, workers=args.data_workers)
     aft = answer_first_token_table(train_b, train_m.classes)
 
-    opt, step = make_lora_train_step(cfg, params)
-    eval_step = make_eval_step(cfg, params, aft)
-    opt_state = opt.init(lora)
+    from ..parallel.mesh import make_mesh, shard_params
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+    lora = shard_params(mesh, lora)
+
+    opt, step = make_lora_train_step(cfg, params, mesh=mesh)
+    eval_step = make_eval_step(cfg, params, aft, mesh=mesh)
+    opt_state = shard_params(mesh, opt.init(lora))
     logger = MetricsLogger(args.name or "blip2_lora", use_wandb=args.wandb,
                            config=vars(args))
 

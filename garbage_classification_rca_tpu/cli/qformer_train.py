@@ -42,11 +42,21 @@ def make_steps(cfg, params, mesh=None):
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    @jax.jit
-    def _train_step(frozen, trainable, opt_state, batch):
+    def _train_fn(frozen, trainable, opt_state, batch):
         loss, grads = grad_fn(trainable, frozen, batch)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
+
+    if mesh is None:
+        _train_step = jax.jit(_train_fn)
+    else:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        bsh2, rsh2 = batch_sharding(mesh), replicated_sharding(mesh)
+        tshard = {k: bsh2 for k in ("image", "input_ids", "attention_mask",
+                                    "label_tokens", "label", "valid")}
+        _train_step = jax.jit(_train_fn, in_shardings=(rsh2, rsh2, rsh2,
+                                                       tshard),
+                              out_shardings=(rsh2, rsh2, rsh2))
 
     def _eval_fn(frozen, trainable, batch):
         x = normalize_clip(batch["image"])
@@ -87,10 +97,14 @@ def main(argv=None):
     train_b = Blip2Batcher(train_m, tok, workers=args.data_workers)
     val_b = Blip2Batcher(val_m, tok, workers=args.data_workers)
 
-    trainable = {"classifier": blip2.init_classifier(
-        jax.random.PRNGKey(args.seed + 2), cfg)}
-    opt, train_step, eval_step = make_steps(cfg, params)
-    opt_state = opt.init(trainable)
+    from ..parallel.mesh import make_mesh, shard_params
+    mesh = make_mesh(args.mesh_shape)
+    params = shard_params(mesh, params)
+
+    trainable = shard_params(mesh, {"classifier": blip2.init_classifier(
+        jax.random.PRNGKey(args.seed + 2), cfg)})
+    opt, train_step, eval_step = make_steps(cfg, params, mesh=mesh)
+    opt_state = shard_params(mesh, opt.init(jax.device_get(trainable)))
     logger = MetricsLogger(args.name or "qformer_cls", use_wandb=args.wandb,
                            config=vars(args))
 

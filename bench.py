@@ -70,6 +70,17 @@ def _put_repl(tree):
     return jax.device_put(tree, NamedSharding(_MESH, P()))
 
 
+def _put_micro(x):
+    """[acc, B, ...] microbatch stacks: batch axis (dim 1) over 'data'."""
+    import jax
+
+    if _MESH is None:
+        return jax.device_put(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(_MESH, P(None, "data")))
+
+
 def bench_vit_b16(batch_size: int = 256):
     # v5e measurements (2026-08-16): unfused XLA graph 2606 img/s (bs64);
     # fused attention kernel 2940 (bs128); fully fused encoder blocks
@@ -349,6 +360,8 @@ def bench_train_vit_b16(batch_size: int = 128, steps: int = 8):
     params, state = mdef.init(jax.random.PRNGKey(0), num_classes=4)
     opt = make_optimizer("sgd", lr=1e-3, reg=0.01)
     opt_state = opt.init(params)
+    params, state = _put_repl(params), _put_repl(state)
+    opt_state = _put_repl(opt_state)
     step = make_train_step(
         mdef.apply, opt,
         batch_to_inputs=lambda mb: normalize_on_device(
@@ -368,9 +381,9 @@ def bench_train_vit_b16(batch_size: int = 128, steps: int = 8):
         return losses[-1]
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(rng.integers(
+    images = _put_micro(rng.integers(
         0, 255, (1, batch_size, 224, 224, 3)).astype(np.uint8))
-    labels = jax.device_put(rng.integers(0, 4, (1, batch_size)).astype(np.int32))
+    labels = _put_micro(rng.integers(0, 4, (1, batch_size)).astype(np.int32))
     key = jax.random.PRNGKey(0)
     float(run(params, state, opt_state, images, labels, key))
     t0 = time.perf_counter()
@@ -409,6 +422,8 @@ def bench_train_mm_rca(batch_size: int = 16, acc: int = 2, steps: int = 4):
     params, state = init_fn(jax.random.PRNGKey(0))
     opt = make_optimizer("sgd", lr=1.6e-3, reg=0.03)
     opt_state = opt.init(params)
+    params, state = _put_repl(params), _put_repl(state)
+    opt_state = _put_repl(opt_state)
 
     def batch_to_inputs(mb):
         return (mb["input_ids"], mb["attention_mask"],
@@ -435,13 +450,13 @@ def bench_train_mm_rca(batch_size: int = 16, acc: int = 2, steps: int = 4):
 
     rng = np.random.default_rng(0)
     batch = {
-        "image": jax.device_put(rng.integers(
+        "image": _put_micro(rng.integers(
             0, 255, (acc, batch_size, 480, 480, 3)).astype(np.uint8)),
-        "input_ids": jax.device_put(rng.integers(
+        "input_ids": _put_micro(rng.integers(
             100, 30000, (acc, batch_size, 64)).astype(np.int32)),
-        "attention_mask": jax.device_put(
+        "attention_mask": _put_micro(
             np.ones((acc, batch_size, 64), np.int32)),
-        "label": jax.device_put(rng.integers(
+        "label": _put_micro(rng.integers(
             0, 4, (acc, batch_size)).astype(np.int32)),
     }
     key = jax.random.PRNGKey(0)
@@ -468,20 +483,22 @@ def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
         make_lora_train_step)
 
     cfg = blip2.Blip2Config()
-    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    params = _put_repl(blip2.init(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16))
+    lora = _put_repl(blip2.init_lora(jax.random.PRNGKey(1), cfg,
+                                     dtype=jnp.float32))
     opt, step = make_lora_train_step(cfg, params, acc_steps=acc)
-    opt_state = opt.init(lora)
+    opt_state = _put_repl(opt.init(jax.device_get(lora)))
 
     rng = np.random.default_rng(0)
     batch = {
-        "image": jax.device_put(rng.integers(
+        "image": _put_micro(rng.integers(
             0, 255, (acc, micro_bs, 224, 224, 3)).astype(np.uint8)),
-        "input_ids": jax.device_put(rng.integers(
+        "input_ids": _put_micro(rng.integers(
             4, 50000, (acc, micro_bs, 100)).astype(np.int32)),
-        "attention_mask": jax.device_put(
+        "attention_mask": _put_micro(
             np.ones((acc, micro_bs, 100), np.int32)),
-        "label_tokens": jax.device_put(rng.integers(
+        "label_tokens": _put_micro(rng.integers(
             4, 50000, (acc, micro_bs, 4)).astype(np.int32)),
     }
     key = jax.random.PRNGKey(0)
@@ -521,7 +538,10 @@ def main():
     plat = os.environ.get("GC_RCA_PLATFORM")
     if plat:
         name, _, n = plat.partition(":")
-        if name == "cpu" and (int(n) if n else 1) > 1:
+        # bare "cpu" defaults to 8 devices below — the timeout guard must
+        # use the same count or an 8-device mesh runs collectives with the
+        # default 40 s rendezvous abort
+        if name == "cpu" and (int(n) if n else 8) > 1:
             # slow hosts: XLA:CPU in-process collectives abort at a 40 s
             # rendezvous timeout; raise it before backend init (same as
             # __graft_entry__.dryrun_multichip)
@@ -550,7 +570,8 @@ def main():
     # way (each bench times the second in-process invocation).
     from garbage_classification_rca_tpu.utils.xla_cache import (
         enable_compile_cache)
-    enable_compile_cache(5.0)
+    enable_compile_cache(5.0, host_keyed=bool(plat)
+                         and plat.startswith("cpu"))
 
     n_chips = max(len(jax.devices()), 1)
     if n_chips > 1:

@@ -25,7 +25,19 @@ if _plat:
 
 from ..utils.xla_cache import enable_compile_cache as _enable_cache
 
-_enable_cache(5.0)
+# XLA:CPU cache entries are host-AOT machine code; key the dir by the
+# host CPU when the CPU backend is selected (GC_RCA_PLATFORM or an
+# already-pinned jax_platforms, e.g. the test conftest) — a different
+# session's host could SIGILL loading another machine's entries
+_is_cpu = (_plat or "").startswith("cpu")
+if not _is_cpu:
+    try:
+        import jax as _jax2
+
+        _is_cpu = str(_jax2.config.jax_platforms or "").startswith("cpu")
+    except Exception:
+        pass
+_enable_cache(5.0, host_keyed=_is_cpu)
 
 
 def resolve_model(getter, name: str):

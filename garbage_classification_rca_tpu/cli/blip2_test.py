@@ -52,18 +52,20 @@ def main(argv=None):
         # find_closest_string word mapping (blip_2_training.py:118-134) —
         # equivalent to the 1-token constrained path for trained models,
         # robust to multi-token/verbose answers
-        import jax.numpy as jnp
-
         from ..models.vlm import blip2 as blip2_mod
         from ..models.vlm.prompts import (ANSWER_TO_CLASS_IDX, ANSWER_WORDS,
                                           find_closest_string)
+        from ..parallel.mesh import batch_sharding, replicated_sharding
         from .blip2_common import normalize_clip
 
         n_new = args.max_new_tokens
+        bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
         gen = jax.jit(lambda frozen, lora, pix, ids, mask:
                       blip2_mod.generate(frozen, normalize_clip(pix), ids,
                                          mask, cfg, lora=lora,
-                                         max_new_tokens=n_new))
+                                         max_new_tokens=n_new),
+                      in_shardings=(rsh, rsh, bsh, bsh, bsh),
+                      out_shardings=(bsh, bsh))
 
         def step(lora, batch):  # noqa: F811 — same (preds, correct) contract
             toks, tvalid = gen(params, lora, batch["image"],

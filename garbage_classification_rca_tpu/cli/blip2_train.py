@@ -150,8 +150,8 @@ def main(argv=None):
     val_b = Blip2Batcher(val_m, tok, workers=args.data_workers)
     aft = answer_first_token_table(train_b, train_m.classes)
 
-    from ..parallel.mesh import make_mesh, shard_params
-    mesh = make_mesh(args.mesh_shape)
+    from ..parallel.mesh import mesh_for_batch, shard_params
+    mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
     params = shard_params(mesh, params)
     lora = shard_params(mesh, lora)
 

@@ -37,13 +37,15 @@ def main(argv=None):
         import jax.numpy as jnp
         from ..checkpoint.torch_convert import load_torch_state_dict
         csd = load_torch_state_dict(args.classifier_weights)
-        if csd["classifier.weight"].shape[1] != cfg.qformer.hidden:
+        from .. import NUM_CLASSES
+        if csd["classifier.weight"].shape != (NUM_CLASSES,
+                                              cfg.qformer.hidden):
             raise SystemExit(
                 f"--classifier_weights expects Linear({cfg.qformer.hidden}"
-                f", 4) but {args.classifier_weights} has "
+                f", {NUM_CLASSES}) but {args.classifier_weights} has "
                 f"Linear({csd['classifier.weight'].shape[1]}, "
                 f"{csd['classifier.weight'].shape[0]}) — trained against a "
-                "different Q-Former width?")
+                "different Q-Former width or class count?")
         trainable = {"classifier": {
             "w": jnp.asarray(csd["classifier.weight"]).T,
             "b": jnp.asarray(csd["classifier.bias"])}}

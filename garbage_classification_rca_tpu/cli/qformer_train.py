@@ -97,8 +97,8 @@ def main(argv=None):
     train_b = Blip2Batcher(train_m, tok, workers=args.data_workers)
     val_b = Blip2Batcher(val_m, tok, workers=args.data_workers)
 
-    from ..parallel.mesh import make_mesh, shard_params
-    mesh = make_mesh(args.mesh_shape)
+    from ..parallel.mesh import mesh_for_batch, shard_params
+    mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
     params = shard_params(mesh, params)
 
     trainable = shard_params(mesh, {"classifier": blip2.init_classifier(

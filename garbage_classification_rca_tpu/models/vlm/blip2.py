@@ -138,17 +138,26 @@ def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
     return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
 
 
+def _last_valid_index(mask):
+    """Index of each row's LAST mask==1 position — pad-side agnostic.
+
+    The production batcher LEFT-pads prompts to 100 (the reference uses
+    padding_side='left', blip_2_training.py:66), so `n_valid - 1` would
+    point into the pad region; argmax of position*mask is correct for
+    either padding side."""
+    m = mask.astype(jnp.int32)
+    return jnp.argmax(m * jnp.arange(1, m.shape[1] + 1)[None, :], axis=1)
+
+
 def next_token_logits(params, pixel_values, input_ids, attention_mask,
                       cfg: Blip2Config, lora=None):
     """Logits for the token following the prompt (1-token greedy decode).
-
-    The prompt is right-padded; the next-token position is the last
-    non-pad index per row.
-    """
+    The next-token position is the last non-pad index per row, for left-
+    OR right-padded prompts."""
     h = _lm_hidden(params, pixel_values, input_ids, attention_mask, cfg,
                    lora)
     n_query = cfg.qformer.n_query
-    last = n_query + jnp.sum(attention_mask.astype(jnp.int32), axis=1) - 1
+    last = n_query + _last_valid_index(attention_mask)
     # gather the answer position BEFORE the 50k-vocab projection: the full
     # [B, 133, 50272] logits are 16x the needed FLOPs and ~100 MB of HBM
     h_last = h[jnp.arange(h.shape[0]), last]              # [B, H]
@@ -162,11 +171,12 @@ def generate(params, pixel_values, input_ids, attention_mask,
     TPU-native serving path beyond the reference's 1-token eval
     (blip_2_training.py:296-297). Static shapes throughout: prompt
     prefill fills caches once, then a ``lax.scan`` appends one token per
-    step (right-padded prompts supported — each row writes its K/V at its
-    own next slot and extends its own attention mask).
+    step (left- OR right-padded prompts — generated K/V always land in
+    the tail slots; pad positions stay masked).
 
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
-    bool) — ``valid`` is False at and after each row's EOS.
+    bool) — each row's EOS token is its last valid entry; ``valid`` is
+    False strictly AFTER the EOS.
     """
     q = query_features(params, pixel_values, cfg)
     q_emb = nn.linear(params["projection"], q)
@@ -180,7 +190,7 @@ def generate(params, pixel_values, input_ids, attention_mask,
                                 max_new_tokens, lora=lora,
                                 lora_scale=cfg.lora_scale)
     n_valid = jnp.sum(mask.astype(jnp.int32), axis=1)          # [B]
-    h_last = h[jnp.arange(b), n_valid - 1]
+    h_last = h[jnp.arange(b), _last_valid_index(mask)]
     tok0 = jnp.argmax(opt_mod.lm_head(params["opt"], h_last).astype(
         jnp.float32), axis=-1).astype(jnp.int32)
 

@@ -55,6 +55,26 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def mesh_for_batch(spec: str, batch_size: int,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """make_mesh, but the data axis shrinks to the largest divisor of
+    ``batch_size`` — a fixed user batch (e.g. the reference launcher's
+    --batch_size=4 on an 8-chip mesh) must not crash NamedSharding's
+    even-split requirement. Prints a note when it shrinks."""
+    devices = list(devices if devices is not None else jax.devices())
+    axes = parse_mesh_shape(spec, len(devices))
+    data = axes.get(DATA_AXIS, 1)
+    if batch_size > 0 and data > 1 and batch_size % data != 0:
+        new = max(d for d in range(1, data + 1)
+                  if data % d == 0 and batch_size % d == 0)
+        print(f"mesh data axis {data} does not divide batch_size "
+              f"{batch_size}; using data:{new}")
+        axes[DATA_AXIS] = new
+    shape = tuple(axes.values())
+    n = int(np.prod(shape))
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axes.keys()))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

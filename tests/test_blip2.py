@@ -343,3 +343,40 @@ def test_blip2_eval_steps_sharded_match_single(models, converted):
     qp_got, qc_got = qsharded(shard_params(mesh, clf), batch)
     np.testing.assert_array_equal(np.asarray(qp_got), np.asarray(qp_want))
     assert int(qc_got) == int(qc_want)
+
+
+def test_left_padded_prompts_match_unpadded(models, converted):
+    """The PRODUCTION batcher LEFT-pads prompts to 100 (blip2_common.
+    left_pad, mirroring the reference's padding_side='left',
+    blip_2_training.py:66). next_token_logits and generate must give the
+    same answer for a left-padded prompt as for the unpadded one —
+    the round-3 code-review caught the gather at n_valid-1 pointing into
+    the pad region."""
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    tm, cfg = models
+    del tm
+    rng = np.random.default_rng(6)
+    b, lp, total = 2, 6, 12
+    pix = rng.normal(size=(b, 3, 56, 56)).astype(np.float32)
+    ids = rng.integers(4, 200, (b, lp)).astype(np.int32)
+    mask = np.ones((b, lp), np.int32)
+    pad = total - lp
+    ids_l = np.concatenate([np.ones((b, pad), np.int32), ids], axis=1)
+    mask_l = np.concatenate([np.zeros((b, pad), np.int32), mask], axis=1)
+
+    px = jnp.asarray(pix.transpose(0, 2, 3, 1))
+    want = np.asarray(blip2.next_token_logits(
+        converted, px, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    got = np.asarray(blip2.next_token_logits(
+        converted, px, jnp.asarray(ids_l), jnp.asarray(mask_l), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    toks_w, _ = blip2.generate(converted, px, jnp.asarray(ids),
+                               jnp.asarray(mask), cfg, max_new_tokens=4,
+                               eos_id=-1)
+    toks_g, _ = blip2.generate(converted, px, jnp.asarray(ids_l),
+                               jnp.asarray(mask_l), cfg, max_new_tokens=4,
+                               eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(toks_g), np.asarray(toks_w))

@@ -91,11 +91,16 @@ def test_launcher_dataset_suffix_applied_exactly_once(script):
     ${DATASET}_Train_Train. The resolved path must carry the suffix
     exactly once."""
     text = script.read_text()
+    ds_value = None
     for line in text.splitlines():
         line = line.strip().rstrip("\\").strip()
         if line.startswith("--dataset_folder_name"):
             assert "_Train" not in line and "_Val" not in line, (
                 f"{script}: pre-suffixed dataset flag {line!r}")
-    base = "/tmp/ds"
-    resolved = base + "_Train"          # what each train CLI builds
-    assert resolved.count("_Train") == 1
+            ds_value = line.split("=", 1)[1].strip('"')
+    assert ds_value is not None, f"{script}: no dataset flag"
+    # end-to-end resolution: substitute the positional and apply the train
+    # CLIs' suffixing (cli/blip2_train.py:121, main_image.py:71, ...)
+    resolved = ds_value.replace("${DATASET}", "/tmp/ds").replace(
+        "$DATASET", "/tmp/ds") + "_Train"
+    assert resolved == "/tmp/ds_Train", (script, resolved)

@@ -7,11 +7,15 @@ Default ~/.cache/gc_rca_tpu/xla. Measured effect: 10.9 s -> 0.8 s
 cross-process for a matmul chain; test_image CLI 7m14s -> 2m53s on the
 tunneled v5e (residual is input upload, not compile).
 
-host_keyed=True adds a subdirectory keyed by this host's CPU feature
-flags: XLA:CPU cache entries are host-AOT machine code and loading one
-compiled on a different CPU can SIGILL (cpu_aot_loader warns exactly
-this). Use for CPU-backend workloads on fleets where hosts vary between
-sessions (the driver's dryrun).
+host_keyed=True adds a subdirectory keyed by this host's CPU model +
+feature flags: XLA:CPU cache entries are host-AOT machine code and
+loading one compiled on a different CPU can SIGILL (cpu_aot_loader
+warns exactly this). The model name matters too, not just the flags:
+LLVM derives tuning features like +prefer-no-scatter/+prefer-no-gather
+from the detected CPU family, so two hosts with identical cpuinfo
+flags can still disagree on the compiled feature set (observed as
+cpu_aot_loader mismatch warnings on this fleet). Use for CPU-backend
+workloads where hosts vary between sessions (the driver's dryrun).
 """
 
 from __future__ import annotations
@@ -38,11 +42,17 @@ def enable_compile_cache(min_compile_secs: float = 5.0,
     if host_keyed:
         import hashlib
 
+        feats = ""
         try:
             with open("/proc/cpuinfo") as f:
-                feats = next((ln for ln in f if ln.startswith("flags")), "")
+                for ln in f:
+                    if ln.startswith(("flags", "model name", "model\t",
+                                      "stepping")):
+                        feats += ln
+                    if ln.strip() == "" and feats:
+                        break  # first core only; cores are homogeneous
         except OSError:
-            feats = ""
+            pass
         cache = os.path.join(
             cache, "cpu-" + hashlib.sha1(feats.encode()).hexdigest()[:10])
     try:

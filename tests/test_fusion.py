@@ -160,3 +160,61 @@ def test_modality_dropout_semantics(jax_params, inputs):
                                        jnp.asarray(mask), train=True,
                                        rng=jax.random.PRNGKey(seed))
         assert float(jnp.abs(t6).max()) == 0.0
+
+
+def test_mm_rca_full_model_grad_parity(oracle, inputs, jax_params):
+    """Backward parity through the ENTIRE MM-RCA graph vs torch autograd.
+
+    Forward/logit parity alone does not prove training moves in the same
+    direction as the reference loop (main_both.py:81-134); this checks
+    d(CE)/d(input images) (traverses every image-tower layer's VJP),
+    d(CE)/d(word embeddings) (traverses all DistilBERT layers' VJPs) and
+    d(CE)/d(final head weight) (the fusion block) against torch.
+    """
+    import jax
+    import jax.numpy as jnp
+    from garbage_classification_rca_tpu.models.fusion import multimodal as mm
+    from garbage_classification_rca_tpu.models.fusion import FusionConfig
+    from garbage_classification_rca_tpu.train.loss import cross_entropy_loss
+
+    ids, mask, images = inputs
+    params, state = jax_params
+    labels = np.array([0, 2], np.int64)
+
+    oracle.features_only = oracle.cross_attention_only = False
+    oracle.zero_grad(set_to_none=True)
+    img_t = torch.tensor(images, requires_grad=True)
+    try:
+        logits_t = oracle(torch.tensor(ids, dtype=torch.long),
+                          torch.tensor(mask, dtype=torch.long),
+                          img_t, strategy="MM_RCA")
+        torch.nn.CrossEntropyLoss()(logits_t,
+                                    torch.tensor(labels)).backward()
+    finally:
+        oracle.features_only = oracle.cross_attention_only = True
+    want_gimg = img_t.grad.numpy().transpose(0, 2, 3, 1)
+    want_ghead = oracle.final_with_everything.weight.grad.numpy()
+    want_gemb = (oracle.text_model.embeddings.word_embeddings
+                 .weight.grad.numpy())
+
+    cfg = FusionConfig(strategy="MM_RCA", reverse=True, batch_size=2)
+
+    def loss_fn(p, x):
+        logits, _ = mm.forward(cfg, p, state,
+                               (jnp.asarray(ids), jnp.asarray(mask), x))
+        return cross_entropy_loss(logits, jnp.asarray(labels, jnp.int32))
+
+    gp, gx = jax.grad(loss_fn, argnums=(0, 1))(
+        params, jnp.asarray(images.transpose(0, 2, 3, 1)))
+
+    def close(got, want, what):
+        got = np.asarray(got, np.float32)
+        atol = 1e-4 * np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=atol,
+                                   err_msg=what)
+
+    close(gx, want_gimg, "d(loss)/d(images)")
+    close(np.asarray(gp["final_with_everything"]["w"]).T, want_ghead,
+          "d(loss)/d(final head W)")
+    close(gp["text"]["word_emb"]["w"], want_gemb,
+          "d(loss)/d(word embeddings)")

@@ -42,12 +42,23 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
     one lax.scan inside a single device program. With a mesh, the
     microbatch axis stays replicated and the batch axis is sharded over
     'data' (XLA psums the LoRA grads across chips)."""
-    opt = optax.adamw(BLIP2_LR)
+    # reference: torch.optim.AdamW(lr=5e-4, eps=1e-05)
+    # (blip_2_training.py:228) — torch's default weight_decay is 0.01,
+    # where optax's is 1e-4 and its default eps 1e-8, so both must be
+    # spelled out for update-rule parity (test_blip2_trajectory.py)
+    opt = optax.adamw(BLIP2_LR, eps=1e-5, weight_decay=0.01)
 
     def loss_fn(lora, frozen, mb):
         x = normalize_clip(mb["image"])
-        labels = jnp.where(mb["label_tokens"] ==
-                           jnp.int32(1), -100, mb["label_tokens"])
+        # pad label tokens AND batch-padding rows (valid=0 duplicates of
+        # sample 0 on the tail batch — the reference's DataLoader just
+        # yields a smaller final batch instead) are excluded from the CE.
+        # "valid" presence is static under jit; synthetic callers (dryrun,
+        # bench) may feed full batches without it.
+        pad = mb["label_tokens"] == jnp.int32(1)
+        if "valid" in mb:
+            pad = pad | (mb["valid"][:, None] == 0)
+        labels = jnp.where(pad, -100, mb["label_tokens"])
         ids = jnp.concatenate([mb["input_ids"], mb["label_tokens"]], 1)
         mask = jnp.concatenate(
             [mb["attention_mask"],
@@ -75,7 +86,11 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
         zero = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), lora)
         (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
-        grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
+        # the reference backwards loss/accumulation_steps per microbatch
+        # (blip_2_training.py:274-275), so even a trailing PARTIAL window
+        # (:291-292) divides by the configured 8, not the window length —
+        # mirror that: static acc_steps, not the stacked count
+        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
         updates, opt_state = opt.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
         return lora, opt_state, loss_sum / acc

@@ -1,10 +1,12 @@
 """Q-Former classifier training CLI.
 
-Parity with reference q_former_training.py:189-332: BLIP-2 backbone (with
-LoRA adapters trainable like the reference's peft wrap), classifier head =
-Linear(768, 4) on qformer_outputs.last_hidden_state[:, 0, :], CE on class
-ids; saves backbone adapters + classifier weights separately
-(q_former_training.py:33-47, consumed via --classifier_weights).
+Parity with reference q_former_training.py:189-332: frozen BLIP-2
+backbone, classifier head = Linear(768, 4) on
+qformer_outputs.last_hidden_state[:, 0, :], CE on class ids, AdamW every
+8 microbatches; saves classifier weights separately
+(q_former_training.py:33-47, consumed via --classifier_weights). The
+reference's peft LoRA wrap trains nothing there — see make_steps —
+so a frozen backbone is exact parity.
 """
 
 from __future__ import annotations
@@ -26,10 +28,26 @@ from .blip2_common import Blip2Batcher, build_blip2, normalize_clip
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
 QF_LR = 5e-4
+QF_ACC = 8               # reference q_former_training.py:241
 
 
-def make_steps(cfg, params, mesh=None):
-    opt = optax.adamw(QF_LR)
+def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
+    """Classifier-only training is EXACT reference parity, not a cut: the
+    reference peft-wraps the model (q_former_training.py:230-240) but its
+    LoRA targets q_proj/k_proj, which only exist in the OPT decoder — the
+    loss taps qformer_outputs (:290-294) and never touches OPT, so the
+    adapters receive no gradient (torch skips grad-None params in step())
+    and stay at init (lora_B=0 => identity) for the whole run. Only the
+    Linear(768,4) head actually trains there too.
+
+    The optimizer steps every 8 microbatches with loss/8 backwards
+    (q_former_training.py:241,294-301): here the stacked window is one
+    lax.scan; a trailing partial window still divides by the configured
+    acc_steps, mirroring the reference's leftover step."""
+    # reference: torch.optim.AdamW(lr=5e-4, eps=1e-05)
+    # (q_former_training.py:243) — torch defaults weight_decay to 0.01,
+    # optax to 1e-4 / eps 1e-8; spell both out for update-rule parity
+    opt = optax.adamw(QF_LR, eps=1e-5, weight_decay=0.01)
 
     # frozen BLIP-2 params enter as a jit ARGUMENT: closing over them
     # would embed GBs of weights in the executable as captured constants
@@ -43,16 +61,31 @@ def make_steps(cfg, params, mesh=None):
     grad_fn = jax.value_and_grad(loss_fn)
 
     def _train_fn(frozen, trainable, opt_state, batch):
-        loss, grads = grad_fn(trainable, frozen, batch)
+        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def micro(carry, mb):
+            grads_acc, loss_acc = carry
+            loss, grads = grad_fn(trainable, frozen, mb)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
         updates, opt_state = opt.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
+        return (optax.apply_updates(trainable, updates), opt_state,
+                loss_sum / acc)
 
     if mesh is None:
         _train_step = jax.jit(_train_fn)
     else:
-        from ..parallel.mesh import batch_sharding, replicated_sharding
-        bsh2, rsh2 = batch_sharding(mesh), replicated_sharding(mesh)
-        tshard = {k: bsh2 for k in ("image", "input_ids", "attention_mask",
+        # microbatch axis leads: replicate it, shard the batch axis
+        from ..parallel.mesh import replicated_sharding
+        from ..train.loop import microbatch_sharding
+        rsh2, mbs2 = replicated_sharding(mesh), microbatch_sharding(mesh)
+        tshard = {k: mbs2 for k in ("image", "input_ids", "attention_mask",
                                     "label_tokens", "label", "valid")}
         _train_step = jax.jit(_train_fn, in_shardings=(rsh2, rsh2, rsh2,
                                                        tshard),
@@ -116,12 +149,26 @@ def main(argv=None):
         return 100.0 * correct / len(manifest)
 
     best = PhaseResult(0.0, 0, None)
+    # reference semantics: --batch_size is the DataLoader (micro)batch and
+    # the optimizer steps every 8 of them (q_former_training.py:241,299)
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
+        stack = []
         for batch in train_b.iter_batches(args.batch_size, shuffle=True,
                                           seed=args.seed + epoch):
-            trainable, opt_state, loss = train_step(trainable, opt_state, batch)
+            stack.append(batch)
+            if len(stack) < QF_ACC:
+                continue
+            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+            stack = []
+            trainable, opt_state, loss = train_step(trainable, opt_state,
+                                                    stacked)
+            losses.append(float(loss))
+        if stack:  # trailing partial accumulation window
+            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+            trainable, opt_state, loss = train_step(trainable, opt_state,
+                                                    stacked)
             losses.append(float(loss))
         val_acc = evaluate(trainable, val_b, val_m)
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),

@@ -30,7 +30,8 @@ from ..data.pipeline import ImageTextBatcher, device_prefetch
 from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import classification_report_dict
 from ..models.fusion import build_fusion
-from ..parallel.mesh import make_mesh, shard_params
+from ..parallel.fsdp import param_placer
+from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -68,6 +69,9 @@ def main(argv=None):
         raise SystemExit(1)
 
     mesh = make_mesh(args.mesh_shape)
+    # --fsdp: params/BN-state/opt-state live sharded over 'data'
+    # (ZeRO-3 analog, parallel/fsdp.py); default replicates
+    place = param_placer(mesh, args.fsdp)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
@@ -112,8 +116,8 @@ def main(argv=None):
         print(f"Warm-started from torch checkpoint {args.model_path}")
     else:
         params, state = init_fn(jax.random.PRNGKey(args.seed))
-    params = shard_params(mesh, params)
-    state = shard_params(mesh, state)
+    params = place(params)
+    state = place(state)
 
     def fusion_apply(p, s, x, *, train=False, rng=None):
         # adapter: train step hands us the preprocessed tuple
@@ -178,8 +182,7 @@ def main(argv=None):
         print("Resume targets fine_tune phase; skipping phase 1")
     else:
         opt, step = make_step(fusion_head_mask(params), args.lr)
-        opt_state = shard_params(mesh, plan.opt_state("train", opt,
-                                                       params))
+        opt_state = place(plan.opt_state("train", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -193,11 +196,10 @@ def main(argv=None):
     if args.ft_epochs > 0:
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
-        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        opt_state = place(opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
         if plan.for_phase("fine_tune") is not None:
-            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
-                                                          params))
+            opt_state = place(plan.opt_state("fine_tune", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

@@ -33,7 +33,8 @@ from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher
 from ..eval.harness import run_image_eval
 from ..models import get_image_model
-from ..parallel.mesh import make_mesh, shard_params
+from ..parallel.fsdp import param_placer
+from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -66,6 +67,9 @@ def main(argv=None):
     ft_batch = args.batch_size_FT or spec.ft_batch
 
     mesh = make_mesh(args.mesh_shape)
+    # --fsdp: params/BN-state/opt-state live sharded over 'data'
+    # (ZeRO-3 analog, parallel/fsdp.py); default replicates
+    place = param_placer(mesh, args.fsdp)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
@@ -113,8 +117,8 @@ def main(argv=None):
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),
                                   num_classes=NUM_CLASSES)
-    params = shard_params(mesh, params)
-    state = shard_params(mesh, state)
+    params = place(params)
+    state = place(state)
 
     train_batcher = ImageTextBatcher(train_manifest, spec.input_size,
                                      workers=args.data_workers)
@@ -157,8 +161,7 @@ def main(argv=None):
         mask = head_only_mask(params, head_keys_for(args.image_model)) \
             if args.tl else all_trainable_mask(params)
         opt, step = make_step(mask, args.lr, args.acc_steps)
-        opt_state = shard_params(mesh, plan.opt_state("train", opt,
-                                                       params))
+        opt_state = place(plan.opt_state("train", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -173,11 +176,10 @@ def main(argv=None):
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr,
                               args.acc_steps_FT)
-        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        opt_state = place(opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.2)
         if plan.for_phase("fine_tune") is not None:
-            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
-                                                          params))
+            opt_state = place(plan.opt_state("fine_tune", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

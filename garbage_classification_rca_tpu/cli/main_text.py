@@ -27,7 +27,8 @@ from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..data.synonymize import Synonymizer
 from ..eval.report import classification_report_dict
 from ..models import get_text_model
-from ..parallel.mesh import make_mesh, shard_params
+from ..parallel.fsdp import param_placer
+from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -85,6 +86,9 @@ def main(argv=None):
     spec = TEXT_ARCHS[args.text_model]
 
     mesh = make_mesh(args.mesh_shape)
+    # --fsdp: params/BN-state/opt-state live sharded over 'data'
+    # (ZeRO-3 analog, parallel/fsdp.py); default replicates
+    place = param_placer(mesh, args.fsdp)
 
     train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
                                     extended_desc=args.extended_desc_train)
@@ -130,8 +134,8 @@ def main(argv=None):
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),
                                   num_classes=NUM_CLASSES)
-    params = shard_params(mesh, params)
-    state = shard_params(mesh, state)
+    params = place(params)
+    state = place(state)
 
     def batch_to_inputs(mb, rng=None):
         return (mb["input_ids"], mb["attention_mask"])
@@ -169,8 +173,7 @@ def main(argv=None):
         mask = head_only_mask(params, head_keys_for(args.text_model)) \
             if args.tl else all_trainable_mask(params)
         opt, step = make_step(mask, args.lr)
-        opt_state = shard_params(mesh, plan.opt_state("train", opt,
-                                                       params))
+        opt_state = place(plan.opt_state("train", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="train", epochs=args.epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,
@@ -185,11 +188,10 @@ def main(argv=None):
     if args.ft_epochs > 0:
         ft_lr = args.lr / args.fraction_lr
         opt, step = make_step(all_trainable_mask(params), ft_lr)
-        opt_state = shard_params(mesh, opt.init(jax.device_get(params)))
+        opt_state = place(opt.init(jax.device_get(params)))
         sched = PlateauScheduler(ft_lr, factor=0.4)  # reference main_both.py:560 / main_text.py:434 (0.2 is main_image's)
         if plan.for_phase("fine_tune") is not None:
-            opt_state = shard_params(mesh, plan.opt_state("fine_tune", opt,
-                                                          params))
+            opt_state = place(plan.opt_state("fine_tune", opt, params))
         params, state, opt_state, best = run_phase(
             phase_name="fine_tune", epochs=args.ft_epochs, params=params,
             state=state, opt=opt, opt_state=opt_state, train_step=step,

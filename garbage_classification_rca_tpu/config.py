@@ -111,6 +111,10 @@ class RunConfig:
                                        # (blip_2_training.py:296); >1 = the
                                        # KV-cache generate serving path +
                                        # find_closest_string mapping
+    fsdp: bool = False                 # ZeRO-3-style sharding of params +
+                                       # optimizer state over the 'data'
+                                       # axis (parallel/fsdp.py); numerics
+                                       # identical to replicated dp
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -253,6 +257,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--seq_len', type=int, default=d.seq_len)
     p.add_argument('--max_new_tokens', type=int, default=d.max_new_tokens)
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
+    _add_bool_flag(p, 'fsdp', d.fsdp,
+                   "shard params + optimizer state over the data axis")
     return p
 
 

@@ -50,9 +50,13 @@ def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
         return jax.jit(step)
     bs = batch_sharding(mesh)
     rs = replicated_sharding(mesh)
+    # params/state shardings stay UNSPECIFIED (None): the caller's
+    # placement decides — replicated dp or --fsdp-sharded storage
+    # (parallel/fsdp.py; GSPMD all-gathers sharded weights on use).
+    # Only the batch layout is pinned.
     return jax.jit(
         step,
-        in_shardings=(rs, rs, {"image": bs, "label": bs, "valid": bs}),
+        in_shardings=(None, None, {"image": bs, "label": bs, "valid": bs}),
         out_shardings=(bs, rs),
     )
 

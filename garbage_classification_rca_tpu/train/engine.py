@@ -29,7 +29,6 @@ import numpy as np
 from ..config import RunConfig
 from ..data.pipeline import ImageTextBatcher, device_prefetch
 from ..data.sampler import imbalanced_sample_order
-from ..parallel.mesh import shard_params
 from .loop import (all_trainable_mask, head_only_mask, make_train_step,
                    microbatch_sharding)
 from .optim import (PlateauScheduler, get_learning_rate, make_optimizer,

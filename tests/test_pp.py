@@ -1,0 +1,81 @@
+"""Pipeline parallelism (parallel/pp.py) on the 8-virtual-device CPU mesh:
+GPipe-scheduled OPT decoder must reproduce the single-device forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.models.vlm import opt
+from garbage_classification_rca_tpu.parallel import pp
+from garbage_classification_rca_tpu.parallel.mesh import make_mesh
+
+
+def _tiny_opt():
+    cfg = opt.OPTConfig(layers=4, hidden=64, heads=4, ffn=128, vocab=200,
+                        max_pos=64)
+    params = opt.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _inputs(cfg, b=4, l=7):
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(b, l, cfg.hidden)).astype(np.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, -3:] = 0          # right-padded row
+    mask[2, -1:] = 0
+    return jnp.asarray(emb), jnp.asarray(mask)
+
+
+def test_stack_pipeline_params_shapes():
+    cfg, params = _tiny_opt()
+    stacked = pp.stack_pipeline_params(params["layers"], 4)
+    assert stacked["q"]["w"].shape == (4, 1, cfg.hidden, cfg.hidden)
+    stacked2 = pp.stack_pipeline_params(params["layers"], 2)
+    assert stacked2["fc1"]["w"].shape == (2, 2, cfg.hidden, cfg.ffn)
+    with pytest.raises(ValueError):
+        pp.stack_pipeline_params(params["layers"], 3)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(4, 2), (2, 4), (8, 1)])
+def test_pp_decode_hidden_matches_single_device(n_stages, n_micro):
+    cfg, params = _tiny_opt()
+    if cfg.layers % n_stages:
+        cfg = opt.OPTConfig(layers=n_stages, hidden=64, heads=4, ffn=128,
+                            vocab=200, max_pos=64)
+        params = opt.init(jax.random.PRNGKey(0), cfg)
+    emb, mask = _inputs(cfg, b=4, l=7)
+
+    want = opt.decode_hidden(params, emb, mask, cfg)
+
+    mesh = make_mesh(f"pipe:{n_stages}")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], n_stages))
+    got = pp.pp_decode_hidden(params, stacked, emb, mask, cfg,
+                              mesh, n_microbatches=n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pp_logits_match_decode():
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg)
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    got = pp.pp_decode(params, stacked, emb, mask, cfg, mesh,
+                       n_microbatches=2)
+    want = opt.decode(params, emb, mask, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_pp_rejects_indivisible_batch():
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=4)
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    with pytest.raises(ValueError):
+        pp.pp_decode_hidden(params, stacked, emb, mask, cfg, mesh,
+                            n_microbatches=3)

@@ -79,3 +79,35 @@ def test_pp_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         pp.pp_decode_hidden(params, stacked, emb, mask, cfg, mesh,
                             n_microbatches=3)
+
+
+def test_pp_backward_matches_single_device():
+    """The pipeline is differentiable (scan + ppermute reverse cleanly),
+    so pp supports GPipe TRAINING, not just serving: grads of a scalar
+    loss wrt every stage's layer params must match the single-device
+    backward (restacked for comparison)."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg)
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+
+    def loss_pp(stage_layers):
+        h = pp.pp_decode_hidden(params, stage_layers, emb, mask, cfg,
+                                mesh, n_microbatches=2)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    def loss_1(layers):
+        full = dict(params)
+        full["layers"] = layers
+        h = opt.decode_hidden(full, emb, mask, cfg)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked)
+    g_1 = pp.stack_pipeline_params(
+        jax.grad(loss_1)(params["layers"]), 4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg="pp grads != single-device")

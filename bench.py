@@ -536,12 +536,13 @@ def main():
     # preselects the axon TPU, so JAX_PLATFORMS from a caller is too late).
     # Used by the multi-chip smoke: GC_RCA_PLATFORM=cpu:8 GC_RCA_BENCH_SMOKE=1.
     plat = os.environ.get("GC_RCA_PLATFORM")
+    plat_name, _, _n = (plat or "").partition(":")
+    plat_ndev = int(_n) if _n else 8   # bare "cpu" means 8 devices below
     if plat:
-        name, _, n = plat.partition(":")
-        # bare "cpu" defaults to 8 devices below — the timeout guard must
-        # use the same count or an 8-device mesh runs collectives with the
-        # default 40 s rendezvous abort
-        if name == "cpu" and (int(n) if n else 8) > 1:
+        # the timeout guard must use the same device count as the
+        # jax_num_cpu_devices update below or an 8-device mesh runs
+        # collectives with the default 40 s rendezvous abort
+        if plat_name == "cpu" and plat_ndev > 1:
             # slow hosts: XLA:CPU in-process collectives abort at a 40 s
             # rendezvous timeout; raise it before backend init (same as
             # __graft_entry__.dryrun_multichip)
@@ -556,10 +557,9 @@ def main():
     import jax
 
     if plat:
-        name, _, n = plat.partition(":")
-        jax.config.update("jax_platforms", name)
-        if name == "cpu":
-            jax.config.update("jax_num_cpu_devices", int(n) if n else 8)
+        jax.config.update("jax_platforms", plat_name)
+        if plat_name == "cpu":
+            jax.config.update("jax_num_cpu_devices", plat_ndev)
 
     # persistent XLA cache (same policy as the CLIs). Honest expectation,
     # measured 2026-08-17: entries ARE reused across processes (atimes

@@ -44,10 +44,11 @@ def main(argv=None):
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
-    aft = answer_first_token_table(b, m.classes)
-    step = make_eval_step(cfg, params, aft, mesh=mesh)
-
-    if args.max_new_tokens > 1:
+    if args.max_new_tokens <= 1:
+        # reference path: 1-token constrained decode over the 4 answer words
+        aft = answer_first_token_table(b, m.classes)
+        step = make_eval_step(cfg, params, aft, mesh=mesh)
+    else:
         # serving path: KV-cache greedy decode + the reference's
         # find_closest_string word mapping (blip_2_training.py:118-134) —
         # equivalent to the 1-token constrained path for trained models,
@@ -67,7 +68,7 @@ def main(argv=None):
                       in_shardings=(rsh, rsh, bsh, bsh, bsh),
                       out_shardings=(bsh, bsh))
 
-        def step(lora, batch):  # noqa: F811 — same (preds, correct) contract
+        def step(lora, batch):  # same (preds, correct) contract
             toks, tvalid = gen(params, lora, batch["image"],
                                batch["input_ids"], batch["attention_mask"])
             toks, tvalid = np.asarray(toks), np.asarray(tvalid)

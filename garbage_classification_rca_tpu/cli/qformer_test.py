@@ -38,14 +38,23 @@ def main(argv=None):
         from ..checkpoint.torch_convert import load_torch_state_dict
         csd = load_torch_state_dict(args.classifier_weights)
         from .. import NUM_CLASSES
-        if csd["classifier.weight"].shape != (NUM_CLASSES,
-                                              cfg.qformer.hidden):
+        # the reference saves MultimodalClassifier.state_dict() whose single
+        # Linear is the attribute `classifier` (q_former_training.py:24-31);
+        # a bare Linear.state_dict() would carry 'weight'/'bias' instead
+        if "classifier.weight" not in csd or "classifier.bias" not in csd:
+            raise SystemExit(
+                f"--classifier_weights {args.classifier_weights} does not "
+                "look like a MultimodalClassifier state_dict (expected keys "
+                "'classifier.weight'/'classifier.bias', found "
+                f"{sorted(csd)[:8]}) — was it saved via "
+                "q_former_training.py:33-47?")
+        if tuple(csd["classifier.weight"].shape) != (NUM_CLASSES,
+                                                     cfg.qformer.hidden):
             raise SystemExit(
                 f"--classifier_weights expects Linear({cfg.qformer.hidden}"
-                f", {NUM_CLASSES}) but {args.classifier_weights} has "
-                f"Linear({csd['classifier.weight'].shape[1]}, "
-                f"{csd['classifier.weight'].shape[0]}) — trained against a "
-                "different Q-Former width or class count?")
+                f", {NUM_CLASSES}) but {args.classifier_weights} has weight "
+                f"shape {tuple(csd['classifier.weight'].shape)} — trained "
+                "against a different Q-Former width or class count?")
         trainable = {"classifier": {
             "w": jnp.asarray(csd["classifier.weight"]).T,
             "b": jnp.asarray(csd["classifier.bias"])}}

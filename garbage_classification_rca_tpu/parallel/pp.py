@@ -66,12 +66,21 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
     from ..models.vlm.opt import _layer
     from ..nn import core as nn
 
-    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_stages = sizes[axis]
+    # dp composition: when the mesh carries a 'data' axis, each microbatch's
+    # sample dim is sharded over it — every collective below names only
+    # `axis`, so the pipeline runs independently per data shard
+    dp_axis = "data" if ("data" in sizes and "data" != axis) else None
+    n_dp = sizes.get(dp_axis, 1) if dp_axis else 1
     b, l, d = inputs_embeds.shape
     m = n_microbatches
     if b % m != 0:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
     mb = b // m
+    if mb % n_dp != 0:
+        raise ValueError(
+            f"microbatch size {mb} not divisible by data-axis size {n_dp}")
 
     # embeddings + masks once, outside the pipeline (cheap, replicated)
     mask = attention_mask.astype(jnp.int32)
@@ -91,10 +100,12 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
     fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def per_device(local_layers, h_all, bias_all, mask_all):
-        # local_layers leading dims [1, L/S] (this device's stage)
+        # local_layers leading dims [1, L/S] (this device's stage);
+        # h_all [M, mb/n_dp, l, d] — the LOCAL slice when dp-sharded
         local_layers = jax.tree_util.tree_map(
             lambda x: x[0], local_layers)
         s = jax.lax.axis_index(axis)
+        mb_loc = h_all.shape[1]
 
         def stage_fn(hcur, bias_t, mask_t):
             def body(hc, lp):
@@ -125,8 +136,8 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
             state = jax.lax.ppermute(h_out, axis, fwd)
             return (state, outputs), None
 
-        zeros_state = jnp.zeros((mb, l, d), h_all.dtype)
-        zeros_out = jnp.zeros((m, mb, l, d), h_all.dtype)
+        zeros_state = jnp.zeros((mb_loc, l, d), h_all.dtype)
+        zeros_out = jnp.zeros((m, mb_loc, l, d), h_all.dtype)
         (_, outputs), _ = jax.lax.scan(
             tick, (zeros_state, zeros_out), jnp.arange(m + n_stages - 1))
         # only the last stage holds real outputs; replicate via psum
@@ -134,9 +145,10 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
             jnp.where(s == n_stages - 1, outputs, 0.0), axis)
         return outputs
 
-    specs_in = (P(axis), P(), P(), P())
+    dp = P(None, dp_axis) if dp_axis else P()
+    specs_in = (P(axis), dp, dp, dp)
     out = jax.shard_map(per_device, mesh=mesh, in_specs=specs_in,
-                        out_specs=P(), check_vma=False)(
+                        out_specs=dp, check_vma=False)(
         stage_layers, h_mb, bias_mb, mask_mb)
     out = out.reshape(b, l, d)
     return nn.layernorm(params["final_ln"], out, eps=cfg.ln_eps)

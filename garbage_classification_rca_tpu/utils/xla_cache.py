@@ -16,6 +16,15 @@ from the detected CPU family, so two hosts with identical cpuinfo
 flags can still disagree on the compiled feature set (observed as
 cpu_aot_loader mismatch warnings on this fleet). Use for CPU-backend
 workloads where hosts vary between sessions (the driver's dryrun).
+
+Residual cpu_aot_loader warnings naming ONLY +prefer-no-scatter /
++prefer-no-gather are cosmetic: those are LLVM codegen *tuning*
+preferences, not ISA features — the loader's host-feature probe
+enumerates cpuid bits and can never contain them, so self-compiled
+entries warn too. They cannot SIGILL (the emitted code uses no extra
+instructions); only real ISA deltas can, and those are covered by the
+flags hash in the key. Verified 2026-08-17: dryrun loads warn exactly
+this pair and execute correctly.
 """
 
 from __future__ import annotations

@@ -81,6 +81,31 @@ def test_pp_rejects_indivisible_batch():
                             n_microbatches=3)
 
 
+def test_pp_composes_with_dp():
+    """dp x pp: on a data:2,pipe:4 mesh the microbatch sample dim is
+    sharded over 'data' (each data shard pipelines its half of the batch
+    independently) and the result still equals the single-device forward."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=4, l=7)
+    want = opt.decode_hidden(params, emb, mask, cfg)
+
+    mesh = make_mesh("data:2,pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    got = pp.pp_decode_hidden(params, stacked, emb, mask, cfg, mesh,
+                              n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5,
+                               err_msg="dp x pp != single-device")
+    # microbatch size 2 does not divide data:4 -> explicit error
+    mesh4 = make_mesh("data:4,pipe:2")
+    stacked2 = pp.shard_pipeline_params(
+        mesh4, pp.stack_pipeline_params(params["layers"], 2))
+    with pytest.raises(ValueError):
+        pp.pp_decode_hidden(params, stacked2, emb, mask, cfg, mesh4,
+                            n_microbatches=2)
+
+
 def test_pp_backward_matches_single_device():
     """The pipeline is differentiable (scan + ppermute reverse cleanly),
     so pp supports GPipe TRAINING, not just serving: grads of a scalar

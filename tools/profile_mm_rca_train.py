@@ -96,7 +96,6 @@ def main():
         float(run(*inputs))
         ms = (time.perf_counter() - t0) / steps * 1e3
         tfs = gflops / ms if ms else 0.0           # GF / ms == TF/s
-        gbs = gbytes / ms * 1e3 / 1e3 if ms else 0.0
         print(f"{name:<28} {ms:9.2f} ms  {gflops:9.1f} GF  "
               f"{tfs:7.1f} TF/s  {gbytes:7.2f} GB  {gbytes / ms:7.2f} TB/s"
               if ms else name, flush=True)

@@ -184,46 +184,9 @@ def generate(params, pixel_values, input_ids, attention_mask,
     embeds = jnp.concatenate([q_emb, t_emb], axis=1)
     q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
     mask = jnp.concatenate([q_mask, attention_mask], axis=1)
-
-    b, l = mask.shape
-    h, caches = opt_mod.prefill(params["opt"], embeds, mask, cfg.opt,
-                                max_new_tokens, lora=lora,
-                                lora_scale=cfg.lora_scale)
-    n_valid = jnp.sum(mask.astype(jnp.int32), axis=1)          # [B]
-    h_last = h[jnp.arange(b), _last_valid_index(mask)]
-    tok0 = jnp.argmax(opt_mod.lm_head(params["opt"], h_last).astype(
-        jnp.float32), axis=-1).astype(jnp.int32)
-
-    # growing attention mask over the [L + max_new_tokens] cache slots:
-    # valid prompt slots, then one generated slot per step (pad slots in
-    # the middle stay masked)
-    base_mask = jnp.pad(mask.astype(jnp.int32),
-                        ((0, 0), (0, max_new_tokens)))
-    slot_ids = jnp.arange(l + max_new_tokens)[None, :]
-
-    def step(carry, t):
-        caches, tok, done = carry
-        write_index = l + t                                    # [scalar]+[B]
-        write_vec = jnp.full((b,), l, jnp.int32) + t
-        # decode_hidden's cumsum convention: token with k valid
-        # predecessors sits at learned-position k + offset
-        positions = n_valid + t + cfg.opt.pos_offset
-        attn = base_mask | ((slot_ids >= l) & (slot_ids <= write_index)
-                            ).astype(jnp.int32)
-        emb = opt_mod.embed_tokens(params["opt"], tok).astype(q_emb.dtype)
-        h, caches = opt_mod.decode_step(
-            params["opt"], caches, emb, write_vec, positions, attn,
-            cfg.opt, lora=lora, lora_scale=cfg.lora_scale)
-        nxt = jnp.argmax(opt_mod.lm_head(params["opt"], h).astype(
-            jnp.float32), axis=-1).astype(jnp.int32)
-        out_valid = ~done
-        done = done | (tok == eos_id)
-        return (caches, nxt, done), (tok, out_valid)
-
-    (_, _, _), (toks, valid) = jax.lax.scan(
-        step, (caches, tok0, jnp.zeros((b,), bool)),
-        jnp.arange(max_new_tokens))
-    return jnp.transpose(toks), jnp.transpose(valid)
+    return opt_mod.generate(params["opt"], embeds, mask, cfg.opt,
+                            max_new_tokens, eos_id=eos_id, lora=lora,
+                            lora_scale=cfg.lora_scale)
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,53 @@ def _qkv(p, h, lora, lora_scale):
     return q, k, nn.linear(p["v"], h)
 
 
+def layer_prefill(lp, h, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
+    """One decoder layer over the full prompt, also returning its K/V
+    rows for the cache. h [B, L, H], bias [B, 1, L, L] -> (h, k, v)."""
+    b, l, d = h.shape
+    hd = d // cfg.heads
+    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+    q, k, v = _qkv(lp, hn, lora, lora_scale)
+    qh = q.reshape(b, l, cfg.heads, hd)
+    kh = k.reshape(b, l, cfg.heads, hd)
+    vh = v.reshape(b, l, cfg.heads, hd)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+    att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
+    h = h + nn.linear(lp["out"], att)
+    hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
+    h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+    return h, k, v
+
+
+def layer_decode(lp, h, ck, cv, write_index, bias, cfg: OPTConfig,
+                 lora=None, lora_scale=1.0):
+    """One decoder layer for one incremental token. h [B, H]; ck/cv
+    [B, T, H] (this layer's cache); write_index [B] per-row K/V slot;
+    bias [B, 1, 1, T] additive attention bias over the cache slots.
+    Returns (h, ck, cv) with the new K/V scattered in."""
+    b, d = h.shape
+    hd = d // cfg.heads
+    scatter = jax.vmap(
+        lambda c, row, i: jax.lax.dynamic_update_slice(c, row[None], (i, 0)))
+    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+    q, k, v = _qkv(lp, hn, lora, lora_scale)
+    ck = scatter(ck, k.astype(ck.dtype), write_index)
+    cv = scatter(cv, v.astype(cv.dtype), write_index)
+    qh = q.reshape(b, cfg.heads, hd)
+    kh = ck.reshape(b, -1, cfg.heads, hd)
+    vh = cv.reshape(b, -1, cfg.heads, hd)
+    scores = jnp.einsum("bhd,bmhd->bhm", qh, kh,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    w = jax.nn.softmax(scores + bias[:, 0], axis=-1).astype(vh.dtype)
+    att = jnp.einsum("bhm,bmhd->bhd", w, vh).reshape(b, d)
+    h = h + nn.linear(lp["out"], att)
+    hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
+    h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+    return h, ck, cv
+
+
 def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
             max_new_tokens: int, lora=None, lora_scale=1.0):
     """Full-prompt forward that also fills per-layer K/V caches.
@@ -157,27 +204,14 @@ def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
     h = inputs_embeds + nn.embedding(params["embed_positions"], positions
                                      ).astype(inputs_embeds.dtype)
-    b, l, d = h.shape
-    t_max = l + max_new_tokens
+    l = h.shape[1]
     causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
     pad = mask.astype(jnp.float32)[:, None, None, :]
     bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
     ks, vs = [], []
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
-        q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
-        hd = d // cfg.heads
-        qh = q.reshape(b, l, cfg.heads, hd)
-        kh = k.reshape(b, l, cfg.heads, hd)
-        vh = v.reshape(b, l, cfg.heads, hd)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
-                            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
-        h = h + nn.linear(lp["out"], att)
-        hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
-        h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+        h, k, v = layer_prefill(lp, h, bias, cfg, layer_lora, lora_scale)
         ks.append(jnp.pad(k, ((0, 0), (0, max_new_tokens), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, max_new_tokens), (0, 0))))
     caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
@@ -192,35 +226,76 @@ def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
     every K/V slot this token may attend to (valid prompt + generated so
     far + itself). Returns (hidden [B, H] post final-LN, updated caches).
     """
-    b, d = tok_emb.shape
-    hd = d // cfg.heads
     h = tok_emb + nn.embedding(params["embed_positions"], positions
                                ).astype(tok_emb.dtype)
     bias = ((1.0 - attn_mask.astype(jnp.float32))
             * jnp.finfo(jnp.float32).min)[:, None, None, :]   # [B,1,1,T]
     new_k, new_v = [], []
-    scatter = jax.vmap(
-        lambda c, row, i: jax.lax.dynamic_update_slice(c, row[None], (i, 0)))
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
-        q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
-        ck = scatter(caches["k"][i], k.astype(caches["k"].dtype), write_index)
-        cv = scatter(caches["v"][i], v.astype(caches["v"].dtype), write_index)
-        qh = q.reshape(b, cfg.heads, hd)
-        kh = ck.reshape(b, -1, cfg.heads, hd)
-        vh = cv.reshape(b, -1, cfg.heads, hd)
-        scores = jnp.einsum("bhd,bmhd->bhm", qh, kh,
-                            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        w = jax.nn.softmax(scores + bias[:, 0], axis=-1).astype(vh.dtype)
-        att = jnp.einsum("bhm,bmhd->bhd", w, vh).reshape(b, d)
-        h = h + nn.linear(lp["out"], att)
-        hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
-        h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+        h, ck, cv = layer_decode(lp, h, caches["k"][i], caches["v"][i],
+                                 write_index, bias, cfg, layer_lora,
+                                 lora_scale)
         new_k.append(ck)
         new_v.append(cv)
     caches = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
+
+
+def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
+             max_new_tokens: int, eos_id: int = 2, lora=None,
+             lora_scale=1.0):
+    """Greedy KV-cache generation over pre-built input embeddings — the
+    single-device token loop shared by blip2.generate (which prepends the
+    projected query embeddings) and parity-tested against pp_generate.
+
+    Static shapes: prefill fills the [L + max_new_tokens] caches once,
+    then a ``lax.scan`` appends one token per step. Left- OR right-padded
+    prompts (generated K/V always land in the tail slots; pad positions
+    stay masked).
+
+    Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
+    bool) — each row's EOS token is its last valid entry; ``valid`` is
+    False strictly AFTER the EOS.
+    """
+    mask = attention_mask.astype(jnp.int32)
+    b, l = mask.shape
+    h, caches = prefill(params, inputs_embeds, mask, cfg, max_new_tokens,
+                        lora=lora, lora_scale=lora_scale)
+    n_valid = jnp.sum(mask, axis=1)                            # [B]
+    last_idx = jnp.argmax(mask * jnp.arange(1, l + 1)[None, :], axis=1)
+    h_last = h[jnp.arange(b), last_idx]
+    tok0 = jnp.argmax(lm_head(params, h_last).astype(jnp.float32),
+                      axis=-1).astype(jnp.int32)
+
+    # growing attention mask over the [L + max_new_tokens] cache slots:
+    # valid prompt slots, then one generated slot per step (pad slots in
+    # the middle stay masked)
+    base_mask = jnp.pad(mask, ((0, 0), (0, max_new_tokens)))
+    slot_ids = jnp.arange(l + max_new_tokens)[None, :]
+    dtype = inputs_embeds.dtype
+
+    def step(carry, t):
+        caches, tok, done = carry
+        write_vec = jnp.full((b,), l, jnp.int32) + t
+        # decode_hidden's cumsum convention: token with k valid
+        # predecessors sits at learned-position k + offset
+        positions = n_valid + t + cfg.pos_offset
+        attn = base_mask | ((slot_ids >= l) & (slot_ids <= l + t)
+                            ).astype(jnp.int32)
+        emb = embed_tokens(params, tok).astype(dtype)
+        h, caches = decode_step(params, caches, emb, write_vec, positions,
+                                attn, cfg, lora=lora, lora_scale=lora_scale)
+        nxt = jnp.argmax(lm_head(params, h).astype(jnp.float32),
+                         axis=-1).astype(jnp.int32)
+        out_valid = ~done
+        done = done | (tok == eos_id)
+        return (caches, nxt, done), (tok, out_valid)
+
+    (_, _, _), (toks, valid) = jax.lax.scan(
+        step, (caches, tok0, jnp.zeros((b,), bool)),
+        jnp.arange(max_new_tokens))
+    return jnp.transpose(toks), jnp.transpose(valid)
 
 
 def convert_torch(sd, cfg: OPTConfig):

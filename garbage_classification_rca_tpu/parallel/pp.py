@@ -162,3 +162,238 @@ def pp_decode(params, stage_layers, inputs_embeds, attention_mask, cfg,
     h = pp_decode_hidden(params, stage_layers, inputs_embeds,
                          attention_mask, cfg, mesh, n_microbatches, axis)
     return lm_head(params, h)
+
+
+def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
+                mesh: Mesh, max_new_tokens: int, eos_id: int = 2,
+                axis: str = PIPE_AXIS):
+    """Pipelined greedy KV-cache generation — the pp twin of the serving
+    path (models/vlm/opt.py prefill + decode_step; semantics of
+    blip2.generate's token loop, blip2.py:167-226).
+
+    GPipe ring schedule: the batch splits into S microbatches (S = the
+    'pipe' axis size), each stage holds K/V caches for its L/S local
+    layers x all S microbatches, and per-token hidden states hop
+    stage-to-stage over ICI via ``lax.ppermute``. Greedy decoding is
+    sequential per sequence — token t+1 needs token t's logits from the
+    LAST stage — so single-batch pp decode would idle S-1 of S stages;
+    the ring keeps all stages busy by rotating the S microbatches: while
+    microbatch 0's token is in stage 2, microbatch 1's is in stage 1 and
+    microbatch 2's sampled embedding is wrapping from the last stage back
+    to stage 0. Steady-state utilization S·N/(S·N + S - 1).
+
+    Two scans: (1) prefill — each microbatch's full prompt streams
+    through the stages once, filling caches; the last stage samples token
+    0 and its embedding wraps to stage 0, which buffers it until that
+    microbatch's decode slot comes up; (2) decode ring — S·N + S - 1
+    ticks of one-token stage steps. Static shapes throughout.
+
+    Composes with dp exactly like pp_decode_hidden (sample dim sharded
+    over a 'data' mesh axis when present). LoRA is intentionally not
+    supported here (serving runs merged/base weights — adapters live on
+    the dp/tp paths).
+
+    Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
+    bool) — identical contract to blip2.generate: each row's EOS token is
+    its last valid entry, ``valid`` False strictly after it.
+    """
+    from ..models.vlm.opt import layer_decode, layer_prefill
+    from ..nn import core as nn
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_stages = sizes[axis]
+    dp_axis = "data" if ("data" in sizes and "data" != axis) else None
+    n_dp = sizes.get(dp_axis, 1) if dp_axis else 1
+    b, lp_len, d = inputs_embeds.shape
+    s_ = n_stages
+    n_new = max_new_tokens
+    if b % s_ != 0:
+        raise ValueError(f"batch {b} not divisible by {s_} pipeline "
+                         "microbatches (pp_generate uses one microbatch "
+                         "per stage)")
+    mb = b // s_
+    if mb % n_dp != 0:
+        raise ValueError(
+            f"microbatch size {mb} not divisible by data-axis size {n_dp}")
+    t_cache = lp_len + n_new
+
+    # prompt-side tensors, microbatch-major [S, mb, ...] (outside the
+    # pipeline: embeddings, masks and gather indices are cheap)
+    mask = attention_mask.astype(jnp.int32)
+    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
+    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
+    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
+                                     ).astype(inputs_embeds.dtype)
+    causal = jnp.tril(jnp.ones((lp_len, lp_len), jnp.float32))[None, None]
+    padm = mask.astype(jnp.float32)[:, None, None, :]
+    neg = jnp.finfo(jnp.float32).min
+    bias = (1.0 - causal * padm) * neg
+    n_valid = jnp.sum(mask, axis=1)
+    last_idx = jnp.argmax(mask * jnp.arange(1, lp_len + 1)[None, :], axis=1)
+
+    h_mb = h.reshape(s_, mb, lp_len, d)
+    bias_mb = bias.reshape(s_, mb, 1, lp_len, lp_len)
+    basemask_mb = jnp.pad(mask, ((0, 0), (0, n_new))).reshape(s_, mb, t_cache)
+    nvalid_mb = n_valid.reshape(s_, mb)
+    last_mb = last_idx.reshape(s_, mb)
+
+    emb_w = params["embed_tokens"]["w"]
+    pos_w = params["embed_positions"]["w"]
+    fln = params["final_ln"]
+    dtype = inputs_embeds.dtype
+
+    def per_device(local_layers, h_all, bias_all, bmask_all, nvalid_all,
+                   last_all, emb_w, pos_w, fln):
+        local_layers = jax.tree_util.tree_map(lambda x: x[0], local_layers)
+        n_loc = jax.tree_util.tree_leaves(local_layers)[0].shape[0]
+        s = jax.lax.axis_index(axis)
+        mb_loc = h_all.shape[1]
+        slots = jnp.arange(t_cache)
+
+        def sample(h_vec):
+            """post-stack hidden [mb, H] -> (next token ids, raw embeds)."""
+            hf = nn.layernorm(fln, h_vec, eps=cfg.ln_eps)
+            logits = (hf @ emb_w.astype(hf.dtype).T).astype(jnp.float32)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return nxt, emb_w[nxt].astype(dtype)
+
+        caches0 = {
+            "k": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
+            "v": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
+        }
+
+        # ---- scan 1: pipelined prefill (ticks 0 .. 2S-1) ----
+        def prefill_tick(carry, t):
+            blk, wire, caches, buf, tok_cur = carry
+            phase = t - s
+            active = (phase >= 0) & (phase < s_)
+            mi = jnp.clip(phase, 0, s_ - 1)
+            # stage 0 buffers the token-0 embedding wrapping in from the
+            # last stage (arrives at ticks S .. 2S-1 for microbatches
+            # 0 .. S-1)
+            cap = jnp.clip(t - s_, 0, s_ - 1)
+            buf_new = jax.lax.dynamic_update_index_in_dim(
+                buf, wire, cap, 0)
+            buf = jnp.where((s == 0) & (t >= s_), buf_new, buf)
+
+            x = jnp.where(s == 0,
+                          jax.lax.dynamic_index_in_dim(h_all, mi, 0, False),
+                          blk)
+            bi = jax.lax.dynamic_index_in_dim(bias_all, mi, 0, False)
+
+            def lyr(hc, lp):
+                hc, k, v = layer_prefill(lp, hc, bi, cfg)
+                return hc, (k, v)
+
+            h_out, (ks, vs) = jax.lax.scan(lyr, x, local_layers)
+            blk_pad = {
+                "k": jnp.pad(ks, ((0, 0), (0, 0), (0, n_new), (0, 0))),
+                "v": jnp.pad(vs, ((0, 0), (0, 0), (0, n_new), (0, 0))),
+            }
+            caches = jax.tree_util.tree_map(
+                lambda c, blkv: jnp.where(
+                    active,
+                    jax.lax.dynamic_update_slice(
+                        c, blkv[:, None].astype(c.dtype), (0, mi, 0, 0, 0)),
+                    c),
+                caches, blk_pad)
+
+            li = jax.lax.dynamic_index_in_dim(last_all, mi, 0, False)
+            h_last = h_out[jnp.arange(mb_loc), li]
+            tok0, emb0 = sample(h_last)
+            is_last = active & (s == s_ - 1)
+            tok_cur = jnp.where(
+                is_last,
+                jax.lax.dynamic_update_index_in_dim(tok_cur, tok0, mi, 0),
+                tok_cur)
+            wire_out = jnp.where(s == s_ - 1, emb0, wire)
+            blk = jax.lax.ppermute(h_out, axis, fwd)
+            wire = jax.lax.ppermute(wire_out, axis, fwd)
+            return (blk, wire, caches, buf, tok_cur), None
+
+        zeros_blk = jnp.zeros((mb_loc, lp_len, d), dtype)
+        zeros_tok = jnp.zeros((mb_loc, d), dtype)
+        carry0 = (zeros_blk, zeros_tok, caches0,
+                  jnp.zeros((s_, mb_loc, d), dtype),
+                  jnp.zeros((s_, mb_loc), jnp.int32))
+        (_, _, caches, buf, tok_cur), _ = jax.lax.scan(
+            prefill_tick, carry0, jnp.arange(2 * s_))
+
+        # ---- scan 2: decode ring (ticks 0 .. S·N + S - 2) ----
+        def decode_tick(carry, t):
+            wire, caches, tok_cur, done, out_t, out_v = carry
+            phase = t - s
+            active = (phase >= 0) & (phase < s_ * n_new)
+            sp = jnp.clip(phase, 0, s_ * n_new - 1)
+            mi = sp % s_
+            ti = sp // s_                       # decode round / token index
+            x = jnp.where((s == 0) & (ti == 0),
+                          jax.lax.dynamic_index_in_dim(buf, mi, 0, False),
+                          wire)
+            nv = jax.lax.dynamic_index_in_dim(nvalid_all, mi, 0, False)
+            pos = nv + ti + cfg.pos_offset
+            h_in = x + jnp.where(s == 0,
+                                 nn.embedding({"w": pos_w}, pos
+                                              ).astype(dtype), 0)
+            slot = lp_len + ti
+            bm = jax.lax.dynamic_index_in_dim(bmask_all, mi, 0, False)
+            attn = bm | ((slots >= lp_len) & (slots <= slot)).astype(bm.dtype)
+            bi = ((1.0 - attn.astype(jnp.float32))
+                  * neg)[:, None, None, :]
+            widx = jnp.full((mb_loc,), slot, jnp.int32)
+            ck = jax.lax.dynamic_index_in_dim(caches["k"], mi, 1, False)
+            cv = jax.lax.dynamic_index_in_dim(caches["v"], mi, 1, False)
+
+            def lyr(hc, xs):
+                lp, ckl, cvl = xs
+                hc, ckl, cvl = layer_decode(lp, hc, ckl, cvl, widx, bi, cfg)
+                return hc, (ckl, cvl)
+
+            h_out, (ck, cv) = jax.lax.scan(lyr, h_in,
+                                           (local_layers, ck, cv))
+            caches = {
+                "k": jnp.where(active, jax.lax.dynamic_update_slice(
+                    caches["k"], ck[:, None], (0, mi, 0, 0, 0)), caches["k"]),
+                "v": jnp.where(active, jax.lax.dynamic_update_slice(
+                    caches["v"], cv[:, None], (0, mi, 0, 0, 0)), caches["v"]),
+            }
+
+            nxt, emb = sample(h_out)
+            is_last = active & (s == s_ - 1)
+            cur = jax.lax.dynamic_index_in_dim(tok_cur, mi, 0, False)
+            dn = jax.lax.dynamic_index_in_dim(done, mi, 0, False)
+            out_t = jnp.where(is_last, jax.lax.dynamic_update_slice(
+                out_t, cur[None, :, None], (mi, 0, ti)), out_t)
+            out_v = jnp.where(is_last, jax.lax.dynamic_update_slice(
+                out_v, (~dn)[None, :, None], (mi, 0, ti)), out_v)
+            done = jnp.where(is_last, jax.lax.dynamic_update_index_in_dim(
+                done, dn | (cur == eos_id), mi, 0), done)
+            tok_cur = jnp.where(is_last, jax.lax.dynamic_update_index_in_dim(
+                tok_cur, nxt, mi, 0), tok_cur)
+            wire = jax.lax.ppermute(jnp.where(s == s_ - 1, emb, h_out),
+                                    axis, fwd)
+            return (wire, caches, tok_cur, done, out_t, out_v), None
+
+        carry1 = (zeros_tok, caches, tok_cur,
+                  jnp.zeros((s_, mb_loc), bool),
+                  jnp.zeros((s_, mb_loc, n_new), jnp.int32),
+                  jnp.zeros((s_, mb_loc, n_new), bool))
+        (_, _, _, _, out_t, out_v), _ = jax.lax.scan(
+            decode_tick, carry1, jnp.arange(s_ * n_new + s_ - 1))
+
+        # outputs live on the last stage only; replicate over 'pipe'
+        out_t = jax.lax.psum(jnp.where(s == s_ - 1, out_t, 0), axis)
+        out_v = jax.lax.psum(
+            jnp.where(s == s_ - 1, out_v, False).astype(jnp.int32), axis)
+        return out_t, out_v
+
+    fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    dp = P(None, dp_axis) if dp_axis else P()
+    dp3 = P(None, dp_axis, None) if dp_axis else P()
+    toks, valid = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis), dp, dp, dp, dp, dp, P(), P(), P()),
+        out_specs=(dp3, dp3), check_vma=False)(
+        stage_layers, h_mb, bias_mb, basemask_mb, nvalid_mb, last_mb,
+        emb_w, pos_w, fln)
+    return toks.reshape(b, n_new), valid.reshape(b, n_new).astype(bool)

@@ -1,6 +1,8 @@
 """Pipeline parallelism (parallel/pp.py) on the 8-virtual-device CPU mesh:
 GPipe-scheduled OPT decoder must reproduce the single-device forward."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,55 @@ def test_pp_backward_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg="pp grads != single-device")
+
+
+@pytest.mark.parametrize("mesh_spec,n_stages", [
+    ("pipe:4", 4), ("pipe:2", 2), ("data:2,pipe:4", 4)])
+def test_pp_generate_matches_single_device(mesh_spec, n_stages):
+    """Pipelined ring generation reproduces opt.generate token-for-token
+    (incl. the valid mask), with and without a composed dp axis."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=8, l=7)
+    want_t, want_v = jax.jit(partial(
+        opt.generate, cfg=cfg, max_new_tokens=5))(params, emb, mask)
+
+    mesh = make_mesh(mesh_spec)
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], n_stages))
+    got_t, got_v = pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                                  max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t),
+                                  err_msg="pp tokens != single-device")
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_pp_generate_eos_semantics():
+    """Pick an eos id that actually occurs mid-stream; both paths must
+    mark it as the last valid entry and mask everything after it."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=4, l=7)
+    toks, _ = opt.generate(params, emb, mask, cfg, max_new_tokens=5)
+    eos = int(np.asarray(toks)[0, 1])          # generated at step 1, row 0
+    want_t, want_v = opt.generate(params, emb, mask, cfg,
+                                  max_new_tokens=5, eos_id=eos)
+    w_v = np.asarray(want_v)
+    assert w_v[0, 1] and not w_v[0, 2:].any()  # eos valid, then masked
+
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    got_t, got_v = pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                                  max_new_tokens=5, eos_id=eos)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_v), w_v)
+
+
+def test_pp_generate_rejects_indivisible_batch():
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=6, l=7)         # 6 % 4 != 0
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    with pytest.raises(ValueError):
+        pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                       max_new_tokens=3)

@@ -166,13 +166,14 @@ def next_token_logits(params, pixel_values, input_ids, attention_mask,
 
 def generate(params, pixel_values, input_ids, attention_mask,
              cfg: Blip2Config, lora=None, max_new_tokens: int = 8,
-             eos_id: int = 2):
-    """Greedy multi-token generation with per-layer KV caches — the
-    TPU-native serving path beyond the reference's 1-token eval
-    (blip_2_training.py:296-297). Static shapes throughout: prompt
-    prefill fills caches once, then a ``lax.scan`` appends one token per
-    step (left- OR right-padded prompts — generated K/V always land in
-    the tail slots; pad positions stay masked).
+             eos_id: int = 2, sampler=None, rng=None):
+    """Multi-token generation with per-layer KV caches — the TPU-native
+    serving path beyond the reference's 1-token eval
+    (blip_2_training.py:296-297). Greedy by default; pass sampler + rng
+    for temperature/top-k/top-p (see opt.generate). Static shapes
+    throughout: prompt prefill fills caches once, then a ``lax.scan``
+    appends one token per step (left- OR right-padded prompts — generated
+    K/V always land in the tail slots; pad positions stay masked).
 
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
     bool) — each row's EOS token is its last valid entry; ``valid`` is
@@ -186,7 +187,8 @@ def generate(params, pixel_values, input_ids, attention_mask,
     mask = jnp.concatenate([q_mask, attention_mask], axis=1)
     return opt_mod.generate(params["opt"], embeds, mask, cfg.opt,
                             max_new_tokens, eos_id=eos_id, lora=lora,
-                            lora_scale=cfg.lora_scale)
+                            lora_scale=cfg.lora_scale, sampler=sampler,
+                            rng=rng)
 
 
 # ---------------------------------------------------------------------------

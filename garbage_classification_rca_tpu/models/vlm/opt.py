@@ -244,10 +244,17 @@ def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
 
 def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
              max_new_tokens: int, eos_id: int = 2, lora=None,
-             lora_scale=1.0):
-    """Greedy KV-cache generation over pre-built input embeddings — the
+             lora_scale=1.0, sampler=None, rng=None):
+    """KV-cache generation over pre-built input embeddings — the
     single-device token loop shared by blip2.generate (which prepends the
     projected query embeddings) and parity-tested against pp_generate.
+
+    Greedy by default (reference BLIP-2 eval parity,
+    blip_2_training.py:296-297). Pass ``sampler``
+    (ops.sampling.SamplerConfig with temperature set) + ``rng`` for HF
+    do_sample semantics (temperature/top-k/top-p, the knobs the
+    reference's host-side LLM paths use) — the draw happens inside the
+    decode scan, one fold_in key per step, zero host round-trips.
 
     Static shapes: prefill fills the [L + max_new_tokens] caches once,
     then a ``lax.scan`` appends one token per step. Left- OR right-padded
@@ -258,6 +265,13 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     bool) — each row's EOS token is its last valid entry; ``valid`` is
     False strictly AFTER the EOS.
     """
+    from ...ops import sampling as smp
+
+    sampler = smp.GREEDY if sampler is None else sampler
+    if sampler.temperature is not None and rng is None:
+        raise ValueError("sampling (temperature set) requires rng")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)                # unused by greedy
     mask = attention_mask.astype(jnp.int32)
     b, l = mask.shape
     h, caches = prefill(params, inputs_embeds, mask, cfg, max_new_tokens,
@@ -265,8 +279,8 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     n_valid = jnp.sum(mask, axis=1)                            # [B]
     last_idx = jnp.argmax(mask * jnp.arange(1, l + 1)[None, :], axis=1)
     h_last = h[jnp.arange(b), last_idx]
-    tok0 = jnp.argmax(lm_head(params, h_last).astype(jnp.float32),
-                      axis=-1).astype(jnp.int32)
+    tok0 = smp.sample_tokens(jax.random.fold_in(rng, 0),
+                             lm_head(params, h_last), sampler)
 
     # growing attention mask over the [L + max_new_tokens] cache slots:
     # valid prompt slots, then one generated slot per step (pad slots in
@@ -286,8 +300,8 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
         emb = embed_tokens(params, tok).astype(dtype)
         h, caches = decode_step(params, caches, emb, write_vec, positions,
                                 attn, cfg, lora=lora, lora_scale=lora_scale)
-        nxt = jnp.argmax(lm_head(params, h).astype(jnp.float32),
-                         axis=-1).astype(jnp.int32)
+        nxt = smp.sample_tokens(jax.random.fold_in(rng, t + 1),
+                                lm_head(params, h), sampler)
         out_valid = ~done
         done = done | (tok == eos_id)
         return (caches, nxt, done), (tok, out_valid)

@@ -1,0 +1,83 @@
+"""Token sampling for the serving path: temperature / top-k / top-p.
+
+The reference's generation surfaces sample on the host through HF
+(generate_captions_llama.py and the synonymizer both run
+do_sample=True, temperature=0.4, top_p=0.9); its BLIP-2 eval is greedy
+(blip_2_training.py:296-297). This module brings the same knobs to the
+TPU-native KV-cache loop (models/vlm/opt.py::generate): everything is
+traced inside the decode ``lax.scan`` — static shapes, one sort over the
+vocab per step on-device, zero host round-trips per token.
+
+Semantics match HF's logits processors (transformers
+logits_process.py: TemperatureLogitsWarper, TopKLogitsWarper,
+TopPLogitsWarper, applied in that order), asserted token-set-for-token-
+set against the torch implementations in tests/test_sampling.py:
+
+* temperature: logits / T before any filtering.
+* top_k: keep the k highest logits (k=0 disables).
+* top_p: sort descending, keep the smallest prefix whose softmax mass
+  is > p — HF keeps the FIRST token whose cumulative probability
+  crosses p (min_tokens_to_keep=1), i.e. remove where
+  ``cumsum(probs) - probs > p``.
+* filtered positions get -inf; the draw is categorical over survivors
+  via the Gumbel-max trick (jax.random.categorical).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Greedy when ``temperature is None`` (the default everywhere —
+    reference BLIP-2 eval parity); otherwise HF do_sample semantics."""
+    temperature: Optional[float] = None
+    top_k: int = 0
+    top_p: float = 1.0
+
+
+GREEDY = SamplerConfig()
+
+
+def filter_logits(logits, cfg: SamplerConfig):
+    """Apply temperature, then top-k, then top-p (HF warper order).
+    logits [..., V] float32 -> filtered logits with -inf at removed ids."""
+    if cfg.temperature is not None:
+        logits = logits / jnp.float32(max(cfg.temperature, 1e-6))
+    neg = jnp.float32(-jnp.inf)
+    if cfg.top_k and cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -cfg.top_k][..., None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if cfg.top_p < 1.0:
+        sorted_lg = jnp.sort(logits, axis=-1)[..., ::-1]          # desc
+        probs = jax.nn.softmax(sorted_lg, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # HF: remove where cumulative prob EXCLUDING self exceeds p
+        # (keeps the crossing token; min_tokens_to_keep=1 is implied
+        # because the first entry always has cum - prob == 0 <= p)
+        keep_sorted = (cum - probs) <= cfg.top_p
+        # threshold = smallest kept logit; ties at the threshold are all
+        # kept (same ids HF keeps — its mask is positional over the
+        # stable sort, but equal logits have equal probs so any tie at
+        # the cut has cum-probs <= p for at least one copy; keeping all
+        # copies only ever ADDS identical-probability tokens)
+        thresh = jnp.min(jnp.where(keep_sorted, sorted_lg, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < thresh, neg, logits)
+    return logits
+
+
+def sample_tokens(key, logits, cfg: SamplerConfig):
+    """One draw per row. logits [B, V] -> int32 [B]. Greedy (argmax)
+    when cfg.temperature is None; otherwise categorical over
+    filter_logits survivors."""
+    logits = logits.astype(jnp.float32)
+    if cfg.temperature is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, filter_logits(logits, cfg), axis=-1).astype(jnp.int32)

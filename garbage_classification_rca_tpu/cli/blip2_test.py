@@ -60,11 +60,21 @@ def main(argv=None):
         from .blip2_common import normalize_clip
 
         n_new = args.max_new_tokens
+        sampler = rng = None
+        if args.gen_temperature > 0:
+            # opt-in sampled eval (HF do_sample semantics on-device);
+            # default stays greedy = reference parity
+            from ..ops.sampling import SamplerConfig
+            sampler = SamplerConfig(temperature=args.gen_temperature,
+                                    top_k=args.gen_top_k,
+                                    top_p=args.gen_top_p)
+            rng = jax.random.PRNGKey(args.gen_seed)
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
         gen = jax.jit(lambda frozen, lora, pix, ids, mask:
                       blip2_mod.generate(frozen, normalize_clip(pix), ids,
                                          mask, cfg, lora=lora,
-                                         max_new_tokens=n_new),
+                                         max_new_tokens=n_new,
+                                         sampler=sampler, rng=rng),
                       in_shardings=(rsh, rsh, bsh, bsh, bsh),
                       out_shardings=(bsh, bsh))
 

@@ -115,6 +115,14 @@ class RunConfig:
                                        # optimizer state over the 'data'
                                        # axis (parallel/fsdp.py); numerics
                                        # identical to replicated dp
+    gen_temperature: float = 0.0       # blip2_test --max_new_tokens>1
+                                       # sampling: 0 = greedy (reference
+                                       # parity); >0 = HF do_sample
+                                       # semantics (ops/sampling.py) — the
+                                       # reference's host LLMs use 0.4
+    gen_top_k: int = 0                 # 0 disables
+    gen_top_p: float = 1.0
+    gen_seed: int = 0                  # PRNG seed for sampled decoding
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -256,6 +264,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     p.add_argument('--seq_len', type=int, default=d.seq_len)
     p.add_argument('--max_new_tokens', type=int, default=d.max_new_tokens)
+    p.add_argument('--gen_temperature', type=float,
+                   default=d.gen_temperature)
+    p.add_argument('--gen_top_k', type=int, default=d.gen_top_k)
+    p.add_argument('--gen_top_p', type=float, default=d.gen_top_p)
+    p.add_argument('--gen_seed', type=int, default=d.gen_seed)
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")

@@ -67,6 +67,24 @@ def test_blip2_cli_generate_path(tiny_dataset, tmp_path, monkeypatch):
     assert os.path.getsize(csv) > 0
 
 
+def test_blip2_cli_sampled_generate(tiny_dataset, tmp_path, monkeypatch):
+    """--gen_temperature opts the generate branch into on-device
+    sampling (ops/sampling.py); same seed -> same accuracy."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+
+    flags = [f"--dataset_folder_name={tiny_dataset}",
+             f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4",
+             "--max_new_tokens=3", "--gen_temperature=0.4",
+             "--gen_top_p=0.9", "--gen_seed=3"]
+    acc, csv = _run(blip2_test.main, flags, tmp_path, monkeypatch,
+                    "sampled")
+    acc2, _ = _run(blip2_test.main, flags, tmp_path, monkeypatch,
+                   "sampled2")
+    assert 0.0 <= acc <= 100.0
+    assert acc == acc2
+    assert os.path.getsize(csv) > 0
+
+
 def test_qformer_cli_rejects_bare_linear_pth(tiny_dataset, tmp_path,
                                              monkeypatch):
     """A .pth saved as Linear.state_dict() (keys weight/bias) is not the

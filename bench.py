@@ -312,7 +312,8 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
     """KV-cached greedy decode (models/vlm/blip2.generate — the serving
     path beyond the reference's 1-token eval). Off by default
     (GC_RCA_BENCH_BLIP2_GEN=1): the 3.74B prefill+scan program compiles
-    for minutes over the tunnel."""
+    for minutes over the tunnel. GC_RCA_KV_INT8=1 switches to the int8
+    KV cache (ops/quant.py) for the decode-bandwidth comparison."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -320,6 +321,7 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
     from garbage_classification_rca_tpu.models.vlm import blip2
     from garbage_classification_rca_tpu.cli.blip2_common import normalize_clip
 
+    cache_dtype = "int8" if os.environ.get("GC_RCA_KV_INT8") == "1" else None
     cfg = blip2.Blip2Config()
     params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     params = _put_repl(params)
@@ -328,7 +330,7 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
     def run(params, pix, ids, mask):
         toks, valid = blip2.generate(params, normalize_clip(pix), ids, mask,
                                      cfg, max_new_tokens=new_tokens,
-                                     eos_id=-1)
+                                     eos_id=-1, cache_dtype=cache_dtype)
         return jnp.sum(toks * valid)
 
     rng = np.random.default_rng(0)

@@ -69,12 +69,14 @@ def main(argv=None):
                                     top_k=args.gen_top_k,
                                     top_p=args.gen_top_p)
             rng = jax.random.PRNGKey(args.gen_seed)
+        cache_dtype = args.kv_cache_dtype or None
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
         gen = jax.jit(lambda frozen, lora, pix, ids, mask:
                       blip2_mod.generate(frozen, normalize_clip(pix), ids,
                                          mask, cfg, lora=lora,
                                          max_new_tokens=n_new,
-                                         sampler=sampler, rng=rng),
+                                         sampler=sampler, rng=rng,
+                                         cache_dtype=cache_dtype),
                       in_shardings=(rsh, rsh, bsh, bsh, bsh),
                       out_shardings=(bsh, bsh))
 

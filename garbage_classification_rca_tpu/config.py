@@ -123,6 +123,10 @@ class RunConfig:
     gen_top_k: int = 0                 # 0 disables
     gen_top_p: float = 1.0
     gen_seed: int = 0                  # PRNG seed for sampled decoding
+    kv_cache_dtype: str = ""           # ""=param dtype; "int8" quantizes
+                                       # the serving KV cache per slot
+                                       # (ops/quant.py): 2-4x less decode
+                                       # HBM traffic + cache memory
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -269,6 +273,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--gen_top_k', type=int, default=d.gen_top_k)
     p.add_argument('--gen_top_p', type=float, default=d.gen_top_p)
     p.add_argument('--gen_seed', type=int, default=d.gen_seed)
+    p.add_argument('--kv_cache_dtype', type=str, default=d.kv_cache_dtype,
+                   choices=["", "int8"])
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")

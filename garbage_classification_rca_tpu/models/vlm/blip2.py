@@ -166,7 +166,7 @@ def next_token_logits(params, pixel_values, input_ids, attention_mask,
 
 def generate(params, pixel_values, input_ids, attention_mask,
              cfg: Blip2Config, lora=None, max_new_tokens: int = 8,
-             eos_id: int = 2, sampler=None, rng=None):
+             eos_id: int = 2, sampler=None, rng=None, cache_dtype=None):
     """Multi-token generation with per-layer KV caches — the TPU-native
     serving path beyond the reference's 1-token eval
     (blip_2_training.py:296-297). Greedy by default; pass sampler + rng
@@ -188,7 +188,7 @@ def generate(params, pixel_values, input_ids, attention_mask,
     return opt_mod.generate(params["opt"], embeds, mask, cfg.opt,
                             max_new_tokens, eos_id=eos_id, lora=lora,
                             lora_scale=cfg.lora_scale, sampler=sampler,
-                            rng=rng)
+                            rng=rng, cache_dtype=cache_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -163,41 +163,74 @@ def layer_prefill(lp, h, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
     return h, k, v
 
 
-def layer_decode(lp, h, ck, cv, write_index, bias, cfg: OPTConfig,
-                 lora=None, lora_scale=1.0):
-    """One decoder layer for one incremental token. h [B, H]; ck/cv
-    [B, T, H] (this layer's cache); write_index [B] per-row K/V slot;
-    bias [B, 1, 1, T] additive attention bias over the cache slots.
-    Returns (h, ck, cv) with the new K/V scattered in."""
+_scatter_rows = jax.vmap(
+    lambda c, row, i: jax.lax.dynamic_update_slice(c, row[None], (i, 0)))
+
+
+def _decode_attend(lp, h, q, kd, vd, bias, cfg: OPTConfig):
+    """Shared tail of one incremental-token layer: attention over the
+    (dense) cache kd/vd [B, T, H] + residual MLP. h/q [B, H]."""
     b, d = h.shape
     hd = d // cfg.heads
-    scatter = jax.vmap(
-        lambda c, row, i: jax.lax.dynamic_update_slice(c, row[None], (i, 0)))
-    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
-    q, k, v = _qkv(lp, hn, lora, lora_scale)
-    ck = scatter(ck, k.astype(ck.dtype), write_index)
-    cv = scatter(cv, v.astype(cv.dtype), write_index)
     qh = q.reshape(b, cfg.heads, hd)
-    kh = ck.reshape(b, -1, cfg.heads, hd)
-    vh = cv.reshape(b, -1, cfg.heads, hd)
+    kh = kd.reshape(b, -1, cfg.heads, hd)
+    vh = vd.reshape(b, -1, cfg.heads, hd)
     scores = jnp.einsum("bhd,bmhd->bhm", qh, kh,
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     w = jax.nn.softmax(scores + bias[:, 0], axis=-1).astype(vh.dtype)
     att = jnp.einsum("bhm,bmhd->bhd", w, vh).reshape(b, d)
     h = h + nn.linear(lp["out"], att)
     hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
-    h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
-    return h, ck, cv
+    return h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+
+
+def layer_decode(lp, h, ck, cv, write_index, bias, cfg: OPTConfig,
+                 lora=None, lora_scale=1.0):
+    """One decoder layer for one incremental token. h [B, H]; ck/cv
+    [B, T, H] (this layer's cache); write_index [B] per-row K/V slot;
+    bias [B, 1, 1, T] additive attention bias over the cache slots.
+    Returns (h, ck, cv) with the new K/V scattered in."""
+    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+    q, k, v = _qkv(lp, hn, lora, lora_scale)
+    ck = _scatter_rows(ck, k.astype(ck.dtype), write_index)
+    cv = _scatter_rows(cv, v.astype(cv.dtype), write_index)
+    return _decode_attend(lp, h, q, ck, cv, bias, cfg), ck, cv
+
+
+def layer_decode_q(lp, h, ckq, cks, cvq, cvs, write_index, bias,
+                   cfg: OPTConfig, lora=None, lora_scale=1.0):
+    """layer_decode with an int8 cache (ops/quant.py): ckq/cvq int8
+    [B, T, H] + per-slot scales cks/cvs f32 [B, T, 1]. The new token's
+    K/V row is quantized before the scatter; attention dequantizes on
+    read (XLA fuses the convert+scale into the matmul operand load — the
+    HBM traffic is the int8 bytes)."""
+    from ...ops import quant
+
+    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+    q, k, v = _qkv(lp, hn, lora, lora_scale)
+    kq, ks = quant.quantize_rows(k)
+    vq, vs = quant.quantize_rows(v)
+    ckq = _scatter_rows(ckq, kq, write_index)
+    cks = _scatter_rows(cks, ks, write_index)
+    cvq = _scatter_rows(cvq, vq, write_index)
+    cvs = _scatter_rows(cvs, vs, write_index)
+    kd = quant.dequantize(ckq, cks, h.dtype)
+    vd = quant.dequantize(cvq, cvs, h.dtype)
+    return (_decode_attend(lp, h, q, kd, vd, bias, cfg),
+            ckq, cks, cvq, cvs)
 
 
 def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
-            max_new_tokens: int, lora=None, lora_scale=1.0):
+            max_new_tokens: int, lora=None, lora_scale=1.0,
+            cache_dtype=None):
     """Full-prompt forward that also fills per-layer K/V caches.
 
     Returns (hidden [B, L, H] post final-LN, caches). Caches are
     {"k": [n_layers, B, T, H], "v": ...} with T = L + max_new_tokens,
     prompt K/V written at [0, L) (padded rows included — attention masks
-    them), generation slots zero-initialised.
+    them), generation slots zero-initialised. cache_dtype="int8" stores
+    quantized caches instead: {"k"/"v": int8, "k_scale"/"v_scale": f32
+    [n_layers, B, T, 1]} (ops/quant.py — 2-4x less decode HBM traffic).
     """
     mask = attention_mask.astype(jnp.int32)
     positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
@@ -214,7 +247,17 @@ def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
         h, k, v = layer_prefill(lp, h, bias, cfg, layer_lora, lora_scale)
         ks.append(jnp.pad(k, ((0, 0), (0, max_new_tokens), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, max_new_tokens), (0, 0))))
-    caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+    if cache_dtype == "int8":
+        from ...ops import quant
+
+        kq, ksc = quant.quantize_rows(jnp.stack(ks))
+        vq, vsc = quant.quantize_rows(jnp.stack(vs))
+        caches = {"k": kq, "k_scale": ksc, "v": vq, "v_scale": vsc}
+    elif cache_dtype is not None:
+        raise ValueError(f"unknown cache_dtype {cache_dtype!r} "
+                         "(None or 'int8')")
+    else:
+        caches = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
 
 
@@ -230,21 +273,30 @@ def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
                                ).astype(tok_emb.dtype)
     bias = ((1.0 - attn_mask.astype(jnp.float32))
             * jnp.finfo(jnp.float32).min)[:, None, None, :]   # [B,1,1,T]
-    new_k, new_v = [], []
+    quantized = "k_scale" in caches
+    new = {k: [] for k in caches}
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        h, ck, cv = layer_decode(lp, h, caches["k"][i], caches["v"][i],
-                                 write_index, bias, cfg, layer_lora,
-                                 lora_scale)
-        new_k.append(ck)
-        new_v.append(cv)
-    caches = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        if quantized:
+            h, ckq, cks, cvq, cvs = layer_decode_q(
+                lp, h, caches["k"][i], caches["k_scale"][i],
+                caches["v"][i], caches["v_scale"][i], write_index, bias,
+                cfg, layer_lora, lora_scale)
+            new["k_scale"].append(cks)
+            new["v_scale"].append(cvs)
+        else:
+            h, ckq, cvq = layer_decode(lp, h, caches["k"][i],
+                                       caches["v"][i], write_index, bias,
+                                       cfg, layer_lora, lora_scale)
+        new["k"].append(ckq)
+        new["v"].append(cvq)
+    caches = {k: jnp.stack(v) for k, v in new.items()}
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
 
 
 def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
              max_new_tokens: int, eos_id: int = 2, lora=None,
-             lora_scale=1.0, sampler=None, rng=None):
+             lora_scale=1.0, sampler=None, rng=None, cache_dtype=None):
     """KV-cache generation over pre-built input embeddings — the
     single-device token loop shared by blip2.generate (which prepends the
     projected query embeddings) and parity-tested against pp_generate.
@@ -259,7 +311,9 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     Static shapes: prefill fills the [L + max_new_tokens] caches once,
     then a ``lax.scan`` appends one token per step. Left- OR right-padded
     prompts (generated K/V always land in the tail slots; pad positions
-    stay masked).
+    stay masked). cache_dtype="int8" stores quantized K/V (ops/quant.py):
+    2x (bf16) / 4x (f32) less decode-attention HBM traffic and cache
+    memory.
 
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
     bool) — each row's EOS token is its last valid entry; ``valid`` is
@@ -275,7 +329,8 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     mask = attention_mask.astype(jnp.int32)
     b, l = mask.shape
     h, caches = prefill(params, inputs_embeds, mask, cfg, max_new_tokens,
-                        lora=lora, lora_scale=lora_scale)
+                        lora=lora, lora_scale=lora_scale,
+                        cache_dtype=cache_dtype)
     n_valid = jnp.sum(mask, axis=1)                            # [B]
     last_idx = jnp.argmax(mask * jnp.arange(1, l + 1)[None, :], axis=1)
     h_last = h[jnp.arange(b), last_idx]

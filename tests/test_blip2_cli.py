@@ -85,6 +85,21 @@ def test_blip2_cli_sampled_generate(tiny_dataset, tmp_path, monkeypatch):
     assert os.path.getsize(csv) > 0
 
 
+def test_blip2_cli_int8_kv_cache(tiny_dataset, tmp_path, monkeypatch):
+    """--kv_cache_dtype=int8 runs the quantized serving cache through
+    the full CLI (library parity is pinned in test_quant.py)."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+
+    acc, csv = _run(
+        blip2_test.main,
+        [f"--dataset_folder_name={tiny_dataset}",
+         f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4",
+         "--max_new_tokens=3", "--kv_cache_dtype=int8"],
+        tmp_path, monkeypatch, "int8kv")
+    assert 0.0 <= acc <= 100.0
+    assert os.path.getsize(csv) > 0
+
+
 def test_qformer_cli_rejects_bare_linear_pth(tiny_dataset, tmp_path,
                                              monkeypatch):
     """A .pth saved as Linear.state_dict() (keys weight/bias) is not the

@@ -680,7 +680,10 @@ def main():
                   f"samples/s on {n_chips} chip(s)")
         if os.environ.get("GC_RCA_BENCH_BLIP2_GEN", "0") == "1":
             g_tps, g_wall = bench_blip2_generate()
-            print(f"# BLIP-2 KV-cache generate (bs8, 8 new tokens): "
+            kv = ("int8 KV cache"
+                  if os.environ.get("GC_RCA_KV_INT8") == "1" else
+                  "bf16 KV cache")
+            print(f"# BLIP-2 KV-cache generate (bs8, 8 new tokens, {kv}): "
                   f"{g_tps:.1f} tokens/s on {n_chips} chip(s) "
                   f"({g_wall * 1e3:.0f} ms end-to-end incl. prefill)")
         if os.environ.get("GC_RCA_BENCH_BLIP2_TRAIN", "0") == "1":

@@ -290,12 +290,16 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                 "k": jnp.pad(ks, ((0, 0), (0, 0), (0, n_new), (0, 0))),
                 "v": jnp.pad(vs, ((0, 0), (0, 0), (0, n_new), (0, 0))),
             }
+            # gate on the SLICE, then update unconditionally: a
+            # where(active, dus(cache), cache) would select (= copy) the
+            # whole per-stage cache every tick
             caches = jax.tree_util.tree_map(
-                lambda c, blkv: jnp.where(
-                    active,
-                    jax.lax.dynamic_update_slice(
-                        c, blkv[:, None].astype(c.dtype), (0, mi, 0, 0, 0)),
-                    c),
+                lambda c, blkv: jax.lax.dynamic_update_slice(
+                    c,
+                    jnp.where(active, blkv.astype(c.dtype),
+                              jax.lax.dynamic_index_in_dim(c, mi, 1, False)
+                              )[:, None],
+                    (0, mi, 0, 0, 0)),
                 caches, blk_pad)
 
             li = jax.lax.dynamic_index_in_dim(last_all, mi, 0, False)
@@ -349,13 +353,17 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                 hc, ckl, cvl = layer_decode(lp, hc, ckl, cvl, widx, bi, cfg)
                 return hc, (ckl, cvl)
 
-            h_out, (ck, cv) = jax.lax.scan(lyr, h_in,
-                                           (local_layers, ck, cv))
+            h_out, (nck, ncv) = jax.lax.scan(lyr, h_in,
+                                             (local_layers, ck, cv))
+            # slice-gated write (see prefill_tick): never select on the
+            # full cache buffer
             caches = {
-                "k": jnp.where(active, jax.lax.dynamic_update_slice(
-                    caches["k"], ck[:, None], (0, mi, 0, 0, 0)), caches["k"]),
-                "v": jnp.where(active, jax.lax.dynamic_update_slice(
-                    caches["v"], cv[:, None], (0, mi, 0, 0, 0)), caches["v"]),
+                "k": jax.lax.dynamic_update_slice(
+                    caches["k"], jnp.where(active, nck, ck)[:, None],
+                    (0, mi, 0, 0, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    caches["v"], jnp.where(active, ncv, cv)[:, None],
+                    (0, mi, 0, 0, 0)),
             }
 
             nxt, emb = sample(h_out)

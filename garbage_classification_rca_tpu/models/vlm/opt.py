@@ -143,20 +143,28 @@ def _qkv(p, h, lora, lora_scale):
     return q, k, nn.linear(p["v"], h)
 
 
-def layer_prefill(lp, h, bias, cfg: OPTConfig, lora=None, lora_scale=1.0):
+def layer_prefill(lp, h, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
+                  mask=None):
     """One decoder layer over the full prompt, also returning its K/V
-    rows for the cache. h [B, L, H], bias [B, 1, L, L] -> (h, k, v)."""
+    rows for the cache. h [B, L, H], bias [B, 1, L, L] -> (h, k, v).
+    When `mask` [B, L] is given the attention runs through the fused
+    Pallas MHA kernel (same gating as _layer's eval path); k/v are the
+    pre-kernel projections either way, so the cache is unaffected."""
     b, l, d = h.shape
     hd = d // cfg.heads
     hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
     q, k, v = _qkv(lp, hn, lora, lora_scale)
-    qh = q.reshape(b, l, cfg.heads, hd)
-    kh = k.reshape(b, l, cfg.heads, hd)
-    vh = v.reshape(b, l, cfg.heads, hd)
-    scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
-                        preferred_element_type=jnp.float32) / np.sqrt(hd)
-    w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
-    att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
+    if mask is not None and mha_fused.fused_attention_enabled():
+        att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
+                                      causal=True)
+    else:
+        qh = q.reshape(b, l, cfg.heads, hd)
+        kh = k.reshape(b, l, cfg.heads, hd)
+        vh = v.reshape(b, l, cfg.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
     h = h + nn.linear(lp["out"], att)
     hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
     h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
@@ -244,7 +252,8 @@ def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     ks, vs = [], []
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
-        h, k, v = layer_prefill(lp, h, bias, cfg, layer_lora, lora_scale)
+        h, k, v = layer_prefill(lp, h, bias, cfg, layer_lora, lora_scale,
+                                mask=mask)
         ks.append(jnp.pad(k, ((0, 0), (0, max_new_tokens), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, max_new_tokens), (0, 0))))
     if cache_dtype == "int8":

@@ -184,3 +184,40 @@ def test_mha_trainable_grads_match_reference():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_opt_fused_prefill_matches_unfused(monkeypatch):
+    """The serving prefill (opt.prefill -> layer_prefill) routes through
+    the fused kernel too; hidden AND the cached K/V must be unchanged,
+    and the greedy generate stream must be identical."""
+    from garbage_classification_rca_tpu.models.vlm import opt
+
+    cfg = opt.OPTConfig(layers=2, hidden=64, heads=4, ffn=128, vocab=100)
+    params = opt.init(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(RNG.integers(4, 90, (2, 12)).astype(np.int32))
+    mask = np.ones((2, 12), np.int32)
+    mask[1, :4] = 0            # LEFT-padded row (the production batcher)
+    mask = jnp.asarray(mask)
+    emb = opt.embed_tokens(params, ids)
+
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+    want_h, want_c = opt.prefill(params, emb, mask, cfg, 3)
+    want_t, want_v = opt.generate(params, emb, mask, cfg, max_new_tokens=3)
+    monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+    got_h, got_c = opt.prefill(params, emb, mask, cfg, 3)
+    got_t, got_v = opt.generate(params, emb, mask, cfg, max_new_tokens=3)
+
+    vm = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(np.asarray(got_h) * vm,
+                               np.asarray(want_h) * vm,
+                               rtol=2e-4, atol=2e-5)
+    # caches are the pre-kernel projections — identical at every VALID
+    # slot (pad-slot entries in layers >= 1 derive from the pad-row
+    # garbage hidden, which legitimately differs between the fused and
+    # unfused graphs; attention masks those slots either way)
+    cm = np.pad(np.asarray(mask), ((0, 0), (0, 3)))[None, :, :, None]
+    for key in ("k", "v"):
+        np.testing.assert_array_equal(np.asarray(got_c[key]) * cm,
+                                      np.asarray(want_c[key]) * cm)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))

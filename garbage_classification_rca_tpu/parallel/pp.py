@@ -166,7 +166,7 @@ def pp_decode(params, stage_layers, inputs_embeds, attention_mask, cfg,
 
 def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                 mesh: Mesh, max_new_tokens: int, eos_id: int = 2,
-                axis: str = PIPE_AXIS):
+                axis: str = PIPE_AXIS, cache_dtype=None):
     """Pipelined greedy KV-cache generation — the pp twin of the serving
     path (models/vlm/opt.py prefill + decode_step; semantics of
     blip2.generate's token loop, blip2.py:167-226).
@@ -196,9 +196,21 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
     bool) — identical contract to blip2.generate: each row's EOS token is
     its last valid entry, ``valid`` False strictly after it.
+
+    cache_dtype="int8" quantizes each stage's K/V caches (ops/quant.py,
+    same per-slot scheme as opt.generate — token streams match the
+    single-device int8 path exactly). pp is where this bites hardest:
+    every stage holds caches for all S microbatches, so the per-chip
+    cache footprint equals the whole single-device cache.
     """
-    from ..models.vlm.opt import layer_decode, layer_prefill
+    from ..models.vlm.opt import layer_decode, layer_decode_q, layer_prefill
     from ..nn import core as nn
+    from ..ops import quant
+
+    if cache_dtype not in (None, "int8"):
+        raise ValueError(f"unknown cache_dtype {cache_dtype!r} "
+                         "(None or 'int8')")
+    quantized = cache_dtype == "int8"
 
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_stages = sizes[axis]
@@ -257,10 +269,20 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return nxt, emb_w[nxt].astype(dtype)
 
-        caches0 = {
-            "k": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
-            "v": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
-        }
+        if quantized:
+            caches0 = {
+                "k": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), jnp.int8),
+                "k_scale": jnp.ones((n_loc, s_, mb_loc, t_cache, 1),
+                                    jnp.float32),
+                "v": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), jnp.int8),
+                "v_scale": jnp.ones((n_loc, s_, mb_loc, t_cache, 1),
+                                    jnp.float32),
+            }
+        else:
+            caches0 = {
+                "k": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
+                "v": jnp.zeros((n_loc, s_, mb_loc, t_cache, d), dtype),
+            }
 
         # ---- scan 1: pipelined prefill (ticks 0 .. 2S-1) ----
         def prefill_tick(carry, t):
@@ -286,10 +308,14 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                 return hc, (k, v)
 
             h_out, (ks, vs) = jax.lax.scan(lyr, x, local_layers)
-            blk_pad = {
-                "k": jnp.pad(ks, ((0, 0), (0, 0), (0, n_new), (0, 0))),
-                "v": jnp.pad(vs, ((0, 0), (0, 0), (0, n_new), (0, 0))),
-            }
+            kp = jnp.pad(ks, ((0, 0), (0, 0), (0, n_new), (0, 0)))
+            vp = jnp.pad(vs, ((0, 0), (0, 0), (0, n_new), (0, 0)))
+            if quantized:
+                kq, ksc = quant.quantize_rows(kp)
+                vq, vsc = quant.quantize_rows(vp)
+                blk_pad = {"k": kq, "k_scale": ksc, "v": vq, "v_scale": vsc}
+            else:
+                blk_pad = {"k": kp, "v": vp}
             # gate on the SLICE, then update unconditionally: a
             # where(active, dus(cache), cache) would select (= copy) the
             # whole per-stage cache every tick
@@ -345,26 +371,36 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
             bi = ((1.0 - attn.astype(jnp.float32))
                   * neg)[:, None, None, :]
             widx = jnp.full((mb_loc,), slot, jnp.int32)
-            ck = jax.lax.dynamic_index_in_dim(caches["k"], mi, 1, False)
-            cv = jax.lax.dynamic_index_in_dim(caches["v"], mi, 1, False)
+            cur = {k: jax.lax.dynamic_index_in_dim(c, mi, 1, False)
+                   for k, c in caches.items()}
 
-            def lyr(hc, xs):
-                lp, ckl, cvl = xs
-                hc, ckl, cvl = layer_decode(lp, hc, ckl, cvl, widx, bi, cfg)
-                return hc, (ckl, cvl)
+            if quantized:
+                def lyr(hc, xs):
+                    lp, ckq, cks, cvq, cvs = xs
+                    hc, ckq, cks, cvq, cvs = layer_decode_q(
+                        lp, hc, ckq, cks, cvq, cvs, widx, bi, cfg)
+                    return hc, {"k": ckq, "k_scale": cks,
+                                "v": cvq, "v_scale": cvs}
 
-            h_out, (nck, ncv) = jax.lax.scan(lyr, h_in,
-                                             (local_layers, ck, cv))
+                h_out, new = jax.lax.scan(
+                    lyr, h_in, (local_layers, cur["k"], cur["k_scale"],
+                                cur["v"], cur["v_scale"]))
+            else:
+                def lyr(hc, xs):
+                    lp, ckl, cvl = xs
+                    hc, ckl, cvl = layer_decode(lp, hc, ckl, cvl, widx,
+                                                bi, cfg)
+                    return hc, {"k": ckl, "v": cvl}
+
+                h_out, new = jax.lax.scan(
+                    lyr, h_in, (local_layers, cur["k"], cur["v"]))
             # slice-gated write (see prefill_tick): never select on the
             # full cache buffer
             caches = {
-                "k": jax.lax.dynamic_update_slice(
-                    caches["k"], jnp.where(active, nck, ck)[:, None],
-                    (0, mi, 0, 0, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    caches["v"], jnp.where(active, ncv, cv)[:, None],
-                    (0, mi, 0, 0, 0)),
-            }
+                k: jax.lax.dynamic_update_slice(
+                    caches[k], jnp.where(active, new[k], cur[k])[:, None],
+                    (0, mi, 0, 0, 0))
+                for k in caches}
 
             nxt, emb = sample(h_out)
             is_last = active & (s == s_ - 1)

@@ -190,3 +190,24 @@ def test_pp_generate_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
                        max_new_tokens=3)
+
+
+def test_pp_generate_int8_cache_matches_single_device():
+    """pp_generate(cache_dtype='int8') uses the same per-slot
+    quantization as opt.generate, so the token streams must be identical
+    to the single-device int8 path."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=8, l=7)
+    want_t, want_v = opt.generate(params, emb, mask, cfg,
+                                  max_new_tokens=5, cache_dtype="int8")
+    mesh = make_mesh("pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    got_t, got_v = pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                                  max_new_tokens=5, cache_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t),
+                                  err_msg="pp int8 tokens != single-device")
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    with pytest.raises(ValueError):
+        pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                       max_new_tokens=5, cache_dtype="fp4")

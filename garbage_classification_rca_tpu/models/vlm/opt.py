@@ -303,6 +303,54 @@ def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
 
 
+def decode_chunk(params, caches, tok_embs, write_base, positions,
+                 attn_mask, cfg: OPTConfig, lora=None, lora_scale=1.0):
+    """C incremental tokens at once, at per-row ragged cache offsets —
+    the building block for speculative verification (each row's draft
+    block starts wherever that row's accepted stream ends) and for
+    chunked prefill. tok_embs [B, C, H]; write_base [B] (this block's
+    K/V rows land at slots write_base..write_base+C-1, contiguous per
+    row); positions [B, C] learned-position ids; attn_mask [B, C, T]
+    marking every cache slot each chunk token may attend to (the chunk's
+    own within-block causality must be encoded here too). Returns
+    (hidden [B, C, H] post final-LN, caches).
+
+    Parity contract: feeding the same C tokens one-by-one through
+    decode_step yields the same hidden states and the same cache rows
+    (tests/test_speculative.py)."""
+    b, c, d = tok_embs.shape
+    hd = d // cfg.heads
+    h = tok_embs + nn.embedding(params["embed_positions"], positions
+                                ).astype(tok_embs.dtype)
+    bias = ((1.0 - attn_mask.astype(jnp.float32))
+            * jnp.finfo(jnp.float32).min)[:, None, :, :]      # [B,1,C,T]
+    scatter_blk = jax.vmap(
+        lambda cch, blk, i: jax.lax.dynamic_update_slice(cch, blk, (i, 0)))
+    new_k, new_v = [], []
+    for i, lp in enumerate(params["layers"]):
+        layer_lora = None if lora is None else lora.get(i)
+        hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
+        q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
+        ck = scatter_blk(caches["k"][i], k.astype(caches["k"].dtype),
+                         write_base)
+        cv = scatter_blk(caches["v"][i], v.astype(caches["v"].dtype),
+                         write_base)
+        qh = q.reshape(b, c, cfg.heads, hd)
+        kh = ck.reshape(b, -1, cfg.heads, hd)
+        vh = cv.reshape(b, -1, cfg.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, c, d)
+        h = h + nn.linear(lp["out"], att)
+        hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
+        h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
+        new_k.append(ck)
+        new_v.append(cv)
+    caches = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps), caches
+
+
 def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
              max_new_tokens: int, eos_id: int = 2, lora=None,
              lora_scale=1.0, sampler=None, rng=None, cache_dtype=None):
@@ -374,6 +422,123 @@ def generate(params, inputs_embeds, attention_mask, cfg: OPTConfig,
         step, (caches, tok0, jnp.zeros((b,), bool)),
         jnp.arange(max_new_tokens))
     return jnp.transpose(toks), jnp.transpose(valid)
+
+
+def speculative_generate(params, draft_params, inputs_embeds, draft_embeds,
+                         attention_mask, cfg: OPTConfig,
+                         draft_cfg: OPTConfig, max_new_tokens: int,
+                         draft_k: int = 4, eos_id: int = 2, lora=None,
+                         lora_scale=1.0):
+    """Greedy speculative decoding: a small draft OPT proposes blocks of
+    ``draft_k`` tokens, the target verifies each block in ONE chunked
+    forward (decode_chunk), and the longest prefix the target agrees
+    with is accepted — plus the target's own next token. Output is
+    PROVABLY identical to ``generate``'s greedy stream (every accepted
+    token IS the target's argmax given the accepted prefix); the speedup
+    is that the target runs once per block instead of once per token,
+    turning up to draft_k sequential 2.7B forwards into one.
+
+    Per-row ragged progress (rows accept different amounts per round) is
+    handled with per-row cache offsets; rows run until every row has
+    max_new_tokens recorded, exactly like generate (which also keeps
+    decoding past EOS with valid=False), so even the post-EOS garbage
+    tails match token-for-token.
+
+    draft_embeds: the DRAFT's embedding of the same prompt (same
+    attention_mask; the draft has its own width/embedding table).
+
+    Returns (tokens [B, max_new_tokens] int32, valid bool) — identical
+    contract and content to ``generate``.
+    """
+    mask = attention_mask.astype(jnp.int32)
+    b, l = mask.shape
+    n, k = max_new_tokens, draft_k
+    rows = jnp.arange(b)
+    t_dtype, d_dtype = inputs_embeds.dtype, draft_embeds.dtype
+
+    # k-1 slots of write headroom: the final round's block may land at
+    # slots up to l + n + k - 2
+    h, tc = prefill(params, inputs_embeds, mask, cfg, n + k, lora=lora,
+                    lora_scale=lora_scale)
+    _, dc = prefill(draft_params, draft_embeds, mask, draft_cfg, n + k)
+    n_valid = jnp.sum(mask, axis=1)
+    last_idx = jnp.argmax(mask * jnp.arange(1, l + 1)[None, :], axis=1)
+    tok0 = jnp.argmax(lm_head(params, h[rows, last_idx]).astype(
+        jnp.float32), axis=-1).astype(jnp.int32)
+
+    t_cache = l + n + k
+    base_mask = jnp.pad(mask, ((0, 0), (0, n + k)))            # [B, T]
+    slots = jnp.arange(t_cache)
+
+    out_t = jnp.zeros((b, n), jnp.int32).at[:, 0].set(tok0)
+    out_v = jnp.zeros((b, n), bool).at[:, 0].set(True)
+    carry0 = (tc, dc, tok0, jnp.ones((b,), jnp.int32),
+              tok0 == eos_id, out_t, out_v)
+
+    def cond(carry):
+        return jnp.any(carry[3] < n)
+
+    def body(carry):
+        tc, dc, tok, n_gen, done, out_t, out_v = carry
+
+        # --- draft: consume I_0=tok, I_j=its own D_j; k single steps ---
+        def dstep(c, j):
+            dcache, cur = c
+            base = l + n_gen - 1 + j
+            pos = n_valid + n_gen - 1 + j + draft_cfg.pos_offset
+            attn = base_mask | ((slots[None] >= l)
+                                & (slots[None] <= base[:, None])
+                                ).astype(jnp.int32)
+            emb = embed_tokens(draft_params, cur).astype(d_dtype)
+            hh, dcache = decode_step(draft_params, dcache, emb, base, pos,
+                                     attn, draft_cfg)
+            nxt = jnp.argmax(lm_head(draft_params, hh).astype(jnp.float32),
+                             axis=-1).astype(jnp.int32)
+            return (dcache, nxt), cur
+
+        (dc, _), inputs = jax.lax.scan(dstep, (dc, tok), jnp.arange(k))
+        inputs = jnp.transpose(inputs)                          # [B, k]
+
+        # --- target verifies the whole block in one chunked forward ---
+        offs = jnp.arange(k)
+        write_base = l + n_gen - 1
+        pos = (n_valid[:, None] + n_gen[:, None] - 1 + offs[None]
+               + cfg.pos_offset)                                # [B, k]
+        upto = (write_base[:, None] + offs[None])[:, :, None]   # [B, k, 1]
+        attn = (base_mask[:, None, :]
+                | ((slots[None, None] >= l) & (slots[None, None] <= upto)
+                   ).astype(jnp.int32))                         # [B, k, T]
+        embs = embed_tokens(params, inputs).astype(t_dtype)
+        hh, tc = decode_chunk(params, tc, embs, write_base, pos, attn,
+                              cfg, lora=lora, lora_scale=lora_scale)
+        g = jnp.argmax(lm_head(params, hh).astype(jnp.float32),
+                       axis=-1).astype(jnp.int32)               # G_1..G_k
+
+        # --- accept the matched prefix + the target's next token ---
+        match = (inputs[:, 1:] == g[:, :-1]).astype(jnp.int32)  # D_j==G_j
+        n_acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        eff = jnp.minimum(n_acc, n - n_gen)       # 0 for finished rows
+
+        def rec(c, j):
+            out_t, out_v, dn = c
+            tokj = g[:, j]
+            accept = j < eff
+            posj = jnp.clip(n_gen + j, 0, n - 1)
+            out_t = out_t.at[rows, posj].set(
+                jnp.where(accept, tokj, out_t[rows, posj]))
+            out_v = out_v.at[rows, posj].set(
+                jnp.where(accept, ~dn, out_v[rows, posj]))
+            dn = jnp.where(accept, dn | (tokj == eos_id), dn)
+            return (out_t, out_v, dn), None
+
+        (out_t, out_v, done), _ = jax.lax.scan(
+            rec, (out_t, out_v, done), jnp.arange(k))
+        tok = jnp.where(eff > 0,
+                        g[rows, jnp.clip(eff - 1, 0, k - 1)], tok)
+        return tc, dc, tok, n_gen + eff, done, out_t, out_v
+
+    (_, _, _, _, _, out_t, out_v) = jax.lax.while_loop(cond, body, carry0)
+    return out_t, out_v
 
 
 def convert_torch(sd, cfg: OPTConfig):

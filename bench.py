@@ -308,7 +308,8 @@ def bench_distilbert_text(batch_size: int = 512, seq_len: int = 64):
     return batch_size / (wall / SCAN_STEPS)
 
 
-def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
+def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8,
+                         prompt_len: int = 100):
     """KV-cached greedy decode (models/vlm/blip2.generate — the serving
     path beyond the reference's 1-token eval). Off by default
     (GC_RCA_BENCH_BLIP2_GEN=1): the 3.74B prefill+scan program compiles
@@ -336,9 +337,9 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8):
     rng = np.random.default_rng(0)
     pix = _put_data(rng.integers(0, 255, (batch_size, 224, 224, 3)
                                  ).astype(np.uint8))
-    ids = _put_data(rng.integers(4, 50000, (batch_size, 100)
+    ids = _put_data(rng.integers(4, 50000, (batch_size, prompt_len)
                                  ).astype(np.int32))
-    mask = _put_data(np.ones((batch_size, 100), np.int32))
+    mask = _put_data(np.ones((batch_size, prompt_len), np.int32))
     int(run(params, pix, ids, mask))
     t0 = time.perf_counter()
     int(run(params, pix, ids, mask))

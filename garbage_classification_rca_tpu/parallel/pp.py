@@ -189,9 +189,10 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     ticks of one-token stage steps. Static shapes throughout.
 
     Composes with dp exactly like pp_decode_hidden (sample dim sharded
-    over a 'data' mesh axis when present). LoRA is intentionally not
-    supported here (serving runs merged/base weights — adapters live on
-    the dp/tp paths).
+    over a 'data' mesh axis when present). LoRA and sampling are
+    intentionally not supported here (serving runs merged/base weights —
+    adapters live on the dp/tp paths; for sampled decoding use
+    opt.generate's sampler on those paths).
 
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
     bool) — identical contract to blip2.generate: each row's EOS token is

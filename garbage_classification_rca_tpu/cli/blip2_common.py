@@ -140,3 +140,74 @@ def class_logits_from_next_token(next_logits: jnp.ndarray,
     generate + find_closest_string when the decoded token is one of the
     answers' first tokens)."""
     return next_logits[:, answer_first_tokens]
+
+
+# every key a Blip2Batcher batch carries — the sharding dicts for the
+# train/eval jits are built from this one list so the two trainer CLIs
+# cannot drift
+BATCH_KEYS = ("image", "input_ids", "attention_mask", "label_tokens",
+              "label", "valid")
+
+
+def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None):
+    """The grad-accumulating optimizer step shared by the BLIP-2 LoRA and
+    Q-Former classifier trainers (they differ only in the loss).
+
+    grad_fn: ``jax.value_and_grad`` of loss(trainable, frozen, microbatch).
+    Returns a jitted ``(frozen, trainable, opt_state, stacked_batch) ->
+    (trainable, opt_state, mean_loss)`` where stacked_batch has a leading
+    microbatch dim of W <= acc_steps.
+
+    Reference semantics (blip_2_training.py:274-293,
+    q_former_training.py:294-301): the optimizer steps every ``acc_steps``
+    DataLoader batches with loss/acc_steps backwards per microbatch — so a
+    trailing PARTIAL window still divides by the configured acc_steps, not
+    the window length. The frozen backbone enters as a jit ARGUMENT:
+    closing over it would bake GBs of weights into the executable as
+    captured constants. With a mesh, the microbatch axis stays replicated
+    and the batch axis is sharded over 'data' (XLA psums the grads).
+    """
+    import optax
+
+    def _fn(frozen, trainable, opt_state, batch):
+        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        def micro(carry, mb):
+            grads_acc, loss_acc = carry
+            loss, grads = grad_fn(trainable, frozen, mb)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        return (optax.apply_updates(trainable, updates), opt_state,
+                loss_sum / acc)
+
+    if mesh is None:
+        return jax.jit(_fn)
+    from ..parallel.mesh import replicated_sharding
+    from ..train.loop import microbatch_sharding
+    rs, mbs = replicated_sharding(mesh), microbatch_sharding(mesh)
+    shard = {k: mbs for k in BATCH_KEYS}
+    return jax.jit(_fn, in_shardings=(rs, rs, rs, shard),
+                   out_shardings=(rs, rs, rs))
+
+
+def iter_accum_windows(batcher, batch_size: int, acc_steps: int, *,
+                       shuffle: bool = False, seed: int = 0):
+    """Yield stacked [W, ...] microbatch windows (W == acc_steps, plus one
+    trailing partial window) — the host side of make_accum_step, shared by
+    both trainer epoch loops."""
+    stack = []
+    for batch in batcher.iter_batches(batch_size, shuffle=shuffle,
+                                      seed=seed):
+        stack.append(batch)
+        if len(stack) == acc_steps:
+            yield {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+            stack = []
+    if stack:
+        yield {k: np.stack([b[k] for b in stack]) for k in stack[0]}

@@ -60,7 +60,7 @@ def main(argv=None):
         from .blip2_common import normalize_clip
 
         n_new = args.max_new_tokens
-        sampler = rng = None
+        sampler = None
         if args.gen_temperature > 0:
             # opt-in sampled eval (HF do_sample semantics on-device);
             # default stays greedy = reference parity
@@ -68,21 +68,29 @@ def main(argv=None):
             sampler = SamplerConfig(temperature=args.gen_temperature,
                                     top_k=args.gen_top_k,
                                     top_p=args.gen_top_p)
-            rng = jax.random.PRNGKey(args.gen_seed)
+        # The key is a jit ARGUMENT (not a captured constant) and is
+        # split per batch below — a fixed key baked into the closure
+        # would hand every batch the identical Gumbel noise sequence.
+        base_rng = jax.random.PRNGKey(args.gen_seed)
         cache_dtype = args.kv_cache_dtype or None
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
-        gen = jax.jit(lambda frozen, lora, pix, ids, mask:
+        gen = jax.jit(lambda frozen, lora, pix, ids, mask, rng:
                       blip2_mod.generate(frozen, normalize_clip(pix), ids,
                                          mask, cfg, lora=lora,
                                          max_new_tokens=n_new,
                                          sampler=sampler, rng=rng,
                                          cache_dtype=cache_dtype),
-                      in_shardings=(rsh, rsh, bsh, bsh, bsh),
+                      in_shardings=(rsh, rsh, bsh, bsh, bsh, rsh),
                       out_shardings=(bsh, bsh))
+        batch_idx = 0
 
         def step(lora, batch):  # same (preds, correct) contract
+            nonlocal batch_idx
+            rng = jax.random.fold_in(base_rng, batch_idx)
+            batch_idx += 1
             toks, tvalid = gen(params, lora, batch["image"],
-                               batch["input_ids"], batch["attention_mask"])
+                               batch["input_ids"], batch["attention_mask"],
+                               rng)
             toks, tvalid = np.asarray(toks), np.asarray(tvalid)
             preds = []
             for r in range(toks.shape[0]):

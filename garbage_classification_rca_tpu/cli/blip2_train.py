@@ -26,8 +26,9 @@ import optax
 from ..config import args_parser
 from ..models.vlm import blip2
 from ..train.engine import MetricsLogger, save_best, PhaseResult
-from .blip2_common import (Blip2Batcher, build_blip2,
-                           class_logits_from_next_token, normalize_clip)
+from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
+                           class_logits_from_next_token, iter_accum_windows,
+                           make_accum_step, normalize_clip)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -68,43 +69,10 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
             [jnp.full_like(mb["input_ids"], -100), labels], 1)
         return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg, lora)
 
-    grad_fn = jax.value_and_grad(loss_fn)
-
-    # the frozen 3.7B params enter as a jit ARGUMENT: closing over them
-    # would bake ~7.5 GB of bf16 weights into the executable as captured
-    # constants (re-uploaded per compile, doubling HBM residency)
-    def _step_fn(frozen, lora, opt_state, batch):
-        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
-
-        def micro(carry, mb):
-            grads_acc, loss_acc = carry
-            loss, grads = grad_fn(lora, frozen, mb)
-            grads_acc = jax.tree_util.tree_map(
-                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
-
-        zero = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), lora)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
-        # the reference backwards loss/accumulation_steps per microbatch
-        # (blip_2_training.py:274-275), so even a trailing PARTIAL window
-        # (:291-292) divides by the configured 8, not the window length —
-        # mirror that: static acc_steps, not the stacked count
-        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
-        updates, opt_state = opt.update(grads, opt_state, lora)
-        lora = optax.apply_updates(lora, updates)
-        return lora, opt_state, loss_sum / acc
-
-    if mesh is None:
-        _step = jax.jit(_step_fn)
-    else:
-        from ..parallel.mesh import replicated_sharding
-        from ..train.loop import microbatch_sharding
-        rs, mbs = replicated_sharding(mesh), microbatch_sharding(mesh)
-        shard = {k: mbs for k in ("image", "input_ids", "attention_mask",
-                                  "label_tokens", "label", "valid")}
-        _step = jax.jit(_step_fn, in_shardings=(rs, rs, rs, shard),
-                        out_shardings=(rs, rs, rs))
+    # accumulation machinery (scan, /acc_steps partial-window semantics,
+    # frozen-params-as-jit-arg, mesh shardings) shared with qformer_train
+    _step = make_accum_step(jax.value_and_grad(loss_fn), opt, acc_steps,
+                            mesh=mesh)
 
     def step(lora, opt_state, batch, rng):
         del rng
@@ -133,8 +101,7 @@ def make_eval_step(cfg, params, answer_first_tokens, mesh=None):
         # replicated, batch sharded on axis 'data'
         from ..parallel.mesh import batch_sharding, replicated_sharding
         bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
-        shard = {k: bs for k in ("image", "input_ids", "attention_mask",
-                                 "label_tokens", "label", "valid")}
+        shard = {k: bs for k in BATCH_KEYS}
         _step = jax.jit(_step_fn, in_shardings=(rs, rs, shard),
                         out_shardings=(bs, rs))
 
@@ -191,19 +158,9 @@ def main(argv=None):
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
-        stack = []
-        for batch in train_b.iter_batches(micro, shuffle=True,
+        for stacked in iter_accum_windows(train_b, micro, BLIP2_ACC,
+                                          shuffle=True,
                                           seed=args.seed + epoch):
-            stack.append(batch)
-            if len(stack) < BLIP2_ACC:
-                continue
-            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
-            stack = []
-            rng, srng = jax.random.split(rng)
-            lora, opt_state, loss = step(lora, opt_state, stacked, srng)
-            losses.append(float(loss))
-        if stack:  # trailing partial accumulation window
-            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
             rng, srng = jax.random.split(rng)
             lora, opt_state, loss = step(lora, opt_state, stacked, srng)
             losses.append(float(loss))

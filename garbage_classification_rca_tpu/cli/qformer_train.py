@@ -23,7 +23,9 @@ from ..models.vlm import blip2
 from ..nn import core as nn
 from ..train.engine import MetricsLogger, PhaseResult, save_best
 from ..train.loss import cross_entropy_loss
-from .blip2_common import Blip2Batcher, build_blip2, normalize_clip
+from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
+                           iter_accum_windows, make_accum_step,
+                           normalize_clip)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -58,38 +60,9 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
         return cross_entropy_loss(logits, batch["label"],
                                   valid=batch["valid"])
 
-    grad_fn = jax.value_and_grad(loss_fn)
-
-    def _train_fn(frozen, trainable, opt_state, batch):
-        acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
-
-        def micro(carry, mb):
-            grads_acc, loss_acc = carry
-            loss, grads = grad_fn(trainable, frozen, mb)
-            grads_acc = jax.tree_util.tree_map(
-                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
-
-        zero = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
-        grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
-        updates, opt_state = opt.update(grads, opt_state, trainable)
-        return (optax.apply_updates(trainable, updates), opt_state,
-                loss_sum / acc)
-
-    if mesh is None:
-        _train_step = jax.jit(_train_fn)
-    else:
-        # microbatch axis leads: replicate it, shard the batch axis
-        from ..parallel.mesh import replicated_sharding
-        from ..train.loop import microbatch_sharding
-        rsh2, mbs2 = replicated_sharding(mesh), microbatch_sharding(mesh)
-        tshard = {k: mbs2 for k in ("image", "input_ids", "attention_mask",
-                                    "label_tokens", "label", "valid")}
-        _train_step = jax.jit(_train_fn, in_shardings=(rsh2, rsh2, rsh2,
-                                                       tshard),
-                              out_shardings=(rsh2, rsh2, rsh2))
+    # accumulation machinery shared with blip2_train (blip2_common)
+    _train_step = make_accum_step(jax.value_and_grad(loss_fn), opt,
+                                  acc_steps, mesh=mesh)
 
     def _eval_fn(frozen, trainable, batch):
         x = normalize_clip(batch["image"])
@@ -105,8 +78,7 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
         # sharded over axis 'data')
         from ..parallel.mesh import batch_sharding, replicated_sharding
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
-        shard = {k: bsh for k in ("image", "input_ids", "attention_mask",
-                                  "label_tokens", "label", "valid")}
+        shard = {k: bsh for k in BATCH_KEYS}
         _eval_step = jax.jit(_eval_fn, in_shardings=(rsh, rsh, shard),
                              out_shardings=(bsh, rsh))
 
@@ -154,19 +126,9 @@ def main(argv=None):
     for epoch in range(args.epochs):
         t0 = time.time()
         losses = []
-        stack = []
-        for batch in train_b.iter_batches(args.batch_size, shuffle=True,
+        for stacked in iter_accum_windows(train_b, args.batch_size, QF_ACC,
+                                          shuffle=True,
                                           seed=args.seed + epoch):
-            stack.append(batch)
-            if len(stack) < QF_ACC:
-                continue
-            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
-            stack = []
-            trainable, opt_state, loss = train_step(trainable, opt_state,
-                                                    stacked)
-            losses.append(float(loss))
-        if stack:  # trailing partial accumulation window
-            stacked = {k: np.stack([b[k] for b in stack]) for k in stack[0]}
             trainable, opt_state, loss = train_step(trainable, opt_state,
                                                     stacked)
             losses.append(float(loss))

@@ -164,6 +164,21 @@ def next_token_logits(params, pixel_values, input_ids, attention_mask,
     return opt_mod.lm_head(params["opt"], h_last)
 
 
+def prompt_embeds(params, pixel_values, input_ids, attention_mask,
+                  cfg: Blip2Config):
+    """BLIP-2 prompt construction for the OPT-level serving paths: 32
+    projected query embeddings prepended to the text embeddings, with a
+    matching always-valid query mask (HF Blip2ForConditionalGeneration
+    .generate's inputs_embeds assembly). Returns (embeds [B, 32+L, H],
+    mask [B, 32+L]) — feed to opt.generate or serving.GenerationServer."""
+    q = query_features(params, pixel_values, cfg)
+    q_emb = nn.linear(params["projection"], q)
+    t_emb = opt_mod.embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
+    embeds = jnp.concatenate([q_emb, t_emb], axis=1)
+    q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
+    return embeds, jnp.concatenate([q_mask, attention_mask], axis=1)
+
+
 def generate(params, pixel_values, input_ids, attention_mask,
              cfg: Blip2Config, lora=None, max_new_tokens: int = 8,
              eos_id: int = 2, sampler=None, rng=None, cache_dtype=None):
@@ -179,12 +194,8 @@ def generate(params, pixel_values, input_ids, attention_mask,
     bool) — each row's EOS token is its last valid entry; ``valid`` is
     False strictly AFTER the EOS.
     """
-    q = query_features(params, pixel_values, cfg)
-    q_emb = nn.linear(params["projection"], q)
-    t_emb = opt_mod.embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
-    embeds = jnp.concatenate([q_emb, t_emb], axis=1)
-    q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
-    mask = jnp.concatenate([q_mask, attention_mask], axis=1)
+    embeds, mask = prompt_embeds(params, pixel_values, input_ids,
+                                 attention_mask, cfg)
     return opt_mod.generate(params["opt"], embeds, mask, cfg.opt,
                             max_new_tokens, eos_id=eos_id, lora=lora,
                             lora_scale=cfg.lora_scale, sampler=sampler,

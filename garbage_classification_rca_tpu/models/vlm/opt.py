@@ -68,44 +68,67 @@ def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0):
     return base_out + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * lora_scale
 
 
+def _qkv(p, h, lora, lora_scale):
+    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
+    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
+    return q, k, nn.linear(p["v"], h)
+
+
 def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
-           mask=None, train=False):
+           mask=None, train=False, return_kv=False):
+    """One pre-LN decoder layer. ``return_kv=True`` additionally returns
+    the (pre-reshape) K/V projections — the serving prefill
+    (``layer_prefill``) shares this exact body so the attention math and
+    fused-kernel gating cannot drift between the train/eval and serving
+    paths."""
     b_, n, d = x.shape
     hd = d // cfg.heads
     h = nn.layernorm(p["ln1"], x, eps=cfg.ln_eps)
-    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
-    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
-    v = nn.linear(p["v"], h)
+    q, k, v = _qkv(p, h, lora, lora_scale)
     if mask is not None and not train \
             and mha_fused.fused_attention_enabled():
         att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
                                       causal=True)
     else:
-        q = q.reshape(b_, n, cfg.heads, hd)
-        k = k.reshape(b_, n, cfg.heads, hd)
-        v = v.reshape(b_, n, cfg.heads, hd)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+        qh = q.reshape(b_, n, cfg.heads, hd)
+        kh = k.reshape(b_, n, cfg.heads, hd)
+        vh = v.reshape(b_, n, cfg.heads, hd)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
                             preferred_element_type=jnp.float32) / np.sqrt(hd)
-        w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b_, n, d)
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b_, n, d)
     x = x + nn.linear(p["out"], att)
     h = nn.layernorm(p["ln2"], x, eps=cfg.ln_eps)
-    return x + nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
+    x = x + nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
+    return (x, k, v) if return_kv else x
+
+
+def prompt_prologue(params, inputs_embeds, attention_mask, cfg: OPTConfig):
+    """Shared full-prompt prologue: OPT learned-position add (the cumsum
+    convention HF uses — position = #valid predecessors + offset) and the
+    combined causal+pad additive bias. Used by decode_hidden, prefill and
+    the pipelined twins (parallel/pp.py) so the position/bias convention
+    lives in exactly one place.
+
+    Returns (h [B, L, H], mask int32 [B, L], bias f32 [B, 1, L, L])."""
+    mask = attention_mask.astype(jnp.int32)
+    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
+    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
+    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
+                                     ).astype(inputs_embeds.dtype)
+    l = mask.shape[1]
+    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+    pad = mask.astype(jnp.float32)[:, None, None, :]
+    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    return h, mask, bias
 
 
 def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
                   lora=None, lora_scale=1.0, train=False):
     """inputs_embeds [B, L, H] + mask [B, L] -> final hidden [B, L, H]
     (post final_layer_norm; project with ``lm_head`` for logits)."""
-    mask = attention_mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
-    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
-    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
-                                     ).astype(inputs_embeds.dtype)
-    l = h.shape[1]
-    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
-    pad = mask.astype(jnp.float32)[:, None, None, :]
-    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
+                                    cfg)
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)
         h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask,
@@ -137,38 +160,16 @@ def embed_tokens(params, input_ids):
 # ---------------------------------------------------------------------------
 
 
-def _qkv(p, h, lora, lora_scale):
-    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
-    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
-    return q, k, nn.linear(p["v"], h)
-
-
 def layer_prefill(lp, h, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
                   mask=None):
     """One decoder layer over the full prompt, also returning its K/V
-    rows for the cache. h [B, L, H], bias [B, 1, L, L] -> (h, k, v).
-    When `mask` [B, L] is given the attention runs through the fused
-    Pallas MHA kernel (same gating as _layer's eval path); k/v are the
-    pre-kernel projections either way, so the cache is unaffected."""
-    b, l, d = h.shape
-    hd = d // cfg.heads
-    hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
-    q, k, v = _qkv(lp, hn, lora, lora_scale)
-    if mask is not None and mha_fused.fused_attention_enabled():
-        att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
-                                      causal=True)
-    else:
-        qh = q.reshape(b, l, cfg.heads, hd)
-        kh = k.reshape(b, l, cfg.heads, hd)
-        vh = v.reshape(b, l, cfg.heads, hd)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
-                            preferred_element_type=jnp.float32) / np.sqrt(hd)
-        w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
-        att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b, l, d)
-    h = h + nn.linear(lp["out"], att)
-    hn = nn.layernorm(lp["ln2"], h, eps=cfg.ln_eps)
-    h = h + nn.linear(lp["fc2"], jax.nn.relu(nn.linear(lp["fc1"], hn)))
-    return h, k, v
+    rows for the cache: ``_layer(..., return_kv=True)``. h [B, L, H],
+    bias [B, 1, L, L] -> (h, k, v). When `mask` [B, L] is given the
+    attention runs through the fused Pallas MHA kernel (same gating as
+    _layer's eval path); k/v are the pre-kernel projections either way,
+    so the cache is unaffected."""
+    return _layer(lp, h, bias, cfg, lora, lora_scale, mask=mask,
+                  train=False, return_kv=True)
 
 
 _scatter_rows = jax.vmap(
@@ -240,15 +241,8 @@ def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     quantized caches instead: {"k"/"v": int8, "k_scale"/"v_scale": f32
     [n_layers, B, T, 1]} (ops/quant.py — 2-4x less decode HBM traffic).
     """
-    mask = attention_mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
-    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
-    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
-                                     ).astype(inputs_embeds.dtype)
-    l = h.shape[1]
-    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
-    pad = mask.astype(jnp.float32)[:, None, None, :]
-    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
+                                    cfg)
     ks, vs = [], []
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(i)

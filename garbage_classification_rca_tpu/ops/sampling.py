@@ -50,11 +50,23 @@ def filter_logits(logits, cfg: SamplerConfig):
     if cfg.temperature is not None:
         logits = logits / jnp.float32(max(cfg.temperature, 1e-6))
     neg = jnp.float32(-jnp.inf)
-    if cfg.top_k and cfg.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[..., -cfg.top_k][..., None]
+    # HF TopKLogitsWarper clamps k to the vocab size (top_k=60000 on a
+    # 50272-wide vocab must degrade to "keep everything", not crash).
+    top_k = min(int(cfg.top_k), logits.shape[-1]) if cfg.top_k else 0
+    if top_k <= 0 and cfg.top_p >= 1.0:
+        return logits
+    # One descending sort serves both filters — this runs per generated
+    # token inside the decode scan, so a second full-vocab sort for
+    # top-p would double the per-step filtering cost.
+    sorted_lg = jnp.sort(logits, axis=-1)[..., ::-1]              # desc
+    if top_k > 0:
+        kth = sorted_lg[..., top_k - 1][..., None]
         logits = jnp.where(logits < kth, neg, logits)
+        # Mirror the filter onto the sorted copy: removed entries sort
+        # to the tail in descending order, so masking the suffix equals
+        # re-sorting the filtered logits.
+        sorted_lg = jnp.where(sorted_lg < kth, neg, sorted_lg)
     if cfg.top_p < 1.0:
-        sorted_lg = jnp.sort(logits, axis=-1)[..., ::-1]          # desc
         probs = jax.nn.softmax(sorted_lg, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # HF: remove where cumulative prob EXCLUDING self exceeds p

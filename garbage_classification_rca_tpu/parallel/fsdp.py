@@ -7,8 +7,10 @@ shrinks with the fleet. The TPU-native upgrade: store every large tensor
 and let GSPMD materialize it on use — XLA inserts an all-gather in front
 of each consuming op and a reduce-scatter behind each gradient, riding
 ICI. Per-chip memory for weights + optimizer drops by ~n_devices while
-the train-step math is bit-identical to the replicated layout (asserted
-in tests/test_fsdp.py).
+the train-step math matches the replicated layout to float-accumulation
+order — reduce-scatter sums grads in a different order than all-reduce,
+so trajectories agree to ~1e-4 relative (measured max 7e-5), not
+bit-for-bit; tests/test_fsdp.py asserts the tolerance that holds.
 
 This is pure PLACEMENT policy: garbage_classification_rca_tpu train steps
 infer shardings from operand placement (train/loop.py:119-126), so FSDP

@@ -55,7 +55,7 @@ def shard_pipeline_params(mesh: Mesh, stacked, axis: str = PIPE_AXIS):
 def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
                      cfg, mesh: Mesh, n_microbatches: int,
                      axis: str = PIPE_AXIS, train: bool = False):
-    """Pipelined twin of models/vlm/opt.decode_hidden (opt.py:96-113).
+    """Pipelined twin of models/vlm/opt.decode_hidden (opt.py:126-135).
 
     params: the OPT params dict (embeddings + final_ln used here; its
     "layers" list is ignored in favor of `stage_layers`).
@@ -63,7 +63,7 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
     shard_pipeline_params (leading [S] dim sharded over `axis`).
     inputs_embeds [B, L, H], attention_mask [B, L]; B % n_microbatches == 0.
     """
-    from ..models.vlm.opt import _layer
+    from ..models.vlm.opt import _layer, prompt_prologue
     from ..nn import core as nn
 
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -82,15 +82,10 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
         raise ValueError(
             f"microbatch size {mb} not divisible by data-axis size {n_dp}")
 
-    # embeddings + masks once, outside the pipeline (cheap, replicated)
-    mask = attention_mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
-    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
-    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
-                                     ).astype(inputs_embeds.dtype)
-    causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
-    pad = mask.astype(jnp.float32)[:, None, None, :]
-    bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+    # embeddings + masks once, outside the pipeline (cheap, replicated);
+    # position/bias convention shared with the single-device path
+    h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
+                                    cfg)
 
     # microbatch-major stacks [M, mb, ...]
     h_mb = h.reshape(m, mb, l, d)
@@ -204,7 +199,8 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     every stage holds caches for all S microbatches, so the per-chip
     cache footprint equals the whole single-device cache.
     """
-    from ..models.vlm.opt import layer_decode, layer_decode_q, layer_prefill
+    from ..models.vlm.opt import (layer_decode, layer_decode_q,
+                                  layer_prefill, prompt_prologue)
     from ..nn import core as nn
     from ..ops import quant
 
@@ -231,16 +227,11 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     t_cache = lp_len + n_new
 
     # prompt-side tensors, microbatch-major [S, mb, ...] (outside the
-    # pipeline: embeddings, masks and gather indices are cheap)
-    mask = attention_mask.astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask - 1 + cfg.pos_offset
-    positions = jnp.clip(positions, 0, cfg.max_pos + cfg.pos_offset - 1)
-    h = inputs_embeds + nn.embedding(params["embed_positions"], positions
-                                     ).astype(inputs_embeds.dtype)
-    causal = jnp.tril(jnp.ones((lp_len, lp_len), jnp.float32))[None, None]
-    padm = mask.astype(jnp.float32)[:, None, None, :]
+    # pipeline: embeddings, masks and gather indices are cheap);
+    # position/bias convention shared with the single-device path
+    h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
+                                    cfg)
     neg = jnp.finfo(jnp.float32).min
-    bias = (1.0 - causal * padm) * neg
     n_valid = jnp.sum(mask, axis=1)
     last_idx = jnp.argmax(mask * jnp.arange(1, lp_len + 1)[None, :], axis=1)
 

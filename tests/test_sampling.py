@@ -41,6 +41,8 @@ def _hf_filtered(logits, temperature=None, top_k=0, top_p=1.0):
     (0.7, 25, 0.95),
     (2.5, 0, 0.5),
     (1.0, 0, 0.01),       # degenerate: keeps exactly the argmax
+    (1.0, 500, 1.0),      # top_k > vocab: HF clamps to vocab (keep all)
+    (0.4, 500, 0.9),      # ... and top-p still applies after the clamp
 ])
 def test_filter_logits_matches_hf_warpers(temperature, top_k, top_p):
     logits = _rand_logits()

@@ -112,9 +112,22 @@ class ImageTextBatcher:
                 for plan in plans:
                     if stop.is_set():
                         return
-                    q.put(self.make_batch(plan, batch_size))
+                    batch = self.make_batch(plan, batch_size)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
             finally:
-                q.put(None)
+                # never block here: if the consumer abandoned mid-epoch
+                # (bench smoke, early break) the queue may stay full and a
+                # plain put() would pin this thread (and its prefetched
+                # batches) for the process lifetime
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -126,6 +139,12 @@ class ImageTextBatcher:
                 yield item
         finally:
             stop.set()
+            # drain so a producer blocked in put() wakes up and exits
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def device_prefetch(host_iter, mesh=None, depth: int = 2):

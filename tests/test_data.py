@@ -184,3 +184,29 @@ def test_batch_indices_cover_all():
     plans = batch_indices(13, 4, shuffle=True, seed=1)
     got = np.sort(np.concatenate(plans))
     np.testing.assert_array_equal(got, np.arange(13))
+
+
+def test_abandoned_iterator_does_not_leak_producer_threads(tiny_dataset):
+    """Early-exit consumers (bench smoke, eval early break) must not pin
+    producer threads blocked in q.put() for the process lifetime."""
+    import threading
+    import time
+
+    from garbage_classification_rca_tpu.data.pipeline import ImageTextBatcher
+
+    m = build_manifest(str(tiny_dataset))
+    b = ImageTextBatcher(m, (16, 16), workers=2)
+    for _ in b.iter_batches(4):  # warm the persistent decode pool
+        pass
+    time.sleep(0.2)
+    n0 = threading.active_count()
+    for _ in range(20):
+        it = b.iter_batches(4, prefetch=1)
+        next(it)
+        it.close()
+    time.sleep(1.5)
+    assert threading.active_count() <= n0 + 1
+    # full iteration afterwards still yields every sample exactly once
+    got = sum(int(bb["valid"].sum()) for bb in b.iter_batches(4))
+    assert got == len(m)
+    b.close()

@@ -150,9 +150,14 @@ def main(argv=None):
                                 remove_text=remove_text)
             eval_step_cache[key] = make_both_eval_step(_apply, mesh, dtype)
         step = eval_step_cache[key]
+        # the CLIP head's FC is batch-sized (reference multimodal_model.py
+        # :620-623): validation must run at exactly cfg.batch_size; tail
+        # padding keeps the trans_conv pad hack from firing
+        eval_bs = (cfg.batch_size if cfg.strategy == "clip"
+                   else args.eval_batch_size or 32)
         correct, all_p, all_l = 0, [], []
         for batch in device_prefetch(
-                val_batcher.iter_batches(args.eval_batch_size or 32), mesh):
+                val_batcher.iter_batches(eval_bs), mesh):
             preds, c = step(params, state, batch)
             correct += int(c)
             valid = np.asarray(batch["valid"]).astype(bool)

@@ -100,7 +100,8 @@ def main(argv=None):
     args = args_parser(argv)
     if args.model_path == "":
         print("Please provide test model path")
-        sys.exit(0)
+        sys.exit(0)   # exit code 0 is reference-faithful
+        # (calculate_test_accuracy_image.py:138-140 sys.exit(0))
 
     cfg = fusion_config_from_args(args)
     try:
@@ -129,17 +130,25 @@ def main(argv=None):
         import jax.numpy as _jnp
         params = cast_float_params(params, _jnp.bfloat16)
 
-    mesh = make_mesh(args.mesh_shape)
-    params = shard_params(mesh, params)
-    state = shard_params(mesh, state)
-
     manifest = build_manifest(args.dataset_folder_name,
                               extended_desc=args.extended_desc_val)
     print(f"Num of test images: {len(manifest)}")
     tok = get_tokenizer(args.text_model, vocab_dir=resolve_vocab_dir(args))
-    from ..parallel.mesh import clamp_eval_batch
-    batch_size = clamp_eval_batch(args.eval_batch_size or MULTIMODAL_EVAL_BATCH,
-                                  len(manifest), mesh)
+    from ..parallel.mesh import clamp_eval_batch, mesh_for_batch
+    if cfg.strategy == "clip":
+        # the CLIP head's FC is sized [cfg.batch_size, n] (reference
+        # multimodal_model.py:620-623 builds Linear(batch_size, ...)), so
+        # eval MUST run at exactly that batch; the pipeline's full-batch
+        # tail padding keeps the trans_conv pad hack from ever firing.
+        batch_size = cfg.batch_size
+        mesh = mesh_for_batch(args.mesh_shape, batch_size)
+    else:
+        mesh = make_mesh(args.mesh_shape)
+        batch_size = clamp_eval_batch(
+            args.eval_batch_size or MULTIMODAL_EVAL_BATCH,
+            len(manifest), mesh)
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
     batcher = ImageTextBatcher(
         manifest, MULTIMODAL_IMAGE_SIZE, tokenizer=tok,
         seq_len=args.seq_len or DEFAULT_SEQ_LEN,

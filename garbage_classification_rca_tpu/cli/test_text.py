@@ -56,7 +56,8 @@ def main(argv=None):
     args = args_parser(argv)
     if args.model_path == "":
         print("Please provide test model path")
-        sys.exit(0)
+        sys.exit(0)   # exit code 0 is reference-faithful
+        # (calculate_test_accuracy_image.py:138-140 sys.exit(0))
 
     from . import resolve_model
     mdef = resolve_model(get_text_model, args.text_model)

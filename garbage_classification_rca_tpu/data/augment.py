@@ -98,19 +98,32 @@ def _warp_bilinear(img_f32, mat, h, w):
     return out
 
 
-_GAUSS3 = jnp.array([[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]]) / 16.0
 _SHARP_ID = jnp.zeros((3, 3)).at[1, 1].set(1.0)
 _LAPLACE = jnp.array([[-1., -1., -1.], [-1., 8., -1.], [-1., -1., -1.]]) / 8.0
 
 
-def _conv3(img, kernel):
-    """Depthwise 3x3 with edge padding on [H, W, 3] fp32."""
-    x = img.transpose(2, 0, 1)[:, None]            # [3, 1, H, W]
+def _dwconv(img, kernel):
+    """Depthwise KxK with EDGE padding on [H, W, 3] fp32 (cv2 borders
+    replicate/reflect rather than zero — zero padding would darken the
+    image rim on every blur/sharpen application)."""
+    r = kernel.shape[0] // 2
+    padded = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+    x = padded.transpose(2, 0, 1)[:, None]         # [3, 1, H+2r, W+2r]
     k = kernel[None, None]
     y = jax.lax.conv_general_dilated(
-        x, k, (1, 1), [(1, 1), (1, 1)],
+        x, k, (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     return y[:, 0].transpose(1, 2, 0)
+
+
+def _gauss_kernel7(sigma):
+    """7x7 gaussian with traced sigma — covers albumentations
+    GaussianBlur blur_limit (3, 7): sigma 0.8 (ksize-3 equivalent, outer
+    taps ~0) through 1.4 (ksize-7)."""
+    d = jnp.arange(-3.0, 4.0)
+    g = jnp.exp(-(d ** 2) / (2.0 * sigma ** 2))
+    k = g[:, None] * g[None, :]
+    return k / jnp.sum(k)
 
 
 def _augment_one(key, img_u8, p: float):
@@ -122,8 +135,9 @@ def _augment_one(key, img_u8, p: float):
     mat = _homography(tuple(keys[:8]), h, w, p)
     x = _warp_bilinear(x, mat, h, w)
 
-    # gaussian blur
-    blur = _conv3(x, _GAUSS3)
+    # gaussian blur, sigma sampled over the ksize 3..7 equivalent range
+    sigma = _rand(keys[15], 0.8, 1.4)
+    blur = _dwconv(x, _gauss_kernel7(sigma))
     x = jnp.where(jax.random.uniform(keys[8]) < p, blur, x)
 
     # brightness / contrast (+-0.2 each)
@@ -135,7 +149,7 @@ def _augment_one(key, img_u8, p: float):
     # sharpen (unsharp: blend identity with edge-enhanced)
     s_alpha = _rand(keys[12], 0.2, 0.5)
     light = _rand(keys[13], 0.5, 1.0)
-    sharp = _conv3(x, _SHARP_ID + _LAPLACE * light)
+    sharp = _dwconv(x, _SHARP_ID + _LAPLACE * light)
     sh = (1 - s_alpha) * x + s_alpha * sharp
     x = jnp.where(jax.random.uniform(keys[14]) < p, sh, x)
 

@@ -46,6 +46,14 @@ def batch_indices(n: int, batch_size: int, *, shuffle: bool,
     return out
 
 
+class _ProducerError:
+    """Carries a producer-thread exception across the queue so the
+    consumer raises instead of silently ending the epoch early."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class ImageTextBatcher:
     """Decodes batches of (image, text, label) on host threads."""
 
@@ -107,27 +115,37 @@ class ImageTextBatcher:
         q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
         stop = threading.Event()
 
+        def put_polling(item) -> bool:
+            # bounded puts that watch the stop event: if the consumer
+            # abandoned mid-epoch (bench smoke, early break) the queue may
+            # stay full and a plain put() would pin this thread (and its
+            # prefetched batches) for the process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def producer():
+            end: object = None
             try:
                 for plan in plans:
                     if stop.is_set():
                         return
-                    batch = self.make_batch(plan, batch_size)
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.2)
-                            break
-                        except queue.Full:
-                            pass
+                    put_polling(self.make_batch(plan, batch_size))
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                # a decode error (corrupt image, vanished file) must FAIL
+                # the epoch, not silently truncate it: a partial eval would
+                # report deflated accuracy with exit code 0
+                end = _ProducerError(e)
             finally:
-                # never block here: if the consumer abandoned mid-epoch
-                # (bench smoke, early break) the queue may stay full and a
-                # plain put() would pin this thread (and its prefetched
-                # batches) for the process lifetime
-                try:
-                    q.put_nowait(None)
-                except queue.Full:
-                    pass
+                if not put_polling(end):
+                    try:   # consumer stopped draining; best-effort sentinel
+                        q.put_nowait(end)
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -136,6 +154,10 @@ class ImageTextBatcher:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "input pipeline failed while decoding a batch"
+                    ) from item.exc
                 yield item
         finally:
             stop.set()

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...config import LATE_FUSION_STRATEGIES
 from ...nn import core as nn
 from ...ops import attention as att
 from ..image import efficientnet_v2 as effv2
@@ -44,8 +45,9 @@ from ..text import bart as bart_mod
 from ..text import bert as bert_mod
 from ..text import distilbert as distil_mod
 
-FUSION_STRATEGIES = ("gated", "classic", "normalized", "clip", "MM_RCA",
-                     "hierarchical", "bimodal")
+# single source of truth in config.py (dependency-free leaf), re-exported
+# here for the model-level API
+FUSION_STRATEGIES = LATE_FUSION_STRATEGIES
 
 # attention geometry — reference multimodal_model.py:249-264
 NUM_PATCHES = 16
@@ -350,7 +352,6 @@ def _fwd_clip(cfg, p, st, images, ids, mask, train, rng, r_head):
         y1 = jnp.einsum("ci,co->oi", logits, w[:, :, 1])
         y = jnp.stack([y0, y1], axis=-1).reshape(w.shape[1], -1)   # interleave
         logits = y + p["trans_conv"]["b"][:, None]
-        logits = logits.reshape(w.shape[1], -1)
     return nn.linear(p["clip_fc"], logits), new_state
 
 
@@ -453,9 +454,6 @@ def _fwd_bimodal(cfg, p, st, images, ids, mask, train, rng, r_head):
 # ---------------------------------------------------------------------------
 # reference .pth conversion
 # ---------------------------------------------------------------------------
-
-_IMG_STAGE_KEYS = ["stem.1"] + [f"stage{i}" for i in range(1, 7)]
-
 
 def _image_sd_to_features(sd: dict) -> dict:
     """Rename EfficientNetV2MFullFeatureExtractor keys (image_model.stem/
@@ -565,19 +563,24 @@ def convert_torch(sd: dict, cfg: FusionConfig):
     return params, {"image": img_state}
 
 
-STRATEGIES = ("gated", "classic", "normalized", "clip", "MM_RCA",
-              "hierarchical", "bimodal")
-
-
 def build_fusion(cfg: FusionConfig):
     """-> (init_fn, apply_fn, convert_fn) for the configured strategy.
 
     Validates the strategy EAGERLY (the reference errors at model
     construction, main_both.py:342-343 — deferring to forward() would let
     a typo'd --late_fusion train for 0 epochs 'successfully')."""
-    if cfg.strategy not in STRATEGIES:
+    if cfg.strategy not in FUSION_STRATEGIES:
         raise ValueError(f"unknown late-fusion strategy '{cfg.strategy}'; "
-                         f"known: {list(STRATEGIES)}")
+                         f"known: {list(FUSION_STRATEGIES)}")
+    if cfg.strategy == "hierarchical" and cfg.text_model_name == "bart":
+        # the hierarchical heads tap encoder hidden_states[2]/[4] CLS
+        # vectors (reference multimodal_model.py:755-757); the BART tower
+        # exposes only the decoder last hidden state — fail at build, not
+        # with a mid-forward NoneType error
+        raise ValueError(
+            "hierarchical fusion needs per-layer hidden states; "
+            "--text_model=bart does not expose them (use distilbert/bert; "
+            "reference taps hidden layers 2/4, multimodal_model.py:755-757)")
 
     def _init(key, dtype=jnp.float32):
         return init(key, cfg, dtype)

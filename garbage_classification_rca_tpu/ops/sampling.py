@@ -21,6 +21,15 @@ set against the torch implementations in tests/test_sampling.py:
   ``cumsum(probs) - probs > p``.
 * filtered positions get -inf; the draw is categorical over survivors
   via the Gumbel-max trick (jax.random.categorical).
+
+Two measure-zero edge divergences from HF's TopPLogitsWarper, both
+deliberate (filter_logits inline comments):
+* exact boundary equality (cum-before == p bit-exactly) keeps the
+  boundary token; HF's strict inequality drops it;
+* logits EXACTLY tied at the cut are all kept (identical probabilities,
+  so the kept distribution only gains equal-probability mass); HF keeps
+  a sort-order-dependent subset of the tie — torch.sort is not stable,
+  so HF's own tie behavior is arbitrary between runs/devices.
 """
 
 from __future__ import annotations

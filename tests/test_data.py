@@ -210,3 +210,27 @@ def test_abandoned_iterator_does_not_leak_producer_threads(tiny_dataset):
     got = sum(int(bb["valid"].sum()) for bb in b.iter_batches(4))
     assert got == len(m)
     b.close()
+
+
+def test_decode_error_raises_not_truncates(tiny_dataset):
+    """A corrupt/vanished image must FAIL the epoch, not end it early —
+    a partial eval would report deflated accuracy with exit code 0."""
+    import copy
+
+    import pytest
+
+    from garbage_classification_rca_tpu.data.pipeline import ImageTextBatcher
+
+    m = build_manifest(str(tiny_dataset))
+    import dataclasses
+
+    m2 = copy.copy(m)
+    m2.samples = list(m.samples)
+    m2.samples[5] = dataclasses.replace(
+        m2.samples[5],
+        image_path=str(tiny_dataset / "black" / "does_not_exist.jpg"))
+    b = ImageTextBatcher(m2, (16, 16), workers=2)
+    with pytest.raises(RuntimeError, match="input pipeline failed"):
+        for _ in b.iter_batches(4):
+            pass
+    b.close()

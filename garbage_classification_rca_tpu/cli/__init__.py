@@ -40,6 +40,22 @@ if not _is_cpu:
 _enable_cache(5.0, host_keyed=_is_cpu)
 
 
+def train_mesh(mesh_shape: str, batch_size: int, ft_batch: int,
+               ft_epochs: int):
+    """Device mesh for a train CLI: the data axis must divide every
+    TRAIN microbatch (engine.run_phase device_puts [acc, B, ...] stacks
+    unpadded — found by an end-to-end drive with the reference
+    launcher's small fixed --batch_size on an 8-device mesh). Shrinks
+    via mesh_for_batch to the gcd of the phase batch sizes; eval
+    batches are rounded up / masked separately (clamp_eval_batch)."""
+    import math
+
+    from ..parallel.mesh import mesh_for_batch
+
+    div = math.gcd(batch_size, ft_batch) if ft_epochs > 0 else batch_size
+    return mesh_for_batch(mesh_shape, div)
+
+
 def resolve_model(getter, name: str):
     """Reference-style clean exit on an unknown model name (the reference
     prints 'Invalid Model: ...' and sys.exit(1)s — main_image.py:358-359 —

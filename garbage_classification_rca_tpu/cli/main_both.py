@@ -31,7 +31,6 @@ from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import classification_report_dict
 from ..models.fusion import build_fusion
 from ..parallel.fsdp import param_placer
-from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -68,7 +67,9 @@ def main(argv=None):
         print("Wrong late fusion strategy: ", args.late_fusion)  # reference main_both.py:342
         raise SystemExit(1)
 
-    mesh = make_mesh(args.mesh_shape)
+    from . import train_mesh
+    mesh = train_mesh(args.mesh_shape, args.batch_size,
+                      args.batch_size_FT, args.ft_epochs)
     # --fsdp: params/BN-state/opt-state live sharded over 'data'
     # (ZeRO-3 analog, parallel/fsdp.py); default replicates
     place = param_placer(mesh, args.fsdp)

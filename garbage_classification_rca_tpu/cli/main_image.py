@@ -34,7 +34,6 @@ from ..data.pipeline import ImageTextBatcher
 from ..eval.harness import run_image_eval
 from ..models import get_image_model
 from ..parallel.fsdp import param_placer
-from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -60,13 +59,14 @@ def main(argv=None):
     if args.opt not in ("sgd", "adamw"):
         print("Invalid optimizer!")   # reference wording, main_image.py:536
         raise SystemExit(1)
-    from . import resolve_model
+    from . import resolve_model, train_mesh
     mdef = resolve_model(get_image_model, args.image_model)
     spec = IMAGE_ARCHS[args.image_model]
     batch_size = args.batch_size or spec.train_batch
     ft_batch = args.batch_size_FT or spec.ft_batch
 
-    mesh = make_mesh(args.mesh_shape)
+    mesh = train_mesh(args.mesh_shape, batch_size, ft_batch,
+                      args.ft_epochs)
     # --fsdp: params/BN-state/opt-state live sharded over 'data'
     # (ZeRO-3 analog, parallel/fsdp.py); default replicates
     place = param_placer(mesh, args.fsdp)

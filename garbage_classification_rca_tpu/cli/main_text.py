@@ -28,7 +28,6 @@ from ..data.synonymize import Synonymizer
 from ..eval.report import classification_report_dict
 from ..models import get_text_model
 from ..parallel.fsdp import param_placer
-from ..parallel.mesh import make_mesh
 from ..train.engine import MetricsLogger, run_phase
 from ..train.loop import all_trainable_mask, head_only_mask, make_train_step
 from ..train.optim import PlateauScheduler, make_optimizer
@@ -81,11 +80,12 @@ def main(argv=None):
     if args.opt not in ("sgd", "adamw"):
         print("Invalid optimizer!")   # reference wording, main_image.py:536
         raise SystemExit(1)
-    from . import resolve_model
+    from . import resolve_model, train_mesh
     mdef = resolve_model(get_text_model, args.text_model)
     spec = TEXT_ARCHS[args.text_model]
 
-    mesh = make_mesh(args.mesh_shape)
+    mesh = train_mesh(args.mesh_shape, args.batch_size,
+                      args.batch_size_FT, args.ft_epochs)
     # --fsdp: params/BN-state/opt-state live sharded over 'data'
     # (ZeRO-3 analog, parallel/fsdp.py); default replicates
     place = param_placer(mesh, args.fsdp)

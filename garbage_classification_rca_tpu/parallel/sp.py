@@ -18,11 +18,11 @@ multi-thousand-token context, which this workload never reaches
 with data parallelism — pass a ``data:d,seq:s`` mesh and the batch axis
 shards too.
 
-Expert parallelism (EP) is n/a for this framework: the reference model
-zoo contains no MoE layer anywhere (grep: no gating/expert modules in
-models.py, text_models.py, multimodal_model.py), so there is no expert
-axis to shard. Recorded here so the parallelism accounting is one grep
-away.
+Expert parallelism (EP): the reference model zoo contains no MoE layer
+anywhere (grep: no gating/expert modules in models.py, text_models.py,
+multimodal_model.py), so no production model needs it — but the
+parallelism matrix is completed beyond-reference by parallel/ep.py
+(top-k MoE FFN with the expert bank sharded over mesh axis ``expert``).
 """
 
 from __future__ import annotations

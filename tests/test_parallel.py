@@ -54,3 +54,19 @@ def test_clamp_eval_batch():
     assert clamp_eval_batch(256, 3, mesh) == 8
     assert clamp_eval_batch(256, 16, None) == 16
     assert clamp_eval_batch(256, 0, None) == 1
+
+
+def test_train_mesh_divides_phase_batches():
+    """Regression: a fixed --batch_size that doesn't divide the device
+    count must shrink the data axis (engine.run_phase device_puts train
+    microbatches unpadded), considering BOTH phase batch sizes."""
+    from garbage_classification_rca_tpu.cli import train_mesh
+
+    def data_axis(mesh):
+        return dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+
+    assert data_axis(train_mesh("data:-1", 4, 4, 1)) == 4
+    assert data_axis(train_mesh("data:-1", 4, 6, 1)) == 2   # gcd(4, 6)
+    assert data_axis(train_mesh("data:-1", 4, 6, 0)) == 4   # no FT phase
+    assert data_axis(train_mesh("data:-1", 16, 8, 1)) == 8
+    assert data_axis(train_mesh("data:-1", 7, 7, 1)) == 7   # odd but divides

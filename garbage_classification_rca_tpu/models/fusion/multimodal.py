@@ -225,13 +225,26 @@ def init(key, cfg: FusionConfig, dtype=jnp.float32):
 def drop_modalities(cfg: FusionConfig, images, input_ids, attention_mask,
                     *, train, rng, eval_mode=False, remove_image=False,
                     remove_text=False):
+    """Returns (images, input_ids, attention_mask, img_keep, txt_keep).
+
+    The keep flags (None outside stochastic train dropout) gradient-gate
+    the dropped tower in _towers: BN-train backward on an all-zero batch
+    amplifies the cotangent by rsqrt(eps) PER LAYER (zero batch variance),
+    overflowing to inf across EffNetV2-M's ~50 BNs and NaN'ing the whole
+    image tower. The reference has the same latent defect (verified: a
+    torch Conv/BN/SiLU stack on zeros yields NaN first-conv grads) but
+    never hits it — every reference launcher pins --image_text_dropout=0.0
+    (slurm_files/multimodal/*.sh:26). Forward semantics are unchanged
+    (inputs zeroed, BN running stats still see the zero batch, reference
+    drop_modalities :420-455); only the cotangent into the dropped tower
+    is severed."""
     if eval_mode or not train or rng is None:
         if remove_image:
             images = jnp.zeros_like(images)
         if remove_text:
             input_ids = jnp.zeros_like(input_ids)
             attention_mask = jnp.zeros_like(attention_mask)
-        return images, input_ids, attention_mask
+        return images, input_ids, attention_mask, None, None
     k1, k2 = jax.random.split(rng)
     drop_any = jax.random.uniform(k1) < cfg.image_or_text_dropout_chance
     drop_image = jax.random.uniform(k2) < cfg.img_prob_dropout
@@ -241,7 +254,16 @@ def drop_modalities(cfg: FusionConfig, images, input_ids, attention_mask,
     images = images * img_keep.astype(images.dtype)
     input_ids = input_ids * txt_keep.astype(input_ids.dtype)
     attention_mask = attention_mask * txt_keep.astype(attention_mask.dtype)
-    return images, input_ids, attention_mask
+    return images, input_ids, attention_mask, img_keep, txt_keep
+
+
+def _grad_gate(x, keep):
+    """Identity forward; zero cotangent when keep is False (see
+    drop_modalities). keep=None -> no gating."""
+    if keep is None or x is None:
+        return x
+    return jax.tree_util.tree_map(
+        lambda a: jnp.where(keep, a, jax.lax.stop_gradient(a)), x)
 
 
 # ---------------------------------------------------------------------------
@@ -250,13 +272,18 @@ def drop_modalities(cfg: FusionConfig, images, input_ids, attention_mask,
 
 
 def _towers(cfg, params, state, images, input_ids, attention_mask, *,
-            train, rng, need_stages=False, need_hiddens=False):
+            train, rng, need_stages=False, need_hiddens=False,
+            keeps=(None, None)):
+    img_keep, txt_keep = keeps
     text_cls, hiddens = _text_encode(cfg, params["text"], input_ids,
                                      attention_mask, need_hiddens,
                                      train=train)
     s3, s6, pooled, img_state = effv2.extractor_features(
         params["image"], state["image"], images, effv2.CONFIGS["eff_v2_medium"],
         train=train, rng=rng)
+    text_cls = _grad_gate(text_cls, txt_keep)
+    hiddens = _grad_gate(hiddens, txt_keep)
+    s3, s6, pooled = (_grad_gate(x, img_keep) for x in (s3, s6, pooled))
     new_state = {"image": img_state}
     if need_stages:
         return text_cls, hiddens, s3, s6, pooled, new_state
@@ -273,37 +300,39 @@ def forward(cfg: FusionConfig, params, state, batch, *, train=False,
     input_ids, attention_mask, images = batch
     r_drop, r_model, r_head = (jax.random.split(rng, 3)
                                if rng is not None else (None, None, None))
-    images, input_ids, attention_mask = drop_modalities(
+    images, input_ids, attention_mask, img_keep, txt_keep = drop_modalities(
         cfg, images, input_ids, attention_mask, train=train, rng=r_drop,
         eval_mode=eval_mode, remove_image=remove_image, remove_text=remove_text)
+    keeps = (img_keep, txt_keep)
 
     s = cfg.strategy
     if s == "gated":
         return _fwd_gated(cfg, params, state, images, input_ids,
-                          attention_mask, train, r_model, r_head)
+                          attention_mask, train, r_model, r_head, keeps)
     if s in ("classic", "normalized"):
         return _fwd_concat(cfg, params, state, images, input_ids,
-                           attention_mask, train, r_model, r_head,
+                           attention_mask, train, r_model, r_head, keeps,
                            normalized=(s == "normalized"))
     if s == "clip":
         return _fwd_clip(cfg, params, state, images, input_ids,
-                         attention_mask, train, r_model, r_head)
+                         attention_mask, train, r_model, r_head, keeps)
     if s == "MM_RCA":
         return _fwd_mm_rca(cfg, params, state, images, input_ids,
-                           attention_mask, train, r_model, r_head)
+                           attention_mask, train, r_model, r_head, keeps)
     if s == "hierarchical":
         return _fwd_hierarchical(cfg, params, state, images, input_ids,
-                                 attention_mask, train, r_model, r_head)
+                                 attention_mask, train, r_model, r_head, keeps)
     if s == "bimodal":
         return _fwd_bimodal(cfg, params, state, images, input_ids,
-                            attention_mask, train, r_model, r_head)
+                            attention_mask, train, r_model, r_head, keeps)
     raise ValueError(f"unknown late-fusion strategy {s}")
 
 
-def _fwd_gated(cfg, p, st, images, ids, mask, train, rng, r_head):
+def _fwd_gated(cfg, p, st, images, ids, mask, train, rng, r_head,
+               keeps=(None, None)):
     # multimodal_model.py:331-395
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
-                                      train=train, rng=rng)
+                                      train=train, rng=rng, keeps=keeps)
     img_tanh = jnp.tanh(nn.linear(p["img_feats_hidden"], img))
     txt_tanh = jnp.tanh(nn.linear(p["txt_feats_hidden"], text))
     concat = jnp.concatenate([nn.linear(p["img_feats_hidden"], img),
@@ -315,11 +344,11 @@ def _fwd_gated(cfg, p, st, images, ids, mask, train, rng, r_head):
     return out, new_state
 
 
-def _fwd_concat(cfg, p, st, images, ids, mask, train, rng, r_head, *,
-                normalized):
+def _fwd_concat(cfg, p, st, images, ids, mask, train, rng, r_head,
+                keeps=(None, None), *, normalized):
     # classic :489-531, normalized :534-579
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
-                                      train=train, rng=rng)
+                                      train=train, rng=rng, keeps=keeps)
     ih = nn.linear(p["image_to_hidden"], img)
     th = nn.linear(p["text_to_hidden"], text)
     if normalized:
@@ -330,11 +359,12 @@ def _fwd_concat(cfg, p, st, images, ids, mask, train, rng, r_head, *,
     return out, new_state
 
 
-def _fwd_clip(cfg, p, st, images, ids, mask, train, rng, r_head):
+def _fwd_clip(cfg, p, st, images, ids, mask, train, rng, r_head,
+              keeps=(None, None)):
     # :583-633 — cosine-similarity logits through a batch-sized FC; the
     # ConvTranspose1d pad hack fires when bs != cfg.batch_size
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
-                                      train=train, rng=rng)
+                                      train=train, rng=rng, keeps=keeps)
     img = nn.l2_normalize(nn.linear(p["image_to_hidden"], img), axis=1, eps=1e-12)
     txt = nn.l2_normalize(nn.linear(p["text_to_hidden"], text), axis=1, eps=1e-12)
     logits = jnp.exp(p["logit_scale"]) * img @ txt.T          # [bs, bs]
@@ -384,13 +414,14 @@ def mm_rca_block(cfg: FusionConfig, p, img_feat, txt_feat):
     return (ti.reshape(bs, -1), it.reshape(bs, -1), img_n, txt_n)
 
 
-def _fwd_mm_rca(cfg, p, st, images, ids, mask, train, rng, r_head):
+def _fwd_mm_rca(cfg, p, st, images, ids, mask, train, rng, r_head,
+                keeps=(None, None)):
     # :636-728
     if cfg.text_hidden != 768:
         raise ValueError("MM_RCA requires a 768-d text tower "
                          "(reference patch table multimodal_model.py:257-261)")
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
-                                      train=train, rng=rng)
+                                      train=train, rng=rng, keeps=keeps)
     ti, it, img_n, txt_n = mm_rca_block(cfg, p, img, text)
     if cfg.features_only:
         concat = jnp.concatenate([img_n, txt_n], axis=1)
@@ -405,11 +436,12 @@ def _fwd_mm_rca(cfg, p, st, images, ids, mask, train, rng, r_head):
     return out, new_state
 
 
-def _fwd_hierarchical(cfg, p, st, images, ids, mask, train, rng, r_head):
+def _fwd_hierarchical(cfg, p, st, images, ids, mask, train, rng,
+                      r_head, keeps=(None, None)):
     # :729-818
     text, hiddens, s3, s6, img, new_state = _towers(
         cfg, p, st, images, ids, mask, train=train, rng=rng,
-        need_stages=True, need_hiddens=True)
+        need_stages=True, need_hiddens=True, keeps=keeps)
     l2 = nn.l2_normalize(hiddens[2][:, 0], axis=1, eps=1e-12)
     l4 = nn.l2_normalize(hiddens[4][:, 0], axis=1, eps=1e-12)
     text_n = nn.l2_normalize(text, axis=1, eps=1e-12)
@@ -429,11 +461,12 @@ def _fwd_hierarchical(cfg, p, st, images, ids, mask, train, rng, r_head):
     return out, new_state
 
 
-def _fwd_bimodal(cfg, p, st, images, ids, mask, train, rng, r_head):
+def _fwd_bimodal(cfg, p, st, images, ids, mask, train, rng, r_head,
+                 keeps=(None, None)):
     # :835-888 — GRUs scan ACROSS THE BATCH (2-D input to batch_first GRU
     # is unbatched in torch; defect preserved, see module docstring)
     text, _, img, new_state = _towers(cfg, p, st, images, ids, mask,
-                                      train=train, rng=rng)
+                                      train=train, rng=rng, keeps=keeps)
     img_n = nn.l2_normalize(img, axis=1, eps=1e-12)
     txt_n = nn.l2_normalize(text, axis=1, eps=1e-12)
     x_text = nn.linear(p["mod_txt_to_dim"], txt_n)          # [B, 400]

@@ -301,8 +301,21 @@ def gru(p: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     """x / ||x||  (torch .norm(dim, keepdim=True) division — no eps by default,
-    matching reference multimodal_model.py:662-665 which divides exactly)."""
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
-    if eps:
-        n = jnp.maximum(n, eps)
-    return (x.astype(jnp.float32) / n).astype(x.dtype)
+    matching reference multimodal_model.py:662-665 which divides exactly).
+
+    With eps, a (near-)zero vector maps to 0 with ZERO gradient via the
+    double-where pattern. The previous ``maximum(n, eps)`` clamp fixed only
+    the forward: ``d||x||/dx = x/||x||`` is 0/0 = NaN at x = 0, and the
+    clamp's zero cotangent multiplies it into 0 * NaN = NaN — which NaN'd
+    every image-tower gradient the first time modality dropout zeroed an
+    image on a randomly-initialized tower (zero biases propagate the exact
+    zero all the way to the pooled feature; pretrained towers never do,
+    which is why the reference's exact division is safe for it)."""
+    xf = x.astype(jnp.float32)
+    if not eps:
+        n = jnp.linalg.norm(xf, axis=axis, keepdims=True)
+        return (xf / n).astype(x.dtype)
+    sumsq = jnp.sum(xf * xf, axis=axis, keepdims=True)
+    is_zero = sumsq <= eps * eps
+    n = jnp.sqrt(jnp.where(is_zero, 1.0, sumsq))
+    return jnp.where(is_zero, 0.0, xf / n).astype(x.dtype)

@@ -127,19 +127,19 @@ def test_modality_dropout_semantics(jax_params, inputs):
                        img_prob_dropout=1.0)
 
     # eval: explicit flags zero exactly one modality
-    i2, t2, m2 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+    i2, t2, m2, _, _ = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
                                     jnp.asarray(mask), train=False, rng=None,
                                     eval_mode=True, remove_image=True)
     assert float(jnp.abs(i2).max()) == 0.0
     np.testing.assert_array_equal(np.asarray(t2), ids)
-    i3, t3, m3 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+    i3, t3, m3, _, _ = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
                                     jnp.asarray(mask), train=False, rng=None,
                                     eval_mode=True, remove_text=True)
     assert float(jnp.abs(t3).max()) == 0.0 and float(jnp.abs(m3).max()) == 0.0
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(imgs))
 
     # train, chance=1.0 + img_prob=1.0 -> image always zeroed, text kept
-    i4, t4, m4 = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
+    i4, t4, m4, _, _ = mm.drop_modalities(cfg, imgs, jnp.asarray(ids),
                                     jnp.asarray(mask), train=True,
                                     rng=jax.random.PRNGKey(0))
     assert float(jnp.abs(i4).max()) == 0.0
@@ -147,7 +147,7 @@ def test_modality_dropout_semantics(jax_params, inputs):
 
     # train, chance=0 -> nothing dropped
     cfg0 = FusionConfig(strategy="MM_RCA", image_or_text_dropout_chance=0.0)
-    i5, t5, m5 = mm.drop_modalities(cfg0, imgs, jnp.asarray(ids),
+    i5, t5, m5, _, _ = mm.drop_modalities(cfg0, imgs, jnp.asarray(ids),
                                     jnp.asarray(mask), train=True,
                                     rng=jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(i5), np.asarray(imgs))
@@ -156,7 +156,7 @@ def test_modality_dropout_semantics(jax_params, inputs):
     cfgt = FusionConfig(strategy="MM_RCA", image_or_text_dropout_chance=1.0,
                         img_prob_dropout=0.0)
     for seed in range(3):
-        _, t6, m6 = mm.drop_modalities(cfgt, imgs, jnp.asarray(ids),
+        _, t6, m6, _, _ = mm.drop_modalities(cfgt, imgs, jnp.asarray(ids),
                                        jnp.asarray(mask), train=True,
                                        rng=jax.random.PRNGKey(seed))
         assert float(jnp.abs(t6).max()) == 0.0

@@ -73,6 +73,22 @@ class ImageTextBatcher:
         if self.pool:
             self.pool.shutdown(wait=False)
 
+    @staticmethod
+    def _pil_pad_resize(raw: List[np.ndarray], h: int, w: int) -> np.ndarray:
+        """Decoded-array route: native C++ batch pad+resize (cv2-exact
+        fixed-point bilinear, multithreaded), falling back to the
+        per-image Python path when the lib is unavailable."""
+        from .. import native
+
+        out = native.pad_resize_batch(raw, h, w, target_ar=w / h)
+        if out is None:
+            from .images import pad_to_aspect_ratio, resize_linear
+
+            out = np.stack([
+                resize_linear(pad_to_aspect_ratio(im, w / h), h, w)
+                for im in raw])
+        return out
+
     def make_batch(self, indices: np.ndarray, batch_size: int) -> Dict[str, np.ndarray]:
         n = len(indices)
         padded = np.concatenate([indices, np.zeros(batch_size - n, np.int64)]) \
@@ -84,19 +100,26 @@ class ImageTextBatcher:
         }
         if self.with_images:
             h, w = self.image_size
-            raw = list(self.pool.map(
-                lambda s: load_rgb(s.image_path), samples))
-            # native C++ batch pad+resize (cv2-exact fixed-point bilinear,
-            # multithreaded); falls back to the per-image cv2 path
             from .. import native
 
-            out = native.pad_resize_batch(raw, h, w, target_ar=w / h)
+            out = None
+            if native.decode_enabled():
+                # opt-in fused C++ JPEG decode+pad+resize (bit-identical
+                # to the PIL route, tests/test_native.py); per-image
+                # fallback below keeps non-JPEG/corrupt files on PIL
+                blobs = list(self.pool.map(
+                    lambda s: open(s.image_path, "rb").read(), samples))
+                res = native.decode_pad_resize_batch(blobs, h, w,
+                                                     target_ar=w / h)
+                if res is not None:
+                    out, ok = res
+                    for i in np.flatnonzero(~ok):
+                        out[i] = self._pil_pad_resize(
+                            [load_rgb(samples[i].image_path)], h, w)[0]
             if out is None:
-                from .images import pad_to_aspect_ratio, resize_linear
-
-                out = np.stack([
-                    resize_linear(pad_to_aspect_ratio(im, w / h), h, w)
-                    for im in raw])
+                raw = list(self.pool.map(
+                    lambda s: load_rgb(s.image_path), samples))
+                out = self._pil_pad_resize(raw, h, w)
             batch["image"] = out.astype(np.uint8, copy=False)
         if self.tokenizer is not None:
             texts = [s.effective_text(self.extended) for s in samples]

@@ -58,6 +58,77 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_DEC_SRC = os.path.join(_DIR, "decode.cpp")
+_DEC_LIB = os.path.join(_DIR, "libdecode.so")
+
+_dec_lib: Optional[ctypes.CDLL] = None
+_dec_tried = False
+
+
+def decode_enabled() -> bool:
+    """Opt-in (GC_RCA_NATIVE_DECODE=1): fused C++ JPEG decode+pad+resize.
+
+    Off by default on purpose: the decode is bit-identical to PIL when
+    both wrap the same libjpeg-turbo (asserted by tests/test_native.py in
+    this image), but a container with a different decoder build could
+    drift by a few LSBs, and the eval path's accuracy parity is judged on
+    exact pixels. Enable for ingest-bound training/serving."""
+    return os.environ.get("GC_RCA_NATIVE_DECODE") == "1"
+
+
+def get_decode_lib() -> Optional[ctypes.CDLL]:
+    global _dec_lib, _dec_tried
+    if _dec_lib is not None or _dec_tried:
+        return _dec_lib
+    _dec_tried = True
+    if os.environ.get("GC_RCA_NATIVE") == "0":
+        return None
+    src_mtime = max(os.path.getmtime(_DEC_SRC), os.path.getmtime(_SRC))
+    if not os.path.exists(_DEC_LIB) or os.path.getmtime(_DEC_LIB) < src_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
+                 _DEC_LIB, _DEC_SRC, "-lpthread", "-ljpeg"],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            if os.environ.get("GC_RCA_NATIVE") == "1":
+                raise RuntimeError("native decode build failed")
+            return None
+    lib = ctypes.CDLL(_DEC_LIB)
+    lib.decode_pad_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),                       # jpeg bufs
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+        ctypes.c_double, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p]
+    lib.decode_pad_resize_batch.restype = None
+    _dec_lib = lib
+    return _dec_lib
+
+
+def decode_pad_resize_batch(blobs: List[bytes], height: int, width: int,
+                            target_ar: float, n_threads: int = 0):
+    """Fused JPEG decode + pad-to-AR + resize; (batch, ok_mask) or None.
+
+    blobs: raw JPEG file bytes per image. ok_mask[i]=False marks a decode
+    the native path refused (non-JPEG, CMYK, corrupt) — that slot is
+    zeroed and the caller must fall back to the PIL route for it."""
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    out = np.empty((n, height, width, 3), np.uint8)
+    oks = np.zeros(n, np.int32)
+    bufs = (ctypes.c_void_p * n)()
+    lens = (ctypes.c_size_t * n)()
+    for i, b in enumerate(blobs):       # `blobs` keeps the bytes alive
+        bufs[i] = ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p)
+        lens[i] = len(b)
+    lib.decode_pad_resize_batch(bufs, lens, n, ctypes.c_double(target_ar),
+                                out.ctypes.data, height, width, n_threads,
+                                oks.ctypes.data)
+    return out, oks.astype(bool)
+
+
 def pad_resize_batch(images: List[np.ndarray], height: int, width: int,
                      target_ar: float, n_threads: int = 0
                      ) -> Optional[np.ndarray]:

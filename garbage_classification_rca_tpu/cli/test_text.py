@@ -36,7 +36,31 @@ from ..parallel.mesh import (make_mesh, shard_params, batch_sharding,
 BASE_PATH = "./test_set_reports"
 
 
-def make_text_eval_step(apply_fn, mesh):
+def make_text_eval_step(apply_fn, mesh, *, text_model: str = ""):
+    """Jitted eval step. A mesh with a 'seq' axis (e.g. --mesh_shape
+    data:2,seq:4) routes DistilBERT through the sequence-parallel
+    encoder (parallel/sp.py — numerics-identical to apply at eval,
+    tests/test_sp.py); other text towers differ in embedding layout and
+    exit cleanly rather than silently ignoring the axis."""
+    seq_n = (dict(zip(mesh.axis_names, mesh.devices.shape)).get("seq", 1)
+             if mesh is not None else 1)
+    if seq_n > 1:
+        if text_model != "distilbert":
+            print(f"--mesh_shape with a seq axis supports only "
+                  f"distilbert (got {text_model}); see parallel/sp.py")
+            raise SystemExit(1)
+        from ..parallel.sp import distilbert_classify_sp
+
+        def step_sp(params, state, batch):
+            logits = distilbert_classify_sp(
+                params, batch["input_ids"], batch["attention_mask"], mesh)
+            preds = jnp.argmax(logits.astype(jnp.float32),
+                               axis=-1).astype(jnp.int32)
+            correct = jnp.sum((preds == batch["label"]) * batch["valid"])
+            return preds, correct
+
+        return jax.jit(step_sp)
+
     def step(params, state, batch):
         logits, _ = apply_fn(params, state,
                              (batch["input_ids"], batch["attention_mask"]),
@@ -99,7 +123,7 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers, with_images=False)
 
-    step = make_text_eval_step(mdef.apply, mesh)
+    step = make_text_eval_step(mdef.apply, mesh, text_model=args.text_model)
     n_total = len(manifest)
     all_preds, all_labels, correct = [], [], 0
     t0 = time.perf_counter()

@@ -97,3 +97,36 @@ def test_sp_distilbert_classifier_logits():
         params, ids, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_cli_eval_step_sp_matches_dp():
+    """The test_text CLI's eval step with a seq-axis mesh must predict
+    identically to the plain dp step (product wiring of SP, not just the
+    library twin), and reject non-distilbert towers cleanly."""
+    from garbage_classification_rca_tpu.cli.test_text import (
+        make_text_eval_step)
+    from garbage_classification_rca_tpu.models.text import distilbert as db
+
+    params, _ = db.init(jax.random.PRNGKey(5))
+    params["encoder"]["layers"] = params["encoder"]["layers"][:2]
+    rng = np.random.default_rng(5)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, db.VOCAB, (4, 16))
+                                 .astype(np.int32)),
+        "attention_mask": jnp.ones((4, 16), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 4, (4,)).astype(np.int32)),
+        "valid": jnp.ones((4,), jnp.int32),
+    }
+    dp = pm.make_mesh("data:2")
+    spm = pm.make_mesh("data:2,seq:4")
+    preds_dp, c_dp = make_text_eval_step(db.apply, dp,
+                                         text_model="distilbert")(
+        params, {}, batch)
+    preds_sp, c_sp = make_text_eval_step(db.apply, spm,
+                                         text_model="distilbert")(
+        params, {}, batch)
+    np.testing.assert_array_equal(np.asarray(preds_sp), np.asarray(preds_dp))
+    assert int(c_sp) == int(c_dp)
+
+    with pytest.raises(SystemExit):
+        make_text_eval_step(db.apply, spm, text_model="bert")

@@ -154,8 +154,10 @@ def main(argv=None):
         # the CLIP head's FC is batch-sized (reference multimodal_model.py
         # :620-623): validation must run at exactly cfg.batch_size; tail
         # padding keeps the trans_conv pad hack from firing
+        from ..parallel.mesh import clamp_eval_batch
         eval_bs = (cfg.batch_size if cfg.strategy == "clip"
-                   else args.eval_batch_size or 32)
+                   else clamp_eval_batch(args.eval_batch_size or 32,
+                                         len(val_manifest), mesh))
         correct, all_p, all_l = 0, [], []
         for batch in device_prefetch(
                 val_batcher.iter_batches(eval_bs), mesh):

@@ -141,6 +141,9 @@ def main(argv=None):
         return opt, step
 
     def eval_fn_factory(bs):
+        from ..parallel.mesh import clamp_eval_batch
+        bs = clamp_eval_batch(bs, len(val_manifest), mesh)
+
         def eval_fn(params, state):
             from ..eval.report import classification_report_dict
             acc, labels, preds, _ = run_image_eval(

@@ -148,11 +148,14 @@ def main(argv=None):
                                batch_to_inputs=batch_to_inputs, donate=True)
         return opt, step
 
-    eval_step = make_text_eval_step(mdef.apply, mesh)
+    eval_step = make_text_eval_step(mdef.apply, mesh,
+                                    text_model=args.text_model)
 
     def eval_fn(params, state):
         correct, all_p, all_l = 0, [], []
-        for batch in val_batcher.iter_batches(spec.eval_batch):
+        from ..parallel.mesh import clamp_eval_batch
+        for batch in val_batcher.iter_batches(
+                clamp_eval_batch(spec.eval_batch, len(val_manifest), mesh)):
             preds, c = eval_step(params, state, batch)
             correct += int(c)
             valid = np.asarray(batch["valid"]).astype(bool)

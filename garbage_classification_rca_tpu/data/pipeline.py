@@ -103,7 +103,7 @@ class ImageTextBatcher:
             from .. import native
 
             out = None
-            if native.decode_enabled():
+            if native.decode_enabled() and native.get_decode_lib() is not None:
                 # opt-in fused C++ JPEG decode+pad+resize (bit-identical
                 # to the PIL route, tests/test_native.py); per-image
                 # fallback below keeps non-JPEG/corrupt files on PIL

@@ -1,8 +1,9 @@
-"""ctypes loader / builder for the native preprocessing library.
+"""ctypes loader / builder for the native preprocessing libraries.
 
-Builds ``libpreprocess.so`` from preprocess.cpp on first use (g++ is in the
-image; output cached next to the source). Falls back silently to the
-Python/cv2 path when unavailable — set GC_RCA_NATIVE=0 to force the
+Builds ``libpreprocess.so`` (pad+resize) and ``libdecode.so`` (fused
+JPEG decode+pad+resize, needs libjpeg) from source on first use (g++ is
+in the image; output cached next to the source). Falls back silently to
+the Python/cv2 path when unavailable — set GC_RCA_NATIVE=0 to force the
 fallback, GC_RCA_NATIVE=1 to require native (raises on failure).
 """
 
@@ -11,27 +12,44 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "preprocess.cpp")
 _LIB = os.path.join(_DIR, "libpreprocess.so")
+_DEC_SRC = os.path.join(_DIR, "decode.cpp")
+_DEC_LIB = os.path.join(_DIR, "libdecode.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_dec_lib: Optional[ctypes.CDLL] = None
+_dec_tried = False
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
-             _SRC, "-lpthread"],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+def _load_or_build(srcs: Sequence[str], lib_path: str, main_src: str,
+                   extra_flags: Sequence[str] = ()) -> Optional[ctypes.CDLL]:
+    """Shared env-gate + stale-check + g++ build + CDLL load.
+
+    Rebuilds when the lib is older than ANY of `srcs` (decode.cpp
+    #includes preprocess.cpp). GC_RCA_NATIVE=0 disables, =1 makes a
+    build failure fatal; otherwise returns None for the Python fallback.
+    """
+    if os.environ.get("GC_RCA_NATIVE") == "0":
+        return None
+    src_mtime = max(os.path.getmtime(s) for s in srcs)
+    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < src_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
+                 lib_path, main_src, "-lpthread", *extra_flags],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            if os.environ.get("GC_RCA_NATIVE") == "1":
+                raise RuntimeError(f"native build failed: {main_src}")
+            return None
+    return ctypes.CDLL(lib_path)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -39,15 +57,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if os.environ.get("GC_RCA_NATIVE") == "0":
+    lib = _load_or_build([_SRC], _LIB, _SRC)
+    if lib is None:
         return None
-    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
-                                    < os.path.getmtime(_SRC)):
-        if not _build():
-            if os.environ.get("GC_RCA_NATIVE") == "1":
-                raise RuntimeError("native preprocess build failed")
-            return None
-    lib = ctypes.CDLL(_LIB)
     lib.pad_resize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),                       # srcs
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -56,13 +68,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pad_resize_batch.restype = None
     _lib = lib
     return _lib
-
-
-_DEC_SRC = os.path.join(_DIR, "decode.cpp")
-_DEC_LIB = os.path.join(_DIR, "libdecode.so")
-
-_dec_lib: Optional[ctypes.CDLL] = None
-_dec_tried = False
 
 
 def decode_enabled() -> bool:
@@ -81,20 +86,9 @@ def get_decode_lib() -> Optional[ctypes.CDLL]:
     if _dec_lib is not None or _dec_tried:
         return _dec_lib
     _dec_tried = True
-    if os.environ.get("GC_RCA_NATIVE") == "0":
+    lib = _load_or_build([_DEC_SRC, _SRC], _DEC_LIB, _DEC_SRC, ["-ljpeg"])
+    if lib is None:
         return None
-    src_mtime = max(os.path.getmtime(_DEC_SRC), os.path.getmtime(_SRC))
-    if not os.path.exists(_DEC_LIB) or os.path.getmtime(_DEC_LIB) < src_mtime:
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
-                 _DEC_LIB, _DEC_SRC, "-lpthread", "-ljpeg"],
-                check=True, capture_output=True, timeout=120)
-        except Exception:
-            if os.environ.get("GC_RCA_NATIVE") == "1":
-                raise RuntimeError("native decode build failed")
-            return None
-    lib = ctypes.CDLL(_DEC_LIB)
     lib.decode_pad_resize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),                       # jpeg bufs
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
@@ -110,8 +104,9 @@ def decode_pad_resize_batch(blobs: List[bytes], height: int, width: int,
     """Fused JPEG decode + pad-to-AR + resize; (batch, ok_mask) or None.
 
     blobs: raw JPEG file bytes per image. ok_mask[i]=False marks a decode
-    the native path refused (non-JPEG, CMYK, corrupt) — that slot is
-    zeroed and the caller must fall back to the PIL route for it."""
+    the native path refused (non-JPEG, CMYK, corrupt/truncated,
+    absurd-dimension header) — that slot is zeroed and the caller must
+    fall back to the PIL route for it."""
     lib = get_decode_lib()
     if lib is None:
         return None

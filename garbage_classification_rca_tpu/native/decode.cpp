@@ -40,7 +40,15 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
 }
 
-void jpeg_silence(j_common_ptr, int) {}
+void jpeg_warn_is_error(j_common_ptr cinfo, int msg_level) {
+    // Corrupt-data warnings (msg_level -1, e.g. premature EOF on a
+    // truncated file — libjpeg would insert a fake EOI and "succeed"
+    // with a gray tail) must FAIL the image so the caller's PIL route
+    // raises loudly, keeping the loadable set identical. Trace messages
+    // (msg_level >= 0) stay silent.
+    if (msg_level < 0)
+        std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
 
 // Decode JPEG bytes to uint8 RGB HWC. `out` is caller-owned (so longjmp
 // never skips a non-trivial destructor in this frame; locals touched
@@ -51,7 +59,7 @@ bool decode_jpeg_rgb(const uint8_t* buf, size_t len,
     JpegErr err;
     ci.err = jpeg_std_error(&err.pub);
     err.pub.error_exit = jpeg_err_exit;
-    err.pub.emit_message = jpeg_silence;  // no stderr spam on warnings
+    err.pub.emit_message = jpeg_warn_is_error;
     if (setjmp(err.jb)) {
         jpeg_destroy_decompress(&ci);
         return false;
@@ -70,6 +78,13 @@ bool decode_jpeg_rgb(const uint8_t* buf, size_t len,
     }
     h = static_cast<int>(ci.output_height);
     w = static_cast<int>(ci.output_width);
+    // crafted headers can claim absurd dimensions; above PIL's ~89 MP
+    // decompression-bomb threshold, defer to the PIL route (which raises
+    // a loud DecompressionBombError) instead of allocating gigabytes
+    if (static_cast<size_t>(h) * w > size_t(100) * 1000 * 1000) {
+        jpeg_destroy_decompress(&ci);
+        return false;
+    }
     out.resize(static_cast<size_t>(h) * w * 3);
     while (ci.output_scanline < ci.output_height) {
         JSAMPROW row = out.data()
@@ -101,9 +116,18 @@ void decode_pad_resize_batch(const uint8_t** bufs, const size_t* lens,
         int i;
         while ((i = next.fetch_add(1)) < n) {
             int h = 0, w = 0;
-            if (decode_jpeg_rgb(bufs[i], lens[i], img, h, w)) {
-                pad_resize_u8(img.data(), h, w, 3, target_ar,
-                              dst + stride * i, dh, dw);
+            bool ok = false;
+            try {
+                ok = decode_jpeg_rgb(bufs[i], lens[i], img, h, w);
+                if (ok)
+                    pad_resize_u8(img.data(), h, w, 3, target_ar,
+                                  dst + stride * i, dh, dw);
+            } catch (...) {
+                // bad_alloc etc. escaping a std::thread would
+                // std::terminate the process; fail one image instead
+                ok = false;
+            }
+            if (ok) {
                 oks[i] = 1;
             } else {
                 std::memset(dst + stride * i, 0, stride);

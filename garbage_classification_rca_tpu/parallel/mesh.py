@@ -65,10 +65,13 @@ def mesh_for_batch(spec: str, batch_size: int,
     axes = parse_mesh_shape(spec, len(devices))
     data = axes.get(DATA_AXIS, 1)
     if batch_size > 0 and data > 1 and batch_size % data != 0:
-        # a mesh may use FEWER devices than exist, so any d <= data with
-        # batch_size % d == 0 is legal (e.g. batch 7 on 8 chips -> data:7,
-        # not data:1)
-        new = max(d for d in range(1, data + 1) if batch_size % d == 0)
+        # shrink only to DIVISORS of the axis: a non-divisor size (e.g.
+        # batch 6 on 8 chips -> data:6) would also have to divide every
+        # downstream eval/table batch, which nothing guarantees; divisors
+        # of the (power-of-two) chip count keep the standard even batch
+        # tables shardable
+        new = max(d for d in range(1, data + 1)
+                  if data % d == 0 and batch_size % d == 0)
         print(f"mesh data axis {data} does not divide batch_size "
               f"{batch_size}; using data:{new}")
         axes[DATA_AXIS] = new

@@ -155,3 +155,17 @@ def test_batcher_native_decode_matches_default(tmp_path, dec_lib,
     for bw, bg in zip(want, got):
         for k in bw:
             np.testing.assert_array_equal(bg[k], bw[k])
+
+
+def test_native_decode_refuses_truncated_jpeg(dec_lib):
+    """A truncated JPEG must be flagged ok=False (libjpeg's premature-EOF
+    is only a WARNING that fakes an EOI and yields a gray tail; the PIL
+    route raises loudly instead — the loadable set must not change)."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    blob = _jpeg_bytes(arr)
+    truncated = blob[: len(blob) // 2]
+    got, ok = native.decode_pad_resize_batch([truncated, blob], 48, 48,
+                                             target_ar=1.0)
+    assert ok.tolist() == [False, True]
+    assert (got[0] == 0).all()

@@ -69,4 +69,8 @@ def test_train_mesh_divides_phase_batches():
     assert data_axis(train_mesh("data:-1", 4, 6, 1)) == 2   # gcd(4, 6)
     assert data_axis(train_mesh("data:-1", 4, 6, 0)) == 4   # no FT phase
     assert data_axis(train_mesh("data:-1", 16, 8, 1)) == 8
-    assert data_axis(train_mesh("data:-1", 7, 7, 1)) == 7   # odd but divides
+    # non-divisor sizes (6 of 8 devices) are deliberately NOT used: eval
+    # and table batches downstream are only guaranteed divisible by
+    # divisors of the chip count
+    assert data_axis(train_mesh("data:-1", 6, 6, 1)) == 2
+    assert data_axis(train_mesh("data:-1", 7, 7, 1)) == 1

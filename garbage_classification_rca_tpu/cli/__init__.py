@@ -23,6 +23,12 @@ if _plat:
     if name == "cpu":
         _jax.config.update("jax_num_cpu_devices", int(n) if n else 8)
 
+# multi-host opt-in (GC_RCA_MULTIHOST=1): jax.distributed.initialize must
+# run before first backend use; a plain single-process CLI run is a no-op
+from ..parallel.multihost import initialize_from_env as _mh_init
+
+_mh_init()
+
 from ..utils.xla_cache import enable_compile_cache as _enable_cache
 
 # XLA:CPU cache entries are host-AOT machine code; key the dir by the

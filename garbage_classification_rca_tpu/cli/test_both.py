@@ -77,6 +77,16 @@ def make_both_eval_step(apply_fn, mesh, compute_dtype):
 def run_multimodal_eval(apply_fn, params, state, batcher, batch_size, mesh,
                         compute_dtype=jnp.bfloat16, progress=True):
     step = make_both_eval_step(apply_fn, mesh, compute_dtype)
+    if mesh is not None:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from ..parallel.multihost import run_eval_multiprocess
+
+            return run_eval_multiprocess(
+                step, params, state, batcher, batch_size, mesh,
+                keys=("image", "input_ids", "attention_mask", "label",
+                      "valid"))
     n_total = len(batcher.m)
     all_preds, all_labels, correct = [], [], 0
     t0 = time.perf_counter()
@@ -163,11 +173,15 @@ def main(argv=None):
     tag = args.late_fusion
     print(f"\nsamples checked for test: {stats['n']}")
     print(f"eval throughput: {stats['samples_per_s']:.1f} samples/s")
-    report = generate_report_and_image(
-        labels, preds, acc, os.path.join(BASE_PATH, tag), tag, kind="both")
-    print(f"Test accuracy: {acc:.2f} %")
-    print("Test Report:")
-    print(report)
+    import jax as _jax
+
+    if _jax.process_index() == 0:   # one report writer on multi-host runs
+        report = generate_report_and_image(
+            labels, preds, acc, os.path.join(BASE_PATH, tag), tag,
+            kind="both")
+        print(f"Test accuracy: {acc:.2f} %")
+        print("Test Report:")
+        print(report)
     return acc
 
 

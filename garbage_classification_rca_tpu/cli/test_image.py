@@ -105,13 +105,16 @@ def main(argv=None):
     print(f"\nsamples checked for test: {stats['n']}")
     print(f"eval throughput: {stats['samples_per_s']:.1f} samples/s "
           f"(p50 step {stats['p50_step_s'] * 1e3:.1f} ms)")
-    report = generate_report_and_image(
-        labels, preds, acc, os.path.join(BASE_PATH, args.image_model),
-        args.image_model, kind="image")
-    print(manifest.class_to_idx)
-    print(f"Test accuracy: {acc:.2f} %")
-    print("Test Report:")
-    print(report)
+    import jax as _jax
+
+    if _jax.process_index() == 0:   # one report writer on multi-host runs
+        report = generate_report_and_image(
+            labels, preds, acc, os.path.join(BASE_PATH, args.image_model),
+            args.image_model, kind="image")
+        print(manifest.class_to_idx)
+        print(f"Test accuracy: {acc:.2f} %")
+        print("Test Report:")
+        print(report)
     return acc
 
 

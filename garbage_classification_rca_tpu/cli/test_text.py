@@ -125,29 +125,38 @@ def main(argv=None):
 
     step = make_text_eval_step(mdef.apply, mesh, text_model=args.text_model)
     n_total = len(manifest)
-    all_preds, all_labels, correct = [], [], 0
-    t0 = time.perf_counter()
-    for i, batch in enumerate(device_prefetch(
-            batcher.iter_batches(batch_size), mesh)):
-        preds, c = step(params, state, batch)
-        correct += int(c)
-        valid = np.asarray(batch["valid"]).astype(bool)
-        all_preds.append(np.asarray(preds)[valid])
-        all_labels.append(np.asarray(batch["label"])[valid])
-        print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
-              end="\r")
-    wall = time.perf_counter() - t0
-    acc = 100.0 * correct / n_total
-    labels = np.concatenate(all_labels)
-    preds = np.concatenate(all_preds)
+    if jax.process_count() > 1:
+        from ..parallel.multihost import run_eval_multiprocess
+
+        acc, labels, preds, stats = run_eval_multiprocess(
+            step, params, state, batcher, batch_size, mesh,
+            keys=("input_ids", "attention_mask", "label", "valid"))
+        wall = stats["wall_s"]
+    else:
+        all_preds, all_labels, correct = [], [], 0
+        t0 = time.perf_counter()
+        for i, batch in enumerate(device_prefetch(
+                batcher.iter_batches(batch_size), mesh)):
+            preds, c = step(params, state, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_preds.append(np.asarray(preds)[valid])
+            all_labels.append(np.asarray(batch["label"])[valid])
+            print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
+                  end="\r")
+        wall = time.perf_counter() - t0
+        acc = 100.0 * correct / n_total
+        labels = np.concatenate(all_labels)
+        preds = np.concatenate(all_preds)
     print(f"\nsamples checked for test: {n_total}")
     print(f"eval throughput: {n_total / wall:.1f} samples/s")
-    report = generate_report_and_image(
-        labels, preds, acc, os.path.join(BASE_PATH, args.text_model),
-        args.text_model, kind="text")
-    print(f"Test accuracy: {acc:.2f} %")
-    print("Test Report:")
-    print(report)
+    if jax.process_index() == 0:
+        report = generate_report_and_image(
+            labels, preds, acc, os.path.join(BASE_PATH, args.text_model),
+            args.text_model, kind="text")
+        print(f"Test accuracy: {acc:.2f} %")
+        print("Test Report:")
+        print(report)
     return acc
 
 

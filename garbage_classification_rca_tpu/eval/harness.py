@@ -67,6 +67,16 @@ def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
                    ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
     """Full-dataset eval. Returns (acc%, labels, preds, timing stats)."""
     step = make_eval_step(apply_fn, mesh, compute_dtype, norm_stats=norm_stats)
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: each process decodes only its shard of every global
+        # batch; outputs (acc/labels/preds) are identical to the
+        # single-process stream — see parallel/multihost.py
+        from ..parallel.multihost import run_eval_multiprocess
+
+        return run_eval_multiprocess(step, params, state, batcher,
+                                     batch_size, mesh,
+                                     keys=("image", "label", "valid"),
+                                     progress=progress)
     n_total = len(batcher.m)
     all_preds, all_labels = [], []
     correct = 0

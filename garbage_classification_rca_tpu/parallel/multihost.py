@@ -1,0 +1,182 @@
+"""Multi-host (multi-process) scaling: the DCN level of the 2-level mesh.
+
+The reference is strictly single-process — its only parallelism is
+``nn.DataParallel`` inside one Python process (main_image.py:404-406);
+nothing in it can span hosts. This module is beyond-reference capability
+completing the mesh story in ``parallel/mesh.py`` ("2-level (ICI x DCN)
+ready"): on a multi-host slice (v5e-16 = 2 hosts x 8 chips, or any
+v4/v5p pod slice) every host runs the SAME program,
+``jax.distributed.initialize()`` connects them, ``jax.devices()``
+becomes the GLOBAL device list, and the meshes built by
+``mesh.make_mesh`` span hosts transparently — jit'd collectives ride ICI
+within a slice and DCN across slices exactly as GSPMD lays them out.
+
+Only the INPUT and REPORT sides are per-host, and both are handled here:
+
+  * ``initialize_from_env()``  — connect the processes (no-op when not
+    opted in), returns (process_index, process_count).
+  * ``process_local_rows()``   — which rows of a globally data-sharded
+    batch THIS host must supply (from the sharding's device->index map,
+    so it is correct for any mesh axis layout, not just data-only).
+  * ``put_global()``           — assemble the global jax.Array from the
+    host-local numpy rows (``jax.make_array_from_process_local_data``).
+  * ``run_eval_multiprocess()``— the eval loop over a sharded dataset:
+    each host decodes ONLY its rows of each global batch, steps the
+    jitted eval fn, and allgathers predictions, reproducing the
+    single-process iteration order EXACTLY — accuracy, label stream and
+    prediction stream (and therefore the report CSV) are identical to a
+    one-host run of the same global batch size.
+
+Hermetic testing: this is real multi-PROCESS execution, not a mock —
+XLA:CPU supports cross-process collectives (gloo), so
+tests/test_multihost.py launches two OS processes with 4 virtual CPU
+devices each and asserts eval outputs and train-step updates match the
+single-process oracle. Real multi-HOST hardware (where DCN replaces
+localhost gRPC) is not available in this environment; the code paths are
+identical by JAX's design (the runtime hides the transport).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def initialize_from_env() -> Tuple[int, int]:
+    """Connect this process to the other hosts when configured; return
+    (process_index, process_count).
+
+    Opt-in via GC_RCA_MULTIHOST=1 with either the standard JAX cluster
+    auto-detection environment or explicit GC_RCA_COORDINATOR /
+    GC_RCA_PROCESS_ID / GC_RCA_NUM_PROCESSES. Calling it single-process
+    is free: without the opt-in it touches nothing and reports (0, 1),
+    so the CLI package calls it unconditionally before first backend use
+    (jax.distributed.initialize must precede backend init).
+    """
+    import jax
+
+    if os.environ.get("GC_RCA_MULTIHOST", "") not in ("1", "true"):
+        return 0, 1
+    kwargs = {}
+    if os.environ.get("GC_RCA_COORDINATOR"):
+        kwargs["coordinator_address"] = os.environ["GC_RCA_COORDINATOR"]
+    if os.environ.get("GC_RCA_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["GC_RCA_NUM_PROCESSES"])
+    if os.environ.get("GC_RCA_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["GC_RCA_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)  # cluster env fills the gaps
+    return jax.process_index(), jax.process_count()
+
+
+def process_local_rows(sharding, n_rows: int) -> np.ndarray:
+    """Global row indices (dim 0, ascending) this process must supply for
+    an array of ``n_rows`` rows under ``sharding``.
+
+    Derived from the sharding's device->index map so any mesh layout
+    works (data-only, data x model, [acc, B] microbatch stacks via a
+    P(None, 'data') sharding — pass the row count of the SHARDED dim and
+    a 1-D projection of the sharding, see ``rows_sharding``).
+    """
+    import jax
+
+    rows: set = set()
+    index_map = sharding.devices_indices_map((n_rows,))
+    for dev, idx in index_map.items():
+        if dev.process_index == jax.process_index():
+            sl = idx[0]
+            rows.update(range(*sl.indices(n_rows)))
+    return np.asarray(sorted(rows), dtype=np.int64)
+
+
+def rows_sharding(mesh, axis: str = "data"):
+    """1-D projection of a batch sharding: how dim 0 of size-[B] arrays
+    is laid out over ``axis`` (for process_local_rows on batches whose
+    keys differ in rank)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(axis))
+
+
+def put_global(sharding, local_tree):
+    """Assemble globally-sharded jax.Arrays from THIS host's local rows.
+
+    Single-process this equals ``jax.device_put(x, sharding)`` leaf for
+    leaf (asserted in tests); multi-process each host passes only its
+    ``process_local_rows`` worth of rows and JAX stitches the global
+    array without gathering the data anywhere.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a),
+        local_tree)
+
+
+def allgather_to_host(x):
+    """Every host gets the full value of a (possibly non-addressable)
+    global array as host numpy — identity (minus transfer) when
+    single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def run_eval_multiprocess(step, params, state, batcher, batch_size: int,
+                          mesh, keys=("image", "label", "valid"),
+                          progress: bool = True
+                          ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
+    """Multi-process twin of the single-host eval loops (eval/harness.py
+    run_image_eval, cli/test_text.py, cli/test_both.py): same jitted
+    ``step(params, state, batch) -> (preds, correct)``, same global batch
+    stream, each host decoding only its shard.
+
+    Global batch ``s`` holds samples [s*B, min((s+1)*B, n)) in manifest
+    order with the tail padded+masked — exactly the single-process
+    stream — so accuracy, label order, prediction order and the report
+    CSV built from them are IDENTICAL to a one-host run. Every process
+    must enter for every step (collectives); the returned labels/preds
+    are full-dataset on every host, so only report WRITING needs a
+    process-0 gate in the CLIs.
+    """
+    import time
+
+    import jax
+
+    n_total = len(batcher.m)
+    rs = rows_sharding(mesh)
+    my_rows = process_local_rows(rs, batch_size)
+    n_steps = (n_total + batch_size - 1) // batch_size
+    all_preds, all_labels = [], []
+    correct = 0
+    t0 = time.perf_counter()
+    for s in range(n_steps):
+        base = s * batch_size
+        n_valid = min(batch_size, n_total - base)
+        local_idx = np.asarray([base + r for r in my_rows if r < n_valid],
+                               dtype=np.int64)
+        local = batcher.make_batch(local_idx, len(my_rows))
+        local = {k: v for k, v in local.items() if k in keys}
+        batch = put_global(rs, local)
+        preds, c = step(params, state, batch)
+        correct += int(jax.device_get(c))  # replicated => addressable
+        preds_np = allgather_to_host(preds)[:n_valid]
+        all_preds.append(preds_np)
+        all_labels.append(np.asarray(
+            [batcher.m.samples[base + i].label for i in range(n_valid)],
+            dtype=np.int32))
+        if progress and jax.process_index() == 0:
+            print(f"Test batches {s}/{n_steps} ", end="\r")
+    wall = time.perf_counter() - t0
+    acc = 100.0 * correct / n_total
+    stats = {"wall_s": wall,
+             "pipeline_samples_per_s": n_total / wall if wall > 0 else 0.0,
+             "samples_per_s": n_total / wall if wall > 0 else 0.0,
+             "p50_step_s": 0.0, "p50_includes_host_readback": True,
+             "n": n_total}
+    return acc, np.concatenate(all_labels), np.concatenate(all_preds), stats

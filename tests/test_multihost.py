@@ -1,0 +1,240 @@
+"""Multi-host layer (parallel/multihost.py).
+
+Quick tests pin the single-process identities (opt-in no-op, row
+ownership, put_global == shard_batch, and the multiprocess eval driver
+reproducing run_image_eval's exact output stream). The slow test is REAL
+multi-process execution: two OS processes x 4 virtual CPU devices,
+jax.distributed over localhost, gloo collectives — eval outputs and a
+dp train-step update must match the single-process oracle computed in
+the parent.
+"""
+
+import dataclasses
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.data.manifest import build_manifest
+from garbage_classification_rca_tpu.data.pipeline import ImageTextBatcher
+from garbage_classification_rca_tpu.eval.harness import (make_eval_step,
+                                                         run_image_eval)
+from garbage_classification_rca_tpu.models.image import vit
+from garbage_classification_rca_tpu.parallel import multihost as mh
+from garbage_classification_rca_tpu.parallel.mesh import (make_mesh,
+                                                          shard_batch,
+                                                          shard_params)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_vit():
+    cfg = dataclasses.replace(vit.CONFIGS["transformer_B16"],
+                              image_size=32, layers=1)
+    params, state = vit.init(jax.random.PRNGKey(0), cfg, num_classes=4)
+
+    def apply(p, s, x, *, train=False, rng=None):
+        return vit.apply(p, s, x, cfg=cfg, train=train, rng=rng)
+
+    return apply, params, state
+
+
+def test_initialize_from_env_is_noop_without_opt_in(monkeypatch):
+    monkeypatch.delenv("GC_RCA_MULTIHOST", raising=False)
+    assert mh.initialize_from_env() == (0, 1)
+
+
+def test_process_local_rows_single_process_owns_everything():
+    mesh = make_mesh("data:-1")
+    rows = mh.process_local_rows(mh.rows_sharding(mesh), 16)
+    np.testing.assert_array_equal(rows, np.arange(16))
+
+
+def test_put_global_equals_shard_batch_single_process():
+    mesh = make_mesh("data:-1")
+    rng = np.random.default_rng(0)
+    tree = {"image": rng.integers(0, 255, (8, 6, 6, 3)).astype(np.uint8),
+            "label": rng.integers(0, 4, (8,)).astype(np.int32)}
+    got = mh.put_global(mh.rows_sharding(mesh), tree)
+    want = shard_batch(mesh, tree)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
+        assert got[k].sharding == want[k].sharding
+
+
+def test_eval_driver_matches_single_process_stream(tiny_dataset):
+    """run_eval_multiprocess with process_count==1 must reproduce
+    run_image_eval's (acc, labels, preds) exactly — the chunked global
+    batch stream is the single-process stream by construction."""
+    apply, params, state = tiny_vit()
+    mesh = make_mesh("data:-1")
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+    manifest = build_manifest(str(tiny_dataset))
+    batcher = ImageTextBatcher(manifest, (32, 32), workers=2)
+    try:
+        want = run_image_eval(apply, params, state, batcher, 8, mesh,
+                              jnp.float32, progress=False)
+        step = make_eval_step(apply, mesh, jnp.float32)
+        got = mh.run_eval_multiprocess(step, params, state, batcher, 8,
+                                       mesh, progress=False)
+    finally:
+        batcher.close()
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_array_equal(got[2], want[2])
+    assert got[3]["n"] == want[3]["n"]
+
+
+WORKER = textwrap.dedent("""
+    import sys
+
+    pid, nproc, port, out, data_root = (int(sys.argv[1]), int(sys.argv[2]),
+                                        int(sys.argv[3]), sys.argv[4],
+                                        sys.argv[5])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 4 * nproc
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.pipeline import ImageTextBatcher
+    from garbage_classification_rca_tpu.eval.harness import run_image_eval
+    from garbage_classification_rca_tpu.models.image import vit
+    from garbage_classification_rca_tpu.parallel import multihost as mh
+    from garbage_classification_rca_tpu.parallel.mesh import (make_mesh,
+                                                              shard_params)
+    from garbage_classification_rca_tpu.train.loop import (
+        make_train_step, microbatch_sharding)
+    from garbage_classification_rca_tpu.train.optim import make_optimizer
+
+    cfg = dataclasses.replace(vit.CONFIGS["transformer_B16"],
+                              image_size=32, layers=1)
+    params, state = vit.init(jax.random.PRNGKey(0), cfg, num_classes=4)
+
+    def apply(p, s, x, *, train=False, rng=None):
+        return vit.apply(p, s, x, cfg=cfg, train=train, rng=rng)
+
+    mesh = make_mesh("data:-1")
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+    manifest = build_manifest(data_root)
+    batcher = ImageTextBatcher(manifest, (32, 32), workers=2)
+    # run_image_eval branches to the multiprocess driver itself
+    acc, labels, preds, stats = run_image_eval(
+        apply, params, state, batcher, 8, mesh, jnp.float32, progress=False)
+    batcher.close()
+
+    # one dp train step on a global [acc=2, B=8] microbatch stack; every
+    # process generates the identical full batch, supplies only its rows
+    opt = make_optimizer("sgd", lr=1e-3, reg=1e-2)
+    p2, s2 = vit.init(jax.random.PRNGKey(1), cfg, num_classes=4)
+    o2 = shard_params(mesh, opt.init(p2))
+    p2 = shard_params(mesh, p2)
+    s2 = shard_params(mesh, s2)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32, mesh=mesh)
+    rng0 = np.random.default_rng(7)
+    full = {"image": rng0.integers(0, 255, (2, 8, 32, 32, 3)
+                                   ).astype(np.uint8),
+            "label": rng0.integers(0, 4, (2, 8)).astype(np.int32)}
+    rows = mh.process_local_rows(mh.rows_sharding(mesh), 8)
+    local = {k: v[:, rows] for k, v in full.items()}
+    batch = mh.put_global(microbatch_sharding(mesh), local)
+    p2, s2, o2, loss, _ = step(p2, s2, o2, batch, jax.random.PRNGKey(3))
+    loss_f = float(loss)   # EVERY process blocks on the step's collectives
+    # before any process may exit (an exiting peer kills in-flight gloo ops)
+
+    if jax.process_index() == 0:
+        head = jax.device_get(p2["head"])
+        flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                               for l in jax.tree_util.tree_leaves(head)])
+        np.savez(out, acc=acc, labels=labels, preds=preds,
+                 loss=loss_f, head=flat)
+    jax.distributed.shutdown()   # rendezvous: no process exits early
+""")
+
+
+@pytest.mark.slow
+def test_two_process_eval_and_train_match_single_process(tiny_dataset,
+                                                         tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "mh_worker.py"
+    script.write_text(WORKER)
+    out = tmp_path / "result.npz"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # workers pick their own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port), str(out),
+         str(tiny_dataset)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    got = np.load(out)
+
+    # single-process oracle (this process's 8 virtual devices)
+    apply, params, state = tiny_vit()
+    mesh = make_mesh("data:-1")
+    params = shard_params(mesh, params)
+    state = shard_params(mesh, state)
+    manifest = build_manifest(str(tiny_dataset))
+    batcher = ImageTextBatcher(manifest, (32, 32), workers=2)
+    try:
+        acc, labels, preds, _ = run_image_eval(
+            apply, params, state, batcher, 8, mesh, jnp.float32,
+            progress=False)
+    finally:
+        batcher.close()
+    assert float(got["acc"]) == acc
+    np.testing.assert_array_equal(got["labels"], labels)
+    np.testing.assert_array_equal(got["preds"], preds)
+
+    from garbage_classification_rca_tpu.train.loop import (
+        make_train_step, microbatch_sharding)
+    from garbage_classification_rca_tpu.train.optim import make_optimizer
+
+    opt = make_optimizer("sgd", lr=1e-3, reg=1e-2)
+    cfg = dataclasses.replace(vit.CONFIGS["transformer_B16"],
+                              image_size=32, layers=1)
+    p2, s2 = vit.init(jax.random.PRNGKey(1), cfg, num_classes=4)
+    o2 = shard_params(mesh, opt.init(p2))
+    p2 = shard_params(mesh, p2)
+    s2 = shard_params(mesh, s2)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32, mesh=mesh)
+    rng0 = np.random.default_rng(7)
+    full = {"image": rng0.integers(0, 255, (2, 8, 32, 32, 3)
+                                   ).astype(np.uint8),
+            "label": rng0.integers(0, 4, (2, 8)).astype(np.int32)}
+    batch = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, microbatch_sharding(mesh)), full)
+    p2, s2, o2, loss, _ = step(p2, s2, o2, batch, jax.random.PRNGKey(3))
+    head = jax.device_get(p2["head"])
+    flat = np.concatenate([np.asarray(l, np.float32).ravel()
+                           for l in jax.tree_util.tree_leaves(head)])
+    np.testing.assert_allclose(float(got["loss"]), float(loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got["head"], flat, rtol=1e-4, atol=2e-5)

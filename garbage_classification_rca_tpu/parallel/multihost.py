@@ -27,6 +27,15 @@ Only the INPUT and REPORT sides are per-host, and both are handled here:
     prediction stream (and therefore the report CSV) are identical to a
     one-host run of the same global batch size.
 
+Training: ``stacked_train_stream`` is the train-side twin (used by
+train/engine.run_phase when process_count > 1) — each host decodes only
+its rows of the deterministic global batch plan, so the global [acc, B]
+stacks are bit-identical to the single-process stream. Checkpoint /
+metrics / report writes happen on process 0 only (every host must hold
+the same dataset copy; params must be replicated for saving — FSDP
+param sharding over a multi-process axis would need a collective gather
+before save and is not supported multi-host yet).
+
 Hermetic testing: this is real multi-PROCESS execution, not a mock —
 XLA:CPU supports cross-process collectives (gloo), so
 tests/test_multihost.py launches two OS processes with 4 virtual CPU
@@ -125,6 +134,67 @@ def allgather_to_host(x):
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def stacked_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
+                         seed: int, order=None,
+                         keys=("image", "input_ids", "attention_mask",
+                               "label", "valid")):
+    """Multi-process twin of train/engine.stacked_batches + the
+    device_put(microbatch_sharding) wrap: yields globally-sharded
+    [acc, B, ...] microbatch stacks with each host decoding ONLY its rows.
+
+    The global batch plan (shuffle permutation or the imbalanced-sampler
+    ``order``) is recomputed identically on every process from the seed —
+    both are plain numpy RNG draws — so the assembled global arrays are
+    bit-identical to a single-process run of the same seed: same sample
+    order, same tail padding (sample 0 + valid=0, data/pipeline.py
+    make_batch), same trailing-stack repeat-with-valid=0 (engine
+    stacked_batches). Every process must drain the stream fully (the
+    train step's psums are collective).
+    """
+    from ..data.pipeline import batch_indices
+    from ..train.loop import microbatch_sharding
+
+    acc = max(acc_steps, 1)
+    plans = batch_indices(len(batcher.m), batch_size,
+                          shuffle=order is None, seed=seed, order=order)
+    sb = microbatch_sharding(mesh)
+    my_rows = process_local_rows(rows_sharding(mesh), batch_size)
+    n_local = len(my_rows)
+
+    def local_mb(plan):
+        # rows >= len(plan) are the global tail padding; make_batch's own
+        # local padding (sample 0, valid=0) reproduces them exactly, and
+        # my_rows is ascending so real rows stay a prefix as in the
+        # single-process batch
+        local_idx = np.asarray([plan[r] for r in my_rows if r < len(plan)],
+                               dtype=np.int64)
+        mb = batcher.make_batch(local_idx, n_local)
+        return {k: v for k, v in mb.items() if k in keys}
+
+    buf = []
+    for plan in plans:
+        buf.append(local_mb(plan))
+        if len(buf) == acc:
+            yield put_global(sb, {k: np.stack([x[k] for x in buf])
+                                  for k in buf[0]})
+            buf = []
+    if buf:
+        pad = dict(buf[-1])
+        pad["valid"] = np.zeros_like(pad["valid"])
+        while len(buf) < acc:
+            buf.append(pad)
+        yield put_global(sb, {k: np.stack([x[k] for x in buf])
+                              for k in buf[0]})
+
+
+def is_primary() -> bool:
+    """True on the process that owns side effects (checkpoints, reports,
+    wandb, prints). Always true single-process."""
+    import jax
+
+    return jax.process_index() == 0
 
 
 def run_eval_multiprocess(step, params, state, batcher, batch_size: int,

@@ -40,11 +40,18 @@ class MetricsLogger:
 
     def __init__(self, run_name: str, out_dir: str = "runs",
                  use_wandb: bool = False, config: Optional[dict] = None):
-        os.makedirs(out_dir, exist_ok=True)
-        ts = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
-        self.path = os.path.join(out_dir, f"{run_name}_{ts}.jsonl")
+        from ..parallel.multihost import is_primary
+
+        # multi-host: metrics are identical on every process (val acc is
+        # psum'd, losses are replicated) — only process 0 writes/streams
+        self._primary = is_primary()
+        self.path = os.devnull
+        if self._primary:
+            os.makedirs(out_dir, exist_ok=True)
+            ts = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+            self.path = os.path.join(out_dir, f"{run_name}_{ts}.jsonl")
         self._wandb = None
-        if use_wandb:
+        if use_wandb and self._primary:
             try:
                 import wandb
                 self._wandb = wandb
@@ -82,13 +89,31 @@ def stacked_batches(batcher: ImageTextBatcher, batch_size: int,
         yield {k: np.stack([x[k] for x in buf]) for k in buf[0]}
 
 
+def _checkpointer():
+    """PyTreeCheckpointer whose write barriers involve only process 0.
+
+    orbax saves are COLLECTIVE under multiprocess JAX (internal
+    sync_global_devices) — but our multi-host story writes checkpoints
+    from the primary alone (params are replicated, so process 0 holds
+    everything). An unscoped save called only on process 0 deadlocks
+    waiting for the others; MultiprocessingOptions(active_processes={0})
+    scopes the barrier to the single writer."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            active_processes={0}))
+
+
 def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
               args: RunConfig, fine_tuning: bool, out_root: str = ".",
               keep_top_k: int = 0) -> str:
     """orbax checkpoint under a reference-style filename
     (main_image.py:185-209)."""
-    import orbax.checkpoint as ocp
-
     base = os.path.join(out_root, "model_weights", model_name)
     os.makedirs(base, exist_ok=True)
     if fine_tuning:
@@ -100,9 +125,8 @@ def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
                 f"_Reg_{args.reg}_Opt_{args.opt}_VAL_ACC_{val_acc:.5f}_")
     name += datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
     path = os.path.abspath(os.path.join(base, name))
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, {"params": jax.device_get(params),
-                     "state": jax.device_get(state)})
+    _checkpointer().save(path, {"params": jax.device_get(params),
+                                "state": jax.device_get(state)})
     print(f"Saving weights to {path}")
     if keep_top_k:
         _prune_best(base, keep_top_k)
@@ -180,8 +204,6 @@ def save_train_state(*, out_root: str, model_name: str, params, state,
     params/state, making 'resume' a lossy warm start (VERDICT item 9).
 
     One RESUME dir per model, overwritten each epoch."""
-    import orbax.checkpoint as ocp
-
     base = os.path.join(out_root, "model_weights", model_name)
     os.makedirs(base, exist_ok=True)
     path = os.path.abspath(os.path.join(base, "RESUME"))
@@ -203,7 +225,7 @@ def save_train_state(*, out_root: str, model_name: str, params, state,
 
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ocp.PyTreeCheckpointer().save(tmp, payload)
+    _checkpointer().save(tmp, payload)
     # crash-safe swap: keep the previous RESUME until the new one is in
     # place (a kill between delete and rename must not lose all resume
     # state — the whole point of this checkpoint)
@@ -326,6 +348,9 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
               f"(best={best.best_val_acc:.3f})")
     sb = microbatch_sharding(mesh) if mesh is not None else None
     n_batches = math.ceil(len(batcher.m) / batch_size)
+    from ..parallel.multihost import is_primary, stacked_train_stream
+    multiproc = mesh is not None and jax.process_count() > 1
+    primary = is_primary()
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
@@ -334,19 +359,28 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
             order = imbalanced_sample_order(batcher.m,
                                             seed=args.seed * 1000 + epoch)
         losses = []
-        host = stacked_batches(batcher, batch_size, acc_steps,
-                               seed=args.seed * 77 + epoch, order=order,
-                               keys=keys)
-        if sb is not None:
-            host = (jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, sb), b) for b in host)
+        if multiproc:
+            # each host decodes only its rows of the (deterministic)
+            # global plan; the assembled global stacks are bit-identical
+            # to the single-process stream — parallel/multihost.py
+            host = stacked_train_stream(
+                batcher, batch_size, acc_steps, mesh,
+                seed=args.seed * 77 + epoch, order=order, keys=keys)
+        else:
+            host = stacked_batches(batcher, batch_size, acc_steps,
+                                   seed=args.seed * 77 + epoch, order=order,
+                                   keys=keys)
+            if sb is not None:
+                host = (jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, sb), b) for b in host)
         for bi, batch in enumerate(host):
             rng, step_rng = jax.random.split(rng)
             params, state, opt_state, loss, _ = train_step(
                 params, state, opt_state, batch, step_rng)
             losses.append(loss)
-            print(f"Batches {bi * max(acc_steps, 1)}/{n_batches} "
-                  f"on epoch {epoch}", end="\r")
+            if primary:
+                print(f"Batches {bi * max(acc_steps, 1)}/{n_batches} "
+                      f"on epoch {epoch}", end="\r")
         losses = [float(l) for l in losses]
         train_time = time.time() - t0
 
@@ -365,19 +399,24 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
             for name, fn in extra_evals.items():
                 metrics[name] = fn(params, state)
         logger.log(metrics)
-        print(f"\n[{phase_name}] epoch {epoch}: val_acc={val_acc:.3f} "
-              f"avg_loss={metrics['avg_loss']:.4f} "
-              f"({train_time:.1f}s, lr={metrics['lr']:.2e})")
+        if primary:
+            print(f"\n[{phase_name}] epoch {epoch}: val_acc={val_acc:.3f} "
+                  f"avg_loss={metrics['avg_loss']:.4f} "
+                  f"({train_time:.1f}s, lr={metrics['lr']:.2e})")
 
         if val_acc > best.best_val_acc:
+            # checkpoints are written by process 0 only (params are
+            # replicated so device_get is complete there; timestamped
+            # filenames would otherwise race on a shared filesystem)
             best = PhaseResult(val_acc, epoch, save_best(
                 params, state, model_name=model_name, epoch=epoch,
                 val_acc=val_acc, args=args, fine_tuning=fine_tuning,
-                out_root=out_root, keep_top_k=keep_top_k))
+                out_root=out_root, keep_top_k=keep_top_k)
+                if primary else None)
         if scheduler is not None:
             new_lr = scheduler.step(val_acc)
             opt_state = set_learning_rate(opt_state, new_lr)
-        if save_resume:
+        if save_resume and primary:
             save_train_state(out_root=out_root, model_name=model_name,
                              params=params, state=state,
                              opt_state=opt_state, rng=rng, epoch=epoch,

@@ -160,12 +160,57 @@ WORKER = textwrap.dedent("""
     loss_f = float(loss)   # EVERY process blocks on the step's collectives
     # before any process may exit (an exiting peer kills in-flight gloo ops)
 
+    # full engine phase: run_phase must route its input through
+    # stacked_train_stream and gate checkpoint writes on process 0
+    import glob
+    import os
+    import tempfile
+
+    from garbage_classification_rca_tpu.config import RunConfig
+    from garbage_classification_rca_tpu.eval.harness import run_image_eval as rie
+    from garbage_classification_rca_tpu.train.engine import (MetricsLogger,
+                                                             run_phase)
+    from garbage_classification_rca_tpu.train.loop import all_trainable_mask
+
+    args = RunConfig(seed=42, lr=1e-3, reg=1e-2, opt="sgd")
+    p3, s3 = vit.init(jax.random.PRNGKey(2), cfg, num_classes=4)
+    opt3 = make_optimizer("sgd", 1e-3, 1e-2, all_trainable_mask(p3))
+    o3 = shard_params(mesh, opt3.init(p3))
+    p3 = shard_params(mesh, p3)
+    s3 = shard_params(mesh, s3)
+    step3 = make_train_step(apply, opt3, compute_dtype=jnp.float32, mesh=mesh)
+    vb = ImageTextBatcher(manifest, (32, 32), workers=2)
+
+    def eval_fn(p, s):
+        a, _, _, _ = rie(apply, p, s, vb, 8, mesh, jnp.float32,
+                         progress=False)
+        return a, None
+    scratch = tempfile.mkdtemp(prefix=f"mh_phase_p{pid}_")
+    logger = MetricsLogger("mh_test", out_dir=os.path.join(scratch, "runs"))
+    p3, s3, o3, best = run_phase(
+        phase_name="train", epochs=1, params=p3, state=s3, opt=opt3,
+        opt_state=o3, train_step=step3, eval_fn=eval_fn, batcher=vb,
+        batch_size=8, acc_steps=1, args=args, mesh=mesh,
+        model_name="tiny_vit", logger=logger, keys=("image", "label",
+                                                    "valid"),
+        out_root=scratch)
+    vb.close()
+    n_ckpts = len(glob.glob(os.path.join(scratch, "model_weights",
+                                         "tiny_vit", "BEST_*")))
+    phase_head = np.concatenate([
+        np.asarray(l, np.float32).ravel() for l in
+        jax.tree_util.tree_leaves(jax.device_get(p3["head"]))])
+
     if jax.process_index() == 0:
+        assert n_ckpts == 1, n_ckpts   # primary writes the best checkpoint
         head = jax.device_get(p2["head"])
         flat = np.concatenate([np.asarray(l, np.float32).ravel()
                                for l in jax.tree_util.tree_leaves(head)])
         np.savez(out, acc=acc, labels=labels, preds=preds,
-                 loss=loss_f, head=flat)
+                 loss=loss_f, head=flat,
+                 phase_val_acc=best.best_val_acc, phase_head=phase_head)
+    else:
+        assert n_ckpts == 0, n_ckpts   # secondaries must not write
     jax.distributed.shutdown()   # rendezvous: no process exits early
 """)
 
@@ -238,3 +283,68 @@ def test_two_process_eval_and_train_match_single_process(tiny_dataset,
     np.testing.assert_allclose(float(got["loss"]), float(loss),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got["head"], flat, rtol=1e-4, atol=2e-5)
+
+    # run_phase oracle (same seeds/keys as the WORKER's engine phase)
+    from garbage_classification_rca_tpu.config import RunConfig
+    from garbage_classification_rca_tpu.train.engine import (MetricsLogger,
+                                                             run_phase)
+    from garbage_classification_rca_tpu.train.loop import all_trainable_mask
+
+    args = RunConfig(seed=42, lr=1e-3, reg=1e-2, opt="sgd")
+    p3, s3 = vit.init(jax.random.PRNGKey(2), cfg, num_classes=4)
+    opt3 = make_optimizer("sgd", 1e-3, 1e-2, all_trainable_mask(p3))
+    o3 = shard_params(mesh, opt3.init(p3))
+    p3 = shard_params(mesh, p3)
+    s3 = shard_params(mesh, s3)
+    step3 = make_train_step(apply, opt3, compute_dtype=jnp.float32, mesh=mesh)
+    vb = ImageTextBatcher(manifest, (32, 32), workers=2)
+
+    def eval_fn(p, s):
+        a, _, _, _ = run_image_eval(apply, p, s, vb, 8, mesh, jnp.float32,
+                                    progress=False)
+        return a, None
+    logger = MetricsLogger("mh_test", out_dir=str(tmp_path / "runs"))
+    try:
+        p3, s3, o3, best = run_phase(
+            phase_name="train", epochs=1, params=p3, state=s3, opt=opt3,
+            opt_state=o3, train_step=step3, eval_fn=eval_fn, batcher=vb,
+            batch_size=8, acc_steps=1, args=args, mesh=mesh,
+            model_name="tiny_vit", logger=logger,
+            keys=("image", "label", "valid"), out_root=str(tmp_path))
+    finally:
+        vb.close()
+    phase_head = np.concatenate([
+        np.asarray(l, np.float32).ravel() for l in
+        jax.tree_util.tree_leaves(jax.device_get(p3["head"]))])
+    np.testing.assert_allclose(float(got["phase_val_acc"]),
+                               best.best_val_acc, atol=1e-6)
+    np.testing.assert_allclose(got["phase_head"], phase_head,
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_stacked_train_stream_matches_single_process(tiny_dataset):
+    """stacked_train_stream at process_count==1 must assemble the exact
+    [acc, B] stacks engine.stacked_batches + device_put produces — same
+    shuffle, same tail padding, same trailing-stack repeat."""
+    from garbage_classification_rca_tpu.train.engine import stacked_batches
+    from garbage_classification_rca_tpu.train.loop import microbatch_sharding
+
+    # batch 4 on a data:4 mesh: 12 samples -> 3 microbatches -> the second
+    # [acc=2] stack exercises the trailing repeat-with-valid=0 padding
+    mesh = make_mesh("data:4")
+    manifest = build_manifest(str(tiny_dataset))
+    batcher = ImageTextBatcher(manifest, (32, 32), workers=2)
+    try:
+        keys = ("image", "label", "valid")
+        want = list(stacked_batches(batcher, 4, 2, seed=123, keys=keys))
+        got = list(mh.stacked_train_stream(batcher, 4, 2, mesh, seed=123,
+                                           keys=keys))
+    finally:
+        batcher.close()
+    assert len(got) == len(want)
+    sb = microbatch_sharding(mesh)
+    for g, w in zip(got, want):
+        assert set(g) == set(w)
+        for k in w:
+            np.testing.assert_array_equal(np.asarray(g[k]), w[k])
+            assert g[k].sharding == sb

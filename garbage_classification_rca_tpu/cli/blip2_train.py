@@ -120,6 +120,15 @@ def answer_first_token_table(batcher: Blip2Batcher, classes) -> np.ndarray:
 
 
 def main(argv=None):
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # the VLM loops feed batches with plain device_puts; per-host
+        # input sharding is wired for the image/text/fusion CLIs only
+        raise SystemExit(
+            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
+            "BLIP-2/Q-Former CLIs yet — run them single-process "
+            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, lora, tok = build_blip2(args)
 

@@ -158,6 +158,16 @@ def main(argv=None):
         eval_bs = (cfg.batch_size if cfg.strategy == "clip"
                    else clamp_eval_batch(args.eval_batch_size or 32,
                                          len(val_manifest), mesh))
+        if jax.process_count() > 1:
+            # multi-host: per-host input shards, identical output stream
+            from ..parallel.multihost import run_eval_multiprocess
+            acc, labels, preds, _ = run_eval_multiprocess(
+                step, params, state, val_batcher, eval_bs, mesh,
+                keys=("image", "input_ids", "attention_mask", "label",
+                      "valid"), progress=False)
+            if with_report:
+                return acc, classification_report_dict(labels, preds)
+            return acc
         correct, all_p, all_l = 0, [], []
         for batch in device_prefetch(
                 val_batcher.iter_batches(eval_bs), mesh):

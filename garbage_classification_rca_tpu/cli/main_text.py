@@ -152,10 +152,18 @@ def main(argv=None):
                                     text_model=args.text_model)
 
     def eval_fn(params, state):
-        correct, all_p, all_l = 0, [], []
         from ..parallel.mesh import clamp_eval_batch
-        for batch in val_batcher.iter_batches(
-                clamp_eval_batch(spec.eval_batch, len(val_manifest), mesh)):
+        bs = clamp_eval_batch(spec.eval_batch, len(val_manifest), mesh)
+        if jax.process_count() > 1:
+            # multi-host: per-host input shards, identical output stream
+            from ..parallel.multihost import run_eval_multiprocess
+            acc, labels, preds, _ = run_eval_multiprocess(
+                eval_step, params, state, val_batcher, bs, mesh,
+                keys=("input_ids", "attention_mask", "label", "valid"),
+                progress=False)
+            return acc, classification_report_dict(labels, preds)
+        correct, all_p, all_l = 0, [], []
+        for batch in val_batcher.iter_batches(bs):
             preds, c = eval_step(params, state, batch)
             correct += int(c)
             valid = np.asarray(batch["valid"]).astype(bool)

@@ -26,6 +26,15 @@ BASE_PATH = "./test_set_reports"
 
 
 def main(argv=None):
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # the VLM loops feed batches with plain device_puts; per-host
+        # input sharding is wired for the image/text/fusion CLIs only
+        raise SystemExit(
+            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
+            "BLIP-2/Q-Former CLIs yet — run them single-process "
+            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, _, tok = build_blip2(args, with_lora=False)
     if args.classifier_weights and os.path.isdir(args.classifier_weights):

@@ -38,7 +38,7 @@ SLOW_MODULES = {
     # slowest observed 1-core host; these three alone were ~150 s of the
     # ~230 s quick pass at builder-host speed — VERDICT r2 weak #4)
     "test_legacy", "test_rca_vjp", "test_transformer_block",
-    "test_train_trajectory", "test_blip2_trajectory",
+    "test_train_trajectory", "test_blip2_trajectory", "test_serving",
 }
 
 

@@ -1,0 +1,212 @@
+"""serving/engine.py exactness contract: for ANY arrival order, queue
+depth and slot count, each request served through the continuous-batching
+``GenerationServer`` produces the SAME (tokens, valid) stream as
+``opt.generate`` run on that request alone — greedy, sampled (per-request
+fold_in key) and int8-KV variants.
+
+The reference has no serving layer (its only generation surface is the
+1-token constrained eval, blip_2_training.py:296-297); this is the
+beyond-reference serving stack's correctness anchor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garbage_classification_rca_tpu.models.vlm import opt
+from garbage_classification_rca_tpu.ops import sampling as smp
+from garbage_classification_rca_tpu.serving.engine import GenerationServer
+
+CFG = opt.OPTConfig(layers=2, hidden=32, heads=4, ffn=64, vocab=120,
+                    max_pos=32)
+MAX_PROMPT, MAX_NEW = 8, 6
+
+
+@pytest.fixture(scope="module")
+def params():
+    return opt.init(jax.random.PRNGKey(0), CFG)
+
+
+def _requests(n, seed=3):
+    """n prompts with varying lengths and padding sides (the server pads
+    everything to MAX_PROMPT on the right; left-padded masks exercise the
+    'any padding side' contract)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        l = int(rng.integers(2, MAX_PROMPT + 1))
+        e = rng.normal(size=(l, CFG.hidden)).astype(np.float32)
+        m = np.ones((l,), np.int32)
+        if i % 3 == 1 and l >= 4:  # left-pad: leading mask zeros
+            e = np.concatenate([np.zeros((2, CFG.hidden), np.float32), e])
+            m = np.concatenate([np.zeros((2,), np.int32), m])
+            e, m = e[:MAX_PROMPT], m[:MAX_PROMPT]
+        out.append((e, m))
+    return out
+
+
+def _standalone(params, e, m, *, eos_id, sampler=None, rng=None,
+                cache_dtype=None):
+    """opt.generate on one request, padded exactly as the server pads it
+    (right-pad to MAX_PROMPT)."""
+    pad = MAX_PROMPT - e.shape[0]
+    e = np.pad(e, ((0, pad), (0, 0)))
+    m = np.pad(m.astype(np.int32), (0, pad))
+    toks, valid = opt.generate(params, jnp.asarray(e[None]),
+                               jnp.asarray(m[None]), CFG, MAX_NEW,
+                               eos_id=eos_id, sampler=sampler, rng=rng,
+                               cache_dtype=cache_dtype)
+    toks, valid = np.asarray(toks)[0], np.asarray(valid)[0]
+    # the server feeds tokens up to and including the first EOS and then
+    # retires the slot; generate keeps feeding garbage with valid=False
+    return list(toks[valid]), [True] * int(valid.sum())
+
+
+def _pick_eos(params, reqs):
+    """An eos id that actually appears mid-stream in the greedy decode of
+    at least one request, so early retirement + slot refill is exercised
+    (with a never-generated eos every request would run all MAX_NEW
+    steps and the scheduler would never interleave lengths)."""
+    for e, m in reqs:
+        toks, _ = _standalone(params, e, m, eos_id=-1)
+        for t in toks[1:-1]:
+            return int(t)
+    raise AssertionError("unreachable: every stream has interior tokens")
+
+
+def _assert_served_matches(served, want):
+    assert len(served) == len(want)
+    for uid, (wtoks, wvalid) in want.items():
+        req = served[uid]
+        assert req.finished, f"request {uid} never retired"
+        assert req.tokens == wtoks, f"request {uid}: token stream differs"
+        assert req.valid == wvalid
+        assert len(req.tokens) <= MAX_NEW
+
+
+@pytest.mark.parametrize("slots", [1, 3])
+def test_greedy_matches_generate_per_request(params, slots):
+    """Queue depth > slots: lanes retire/refill at different ticks; every
+    request's stream must still equal its standalone greedy decode."""
+    reqs = _requests(7)
+    eos = _pick_eos(params, reqs)
+    srv = GenerationServer(params, CFG, slots=slots, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW, eos_id=eos)
+    served = srv.run(reqs)
+    want = {uid: _standalone(params, e, m, eos_id=eos)
+            for uid, (e, m) in enumerate(reqs)}
+    _assert_served_matches(served, want)
+
+
+def test_arrival_order_invariance(params):
+    """Submitting the same requests in reverse order changes scheduling
+    entirely (different slot assignments / neighbors) but not any
+    request's stream."""
+    reqs = _requests(5, seed=11)
+    eos = _pick_eos(params, reqs)
+
+    def serve(order):
+        srv = GenerationServer(params, CFG, slots=2,
+                               max_prompt=MAX_PROMPT, max_new=MAX_NEW,
+                               eos_id=eos)
+        uids = {srv.submit(e, m): i for i, (e, m) in
+                ((i, order[i]) for i in range(len(order)))}
+        srv.drain()
+        return {uids[uid]: (r.tokens, r.valid)
+                for uid, r in srv.requests.items()}
+
+    fwd = serve(reqs)
+    rev = serve(list(reversed(reqs)))
+    # map reverse-order uids back to the original request index
+    rev = {len(reqs) - 1 - i: v for i, v in rev.items()}
+    assert fwd == rev
+    want = {i: _standalone(params, e, m, eos_id=eos)
+            for i, (e, m) in enumerate(reqs)}
+    for i, (toks, valid) in fwd.items():
+        assert (toks, valid) == want[i]
+
+
+def test_sampled_matches_generate_with_folded_key(params):
+    """Sampled serving: request #uid reproduces opt.generate run with
+    fold_in(server_rng, uid) — the documented standalone key."""
+    reqs = _requests(5, seed=7)
+    sampler = smp.SamplerConfig(temperature=0.8, top_p=0.9)
+    root = jax.random.PRNGKey(42)
+    # eos from request 0's sampled stream so retirement still happens
+    t0, _ = _standalone(params, *reqs[0], eos_id=-1, sampler=sampler,
+                        rng=jax.random.fold_in(root, 0))
+    eos = int(t0[1])
+    srv = GenerationServer(params, CFG, slots=2, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW, eos_id=eos, sampler=sampler,
+                           rng=root)
+    served = srv.run(reqs)
+    want = {uid: _standalone(params, e, m, eos_id=eos, sampler=sampler,
+                             rng=jax.random.fold_in(root, uid))
+            for uid, (e, m) in enumerate(reqs)}
+    _assert_served_matches(served, want)
+
+
+def test_sampling_requires_rng(params):
+    with pytest.raises(ValueError):
+        GenerationServer(params, CFG, slots=1, max_prompt=MAX_PROMPT,
+                         max_new=MAX_NEW,
+                         sampler=smp.SamplerConfig(temperature=0.5))
+
+
+def test_int8_cache_matches_int8_generate(params):
+    """int8 KV serving == int8 opt.generate (quantization changes the
+    stream vs fp32, so the oracle uses the same cache_dtype)."""
+    reqs = _requests(4, seed=5)
+    eos = _pick_eos(params, reqs)
+    srv = GenerationServer(params, CFG, slots=2, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW, eos_id=eos, cache_dtype="int8")
+    served = srv.run(reqs)
+    want = {uid: _standalone(params, e, m, eos_id=eos, cache_dtype="int8")
+            for uid, (e, m) in enumerate(reqs)}
+    _assert_served_matches(served, want)
+
+
+def test_steps_per_sync_is_throughput_only(params):
+    """steps_per_sync batches device ticks between host syncs; it must
+    not change any stream (post-EOS tokens inside a window are dropped,
+    refills land late but identically)."""
+    reqs = _requests(6, seed=13)
+    eos = _pick_eos(params, reqs)
+    outs = []
+    for sps in (1, 3, MAX_NEW):
+        srv = GenerationServer(params, CFG, slots=2,
+                               max_prompt=MAX_PROMPT, max_new=MAX_NEW,
+                               eos_id=eos, steps_per_sync=sps)
+        served = srv.run(reqs)
+        outs.append({u: (r.tokens, r.valid) for u, r in served.items()})
+    assert outs[0] == outs[1] == outs[2]
+    want = {uid: _standalone(params, e, m, eos_id=eos)
+            for uid, (e, m) in enumerate(reqs)}
+    for uid, (toks, valid) in outs[0].items():
+        assert (toks, valid) == want[uid]
+
+
+def test_prompt_too_long_raises(params):
+    srv = GenerationServer(params, CFG, slots=1, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW)
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((MAX_PROMPT + 1, CFG.hidden), np.float32),
+                   np.ones((MAX_PROMPT + 1,), np.int32))
+
+
+def test_stale_kv_never_attended(params):
+    """A slot's second occupant must not see its first occupant's K/V:
+    serve a long-running request after a max-length one through ONE slot
+    and compare to standalone (if stale tail K/V leaked into attention,
+    the short request's stream would differ)."""
+    rng = np.random.default_rng(17)
+    long_e = rng.normal(size=(MAX_PROMPT, CFG.hidden)).astype(np.float32)
+    long_m = np.ones((MAX_PROMPT,), np.int32)
+    short_e = rng.normal(size=(2, CFG.hidden)).astype(np.float32)
+    short_m = np.ones((2,), np.int32)
+    srv = GenerationServer(params, CFG, slots=1, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW, eos_id=-1)  # run full length
+    served = srv.run([(long_e, long_m), (short_e, short_m)])
+    want = _standalone(params, short_e, short_m, eos_id=-1)
+    assert served[1].tokens == want[0]

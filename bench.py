@@ -347,6 +347,77 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8,
     return batch_size * new_tokens / wall, wall
 
 
+def bench_serving(slots: int = 8, n_requests: int = 24,
+                  max_prompt: int = 64, max_new: int = 64, cfg=None):
+    """Continuous batching (serving/engine.py GenerationServer) vs the
+    static-batch decode path (opt.generate) on a heavy-tailed workload at
+    the full OPT-2.7B geometry. Off by default (GC_RCA_BENCH_SERVE=1: four
+    programs compile over the tunnel).
+
+    Workload: n_requests prompts (on-device bf16 embeddings — the
+    vision-tower-resident case, zero upload) with per-request token
+    budgets drawn geometric (mean ~12) plus two max_new stragglers — the
+    heavy tail under which a static batch burns decode steps on finished
+    rows (opt.generate always scans max_new steps; a straggler pins its
+    whole batch). The server retires each slot at its budget and refills
+    it from the queue. Metric: useful tokens/s = sum(budgets) / wall.
+    Stream exactness vs opt.generate is asserted in tests/test_serving.py;
+    this row measures throughput only.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.models.vlm import blip2, opt
+    from garbage_classification_rca_tpu.serving.engine import (
+        GenerationServer)
+
+    if cfg is None:
+        cfg = blip2.Blip2Config().opt
+    assert n_requests % slots == 0, "keep static groups full-batch"
+    params = _put_repl(opt.init(jax.random.PRNGKey(0), cfg,
+                                dtype=jnp.bfloat16))
+    rng = np.random.default_rng(0)
+    budgets = np.minimum(1 + rng.geometric(1 / 12.0, n_requests),
+                         max_new).astype(int)
+    budgets[rng.choice(n_requests, 2, replace=False)] = max_new
+    embeds = jax.random.normal(jax.random.PRNGKey(1),
+                               (n_requests, max_prompt, cfg.hidden),
+                               jnp.bfloat16)
+    mask = np.ones((n_requests, max_prompt), np.int32)
+
+    @jax.jit
+    def gen(params, emb, msk):
+        toks, valid = opt.generate(params, emb, msk, cfg,
+                                   max_new_tokens=max_new, eos_id=-1)
+        return jnp.sum(toks * valid)
+
+    groups = [(embeds[i:i + slots], jnp.asarray(mask[i:i + slots]))
+              for i in range(0, n_requests, slots)]
+    int(gen(params, *groups[0]))                       # compile + warm
+    t0 = time.perf_counter()
+    for ge, gm in groups:
+        int(gen(params, ge, gm))
+    static_wall = time.perf_counter() - t0
+
+    # steps_per_sync swept on-chip 2026-08-18: 4 -> 208, 8 -> 271,
+    # 16 -> 289 useful tokens/s (static batches: 201) — host-sync cost
+    # still beats slot-occupancy loss at 16 for these budget mixes
+    srv = GenerationServer(params, cfg, slots=slots, max_prompt=max_prompt,
+                           max_new=max_new, eos_id=-1, steps_per_sync=16)
+    for i in range(slots):                             # warm all 3 programs
+        srv.submit(embeds[i], mask[i], max_new=1)
+    srv.drain()
+    t0 = time.perf_counter()
+    for i in range(n_requests):
+        srv.submit(embeds[i], mask[i], max_new=int(budgets[i]))
+    srv.drain()
+    serve_wall = time.perf_counter() - t0
+    useful = int(budgets.sum())
+    return (useful / serve_wall, useful / static_wall, serve_wall,
+            static_wall)
+
+
 def bench_train_vit_b16(batch_size: int = 128, steps: int = 8):
     """Train-path bench (VERDICT r1 item 7): full fine-tune SGD step at
     the reference train envelope (main_image.py transformer_B16 bs128)."""
@@ -693,6 +764,16 @@ def main():
                   f"samples/s on {n_chips} chip(s)")
     except Exception as e:
         print(f"# train bench failed: {type(e).__name__}: {e}")
+    try:
+        if os.environ.get("GC_RCA_BENCH_SERVE", "0") == "1":
+            s_tps, st_tps, s_wall, st_wall = bench_serving()
+            print(f"# OPT-2.7B continuous batching (8 slots, 24 requests, "
+                  f"heavy-tailed budgets <=64): {s_tps:.1f} useful tokens/s"
+                  f" vs {st_tps:.1f} static batches = "
+                  f"{st_wall / s_wall:.2f}x (stream exactness: "
+                  f"tests/test_serving.py)")
+    except Exception as e:
+        print(f"# serving bench failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

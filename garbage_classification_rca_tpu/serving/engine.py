@@ -10,22 +10,24 @@ the dominant throughput loss (requests' output lengths are heavy-tailed).
 
 ``GenerationServer`` fixes this the TPU-native way (the prefill/insert/
 decode split used by production TPU LLM servers, e.g. JetStream): a fixed
-grid of B slots with STATIC [layers, B, T, H] KV caches, and three jitted
-programs with static shapes —
+grid of B slots (plus one scratch lane) with STATIC [layers, B+1, T, H]
+KV caches, and two jitted programs with static shapes —
 
-  * _prefill: one request's prompt (padded to max_prompt) -> its cache
-    rows + first sampled token. Reuses opt.prefill, so the fused-MHA
-    prefill path and int8 cache quantization apply unchanged.
-  * _insert: dynamic_update_slice of those rows into the grid at a
-    TRACED slot index (no per-slot recompiles), resetting that slot's
-    token/progress/mask lanes.
+  * _prefill_insert: a FULL batch of up to B prompts (padded to
+    max_prompt) -> cache rows + first sampled tokens, scattered into
+    their slots at TRACED indices (no per-slot recompiles; padding rows
+    scatter into the scratch lane, so every refill — 1 request or B —
+    runs the SAME executable and reads the weights once). Reuses
+    opt.prefill, so the fused-MHA prefill path and int8 cache
+    quantization apply unchanged; per-request sampling keys are derived
+    on device (fold_in(rng, uid)).
   * _decode: ``steps_per_sync`` batched one-token steps (lax.scan over
     opt.decode_step) for ALL slots at once, with PER-SLOT progress:
     every lane carries its own write offset, learned-position index and
     attention extent, so slot 3 can be on its 14th token while slot 4 is
     on its 1st. Returns the fed tokens; the host loop retires finished
-    slots (EOS fed or max_new reached) and immediately refills them from
-    the queue.
+    slots (EOS fed or its own max_new budget reached) and immediately
+    refills them from the queue.
 
 Exactness contract (tests/test_serving.py): for ANY arrival order, queue
 depth and slot count, each request's (tokens, valid) stream is identical
@@ -65,6 +67,7 @@ class ServedRequest:
     uid: int
     embeds: np.ndarray          # [max_prompt, H] (padded)
     mask: np.ndarray            # [max_prompt] int32
+    max_new: int = 0            # this request's token budget (<= server's)
     tokens: List[int] = field(default_factory=list)
     valid: List[bool] = field(default_factory=list)
     done: bool = False          # EOS already fed
@@ -106,67 +109,85 @@ class GenerationServer:
         self.slot_req: List[Optional[int]] = [None] * slots
         self._next_uid = 0
 
-        # device state (one lane per slot)
+        # device state: one lane per slot, plus ONE scratch lane (index
+        # ``slots``) so the batched prefill program always runs at a FIXED
+        # batch (compile once) — refills with fewer than ``slots`` queued
+        # requests pad the batch with duplicate rows scattered into the
+        # scratch lane. The decode program carries the extra lane too:
+        # decode is weight-read-bound, so one garbage lane is ~free, and
+        # the scheduler never assigns it.
+        lanes = slots + 1
         n_layers = len(params["layers"])
         h = cfg.hidden
         if cache_dtype == "int8":
             self.caches = {
-                "k": jnp.zeros((n_layers, slots, self.t_cache, h), jnp.int8),
-                "k_scale": jnp.ones((n_layers, slots, self.t_cache, 1),
+                "k": jnp.zeros((n_layers, lanes, self.t_cache, h), jnp.int8),
+                "k_scale": jnp.ones((n_layers, lanes, self.t_cache, 1),
                                     jnp.float32),
-                "v": jnp.zeros((n_layers, slots, self.t_cache, h), jnp.int8),
-                "v_scale": jnp.ones((n_layers, slots, self.t_cache, 1),
+                "v": jnp.zeros((n_layers, lanes, self.t_cache, h), jnp.int8),
+                "v_scale": jnp.ones((n_layers, lanes, self.t_cache, 1),
                                     jnp.float32),
             }
         else:
             cdtype = jax.tree_util.tree_leaves(params)[0].dtype
             self.caches = {
-                "k": jnp.zeros((n_layers, slots, self.t_cache, h), cdtype),
-                "v": jnp.zeros((n_layers, slots, self.t_cache, h), cdtype),
+                "k": jnp.zeros((n_layers, lanes, self.t_cache, h), cdtype),
+                "v": jnp.zeros((n_layers, lanes, self.t_cache, h), cdtype),
             }
-        self.tok = jnp.zeros((slots,), jnp.int32)
-        self.n_fed = jnp.zeros((slots,), jnp.int32)
-        self.n_valid = jnp.zeros((slots,), jnp.int32)
-        self.base_mask = jnp.zeros((slots, self.t_cache), jnp.int32)
-        self.req_key = jnp.zeros((slots, 2), jnp.uint32)
+        self.tok = jnp.zeros((lanes,), jnp.int32)
+        self.n_fed = jnp.zeros((lanes,), jnp.int32)
+        self.n_valid = jnp.zeros((lanes,), jnp.int32)
+        self.base_mask = jnp.zeros((lanes, self.t_cache), jnp.int32)
+        self.req_key = jnp.zeros((lanes, 2), jnp.uint32)
         self._fed_host = np.zeros((slots,), np.int64)  # host mirror of n_fed
 
-        self._prefill = jax.jit(self._prefill_impl)
-        self._insert = jax.jit(self._insert_impl, donate_argnums=(1,))
+        self._prefill_insert = jax.jit(self._prefill_insert_impl,
+                                       donate_argnums=(2, 3, 4, 5, 6, 7))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,),
                                static_argnums=(8,))
 
     # ---- jitted programs -------------------------------------------------
 
-    def _prefill_impl(self, params, lora, embeds, mask, key):
-        """[1, max_prompt] prompt -> (cache rows [layers,1,T,...], tok0)."""
-        h, rows = opt_mod.prefill(params, embeds, mask, self.cfg,
+    def _prefill_insert_impl(self, params, lora, caches, tok_state,
+                             nfed_state, nvalid_state, bmask_state,
+                             key_state, embeds, mask, rng, uids, slots_vec):
+        """Prefill a FULL batch of ``slots`` prompts and scatter each
+        row's cache + lane state into its slot (traced indices) — one
+        program, one weight read, for up to ``slots`` refills. Padding
+        rows carry slots_vec == the scratch lane; duplicate scratch
+        writes clobber each other harmlessly.
+
+        Per-row results are bitwise equal to a B=1 prefill: the batch
+        axis is a parallel map in every contraction (attention reduces
+        over seq, matmuls over hidden), so batching does not change any
+        row's reduction order.
+        """
+        m = mask.astype(jnp.int32)
+        h, rows = opt_mod.prefill(params, embeds, m, self.cfg,
                                   self.max_new, lora=lora,
                                   lora_scale=self.lora_scale,
                                   cache_dtype=self.cache_dtype)
-        m = mask.astype(jnp.int32)
         last = jnp.argmax(m * jnp.arange(1, m.shape[1] + 1)[None, :], axis=1)
         h_last = h[jnp.arange(h.shape[0]), last]
-        tok0 = smp.sample_tokens(jax.random.fold_in(key, 0),
-                                 opt_mod.lm_head(params, h_last),
-                                 self.sampler)
-        return rows, tok0, jnp.sum(m, axis=1)
-
-    def _insert_impl(self, rows, caches, tok_state, nfed_state, nvalid_state,
-                     bmask_state, key_state, tok0, nv, mask, key, slot):
-        """Copy one request's cache rows + lane state into slot (traced)."""
+        logits = opt_mod.lm_head(params, h_last)
+        # per-request keys derived on device (fold_in(rng, uid) — the
+        # documented standalone-reproduction key); no host round-trips
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(rng, uids)
+        tok0 = jax.vmap(
+            lambda k, lg: smp.sample_tokens(jax.random.fold_in(k, 0),
+                                            lg[None], self.sampler)[0]
+        )(keys, logits)
+        raw = (jax.vmap(jax.random.key_data)(keys)
+               if hasattr(jax.random, "key_data") else keys)
         caches = jax.tree_util.tree_map(
-            lambda c, r: jax.lax.dynamic_update_slice(
-                c, r.astype(c.dtype), (0, slot) + (0,) * (c.ndim - 2)),
+            lambda c, r: c.at[:, slots_vec].set(r.astype(c.dtype)),
             caches, rows)
-        bmask = jax.lax.dynamic_update_slice(
-            bmask_state,
-            jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, self.max_new))),
-            (slot, 0))
-        upd = lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v, slot, 0)
-        return (caches, upd(tok_state, tok0[0]), upd(nfed_state, 0),
-                upd(nvalid_state, nv[0]), bmask,
-                jax.lax.dynamic_update_slice(key_state, key[None], (slot, 0)))
+        bmask = bmask_state.at[slots_vec].set(
+            jnp.pad(m, ((0, 0), (0, self.max_new))))
+        return (caches, tok_state.at[slots_vec].set(tok0),
+                nfed_state.at[slots_vec].set(0),
+                nvalid_state.at[slots_vec].set(jnp.sum(m, axis=1)),
+                bmask, key_state.at[slots_vec].set(raw))
 
     def _decode_impl(self, params, caches, lora, tok, n_fed, n_valid,
                      base_mask, req_key, n_steps):
@@ -211,11 +232,19 @@ class GenerationServer:
 
     # ---- host scheduler --------------------------------------------------
 
-    def submit(self, inputs_embeds, attention_mask) -> int:
+    def submit(self, inputs_embeds, attention_mask,
+               max_new: Optional[int] = None) -> int:
         """Queue one request. inputs_embeds [L, H] (or [1, L, H]) and
-        attention_mask [L], L <= max_prompt, any padding side. Returns the
-        request uid."""
-        e = np.asarray(inputs_embeds)
+        attention_mask [L], L <= max_prompt, any padding side. ``max_new``
+        caps THIS request's token budget (defaults to the server-wide
+        max_new; must not exceed it — the KV grid is sized for it); a
+        request retires at its own cap, freeing the slot early. Returns
+        the request uid."""
+        # device-resident embeddings (e.g. straight from the BLIP-2 vision
+        # tower) stay on device — np.asarray would round-trip max_prompt*H
+        # floats through the host per request
+        on_device = isinstance(inputs_embeds, jax.Array)
+        e = inputs_embeds if on_device else np.asarray(inputs_embeds)
         m = np.asarray(attention_mask)
         if e.ndim == 3:
             e, m = e[0], m.reshape(-1)
@@ -223,34 +252,46 @@ class GenerationServer:
         if l > self.max_prompt:
             raise ValueError(f"prompt length {l} > max_prompt "
                              f"{self.max_prompt}")
+        if max_new is None:
+            max_new = self.max_new
+        if not 1 <= max_new <= self.max_new:
+            raise ValueError(f"max_new {max_new} not in [1, {self.max_new}]")
         pad = self.max_prompt - l
-        e = np.pad(e, ((0, pad), (0, 0)))
+        e = (jnp.pad(e, ((0, pad), (0, 0))) if on_device
+             else np.pad(e, ((0, pad), (0, 0))))
         m = np.pad(m.astype(np.int32), (0, pad))
         uid = self._next_uid
         self._next_uid += 1
-        req = ServedRequest(uid, e, m)
+        req = ServedRequest(uid, e, m, max_new)
         self.requests[uid] = req
         self.queue.append(req)
         return uid
 
     def _refill(self):
-        for slot in range(self.slots):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.popleft()
-            key = jax.random.fold_in(self.rng, req.uid)
-            rows, tok0, nv = self._prefill(
-                self.params, self.lora, jnp.asarray(req.embeds[None]),
-                jnp.asarray(req.mask[None]), key)
-            (self.caches, self.tok, self.n_fed, self.n_valid,
-             self.base_mask, self.req_key) = self._insert(
-                rows, self.caches, self.tok, self.n_fed, self.n_valid,
-                self.base_mask, self.req_key, tok0, nv,
-                jnp.asarray(req.mask[None]),
-                jax.random.key_data(key) if hasattr(jax.random, "key_data")
-                else key, jnp.int32(slot))
-            self.slot_req[slot] = req.uid
-            self._fed_host[slot] = 0
+        """Prefill+insert every refillable slot in ONE batched program
+        call (one weight read for up to ``slots`` refills); padding rows
+        scatter into the scratch lane."""
+        free = [s for s in range(self.slots) if self.slot_req[s] is None]
+        if not free or not self.queue:
+            return
+        take = [self.queue.popleft()
+                for _ in range(min(len(free), len(self.queue)))]
+        pad = self.slots - len(take)
+        slots_vec = np.asarray(free[:len(take)] + [self.slots] * pad,
+                               np.int32)
+        batch = take + [take[-1]] * pad
+        embeds = jnp.stack([jnp.asarray(r.embeds) for r in batch])
+        masks = np.stack([r.mask for r in batch])
+        uids = np.asarray([r.uid for r in batch], np.int32)
+        (self.caches, self.tok, self.n_fed, self.n_valid,
+         self.base_mask, self.req_key) = self._prefill_insert(
+            self.params, self.lora, self.caches, self.tok, self.n_fed,
+            self.n_valid, self.base_mask, self.req_key, embeds,
+            jnp.asarray(masks), self.rng, jnp.asarray(uids),
+            jnp.asarray(slots_vec))
+        for r, s in zip(take, slots_vec):
+            self.slot_req[int(s)] = r.uid
+            self._fed_host[int(s)] = 0
 
     def _retire(self, slot: int):
         req = self.requests[self.slot_req[slot]]
@@ -274,7 +315,7 @@ class GenerationServer:
                 continue
             req = self.requests[uid]
             for s in range(fed.shape[0]):
-                if self._fed_host[slot] >= self.max_new or req.done:
+                if self._fed_host[slot] >= req.max_new or req.done:
                     break                          # post-retire garbage
                 t = int(fed[s, slot])
                 req.tokens.append(t)
@@ -282,7 +323,7 @@ class GenerationServer:
                 self._fed_host[slot] += 1
                 if t == self.eos_id:
                     req.done = True
-            if req.done or self._fed_host[slot] >= self.max_new:
+            if req.done or self._fed_host[slot] >= req.max_new:
                 self._retire(slot)
                 finished.append(req)
         return finished

@@ -187,6 +187,49 @@ def test_steps_per_sync_is_throughput_only(params):
         assert (toks, valid) == want[uid]
 
 
+def test_per_request_max_new(params):
+    """submit(max_new=k) truncates THAT request's stream at k tokens (its
+    slot retires early and is refilled); other requests are unaffected —
+    each stream still equals the standalone decode truncated at its own
+    budget."""
+    reqs = _requests(5, seed=19)
+    budgets = [2, MAX_NEW, 1, 4, MAX_NEW]
+    srv = GenerationServer(params, CFG, slots=2, max_prompt=MAX_PROMPT,
+                           max_new=MAX_NEW, eos_id=-1)
+    for (e, m), k in zip(reqs, budgets):
+        srv.submit(e, m, max_new=k)
+    srv.drain()
+    for uid, ((e, m), k) in enumerate(zip(reqs, budgets)):
+        toks, _ = _standalone(params, e, m, eos_id=-1)
+        req = srv.requests[uid]
+        assert req.finished
+        assert req.tokens == toks[:k]
+        assert req.valid == [True] * k
+
+    with pytest.raises(ValueError):
+        srv.submit(*reqs[0], max_new=MAX_NEW + 1)
+    with pytest.raises(ValueError):
+        srv.submit(*reqs[0], max_new=0)
+
+
+def test_device_resident_submission(params):
+    """Submitting jax.Array embeddings (the vision-tower-on-device case —
+    no host round-trip) yields the same streams as numpy submission."""
+    reqs = _requests(3, seed=23)
+    eos = _pick_eos(params, reqs)
+
+    def serve(as_device):
+        srv = GenerationServer(params, CFG, slots=2,
+                               max_prompt=MAX_PROMPT, max_new=MAX_NEW,
+                               eos_id=eos)
+        for e, m in reqs:
+            srv.submit(jnp.asarray(e) if as_device else e, m)
+        srv.drain()
+        return {u: (r.tokens, r.valid) for u, r in srv.requests.items()}
+
+    assert serve(True) == serve(False)
+
+
 def test_prompt_too_long_raises(params):
     srv = GenerationServer(params, CFG, slots=1, max_prompt=MAX_PROMPT,
                            max_new=MAX_NEW)

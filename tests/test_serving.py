@@ -238,6 +238,59 @@ def test_prompt_too_long_raises(params):
                    np.ones((MAX_PROMPT + 1,), np.int32))
 
 
+def test_blip2_prompts_through_server_match_blip2_generate():
+    """The flagship VLM served end-to-end: blip2.prompt_embeds (projected
+    query tokens + text embeddings, built on device) submitted to the
+    server with the LoRA adapters active must reproduce blip2.generate
+    request-for-request — the server's LoRA path (prefill arg + decode
+    closure) is only exercised here."""
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        tiny_blip2_config)
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    cfg = tiny_blip2_config()
+    bparams = blip2.init(jax.random.PRNGKey(0), cfg)
+    # randomize the (conventionally zero-init) LoRA B so the adapters
+    # actually perturb the logits
+    lora = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(7), x.shape,
+                                    x.dtype) * 0.1,
+        blip2.init_lora(jax.random.PRNGKey(1), cfg))
+
+    rng = np.random.default_rng(31)
+    n, text_len, max_new = 4, 6, 5
+    pix = rng.integers(0, 255, (n, 1, 224, 224, 3)).astype(np.uint8)
+    pix = jnp.asarray(pix, jnp.float32) / 255.0
+    ids = jnp.asarray(rng.integers(4, 50000, (n, 1, text_len)
+                                   ).astype(np.int32))
+    masks = np.ones((n, 1, text_len), np.int32)
+    masks[1, 0, -2:] = 0
+    masks[3, 0, -1:] = 0
+    masks = jnp.asarray(masks)
+
+    embed = jax.jit(lambda p, i, m: blip2.prompt_embeds(
+        bparams, p, i, m, cfg))
+    max_prompt = cfg.qformer.n_query + text_len
+    srv = GenerationServer(bparams["opt"], cfg.opt, slots=2,
+                           max_prompt=max_prompt, max_new=max_new,
+                           eos_id=-1, lora=lora,
+                           lora_scale=cfg.lora_scale)
+    for i in range(n):
+        srv.submit(*embed(pix[i], ids[i], masks[i]))
+    srv.drain()
+    want, _ = blip2.generate(bparams, pix[:, 0], ids[:, 0], masks[:, 0],
+                             cfg, lora=lora, max_new_tokens=max_new,
+                             eos_id=-1)
+    want = np.asarray(want)
+    for i in range(n):
+        assert srv.requests[i].tokens == list(want[i]), i
+
+    # LoRA must have mattered, or this test proves nothing
+    base, _ = blip2.generate(bparams, pix[:, 0], ids[:, 0], masks[:, 0],
+                             cfg, max_new_tokens=max_new, eos_id=-1)
+    assert (np.asarray(base) != want).any()
+
+
 def test_stale_kv_never_attended(params):
     """A slot's second occupant must not see its first occupant's K/V:
     serve a long-running request after a max-length one through ONE slot

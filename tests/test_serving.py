@@ -291,6 +291,29 @@ def test_blip2_prompts_through_server_match_blip2_generate():
     assert (np.asarray(base) != want).any()
 
 
+def test_tp_sharded_params_same_streams(params):
+    """The docstring's 'parallelism composes by operand placement' claim:
+    a server given Megatron-TP-sharded params (model:2 mesh) must emit
+    the same streams as the unsharded server — GSPMD propagates the
+    layout into the jitted prefill/decode programs."""
+    from garbage_classification_rca_tpu.parallel.mesh import make_mesh
+    from garbage_classification_rca_tpu.parallel.tp import (
+        opt_param_specs, shard_with_specs)
+
+    mesh = make_mesh("model:2", devices=jax.devices()[:2])
+    sharded = shard_with_specs(mesh, params, opt_param_specs(params))
+    reqs = _requests(4, seed=29)
+    eos = _pick_eos(params, reqs)
+
+    def serve(p):
+        srv = GenerationServer(p, CFG, slots=2, max_prompt=MAX_PROMPT,
+                               max_new=MAX_NEW, eos_id=eos)
+        srv.run(reqs)
+        return {u: (r.tokens, r.valid) for u, r in srv.requests.items()}
+
+    assert serve(sharded) == serve(params)
+
+
 def test_stale_kv_never_attended(params):
     """A slot's second occupant must not see its first occupant's K/V:
     serve a long-running request after a max-length one through ONE slot

@@ -141,6 +141,7 @@ class GenerationServer:
         self.req_key = jnp.zeros((lanes, 2), jnp.uint32)
         self._fed_host = np.zeros((slots,), np.int64)  # host mirror of n_fed
 
+        self._emb_dtype = params["embed_tokens"]["w"].dtype
         self._prefill_insert = jax.jit(self._prefill_insert_impl,
                                        donate_argnums=(2, 3, 4, 5, 6, 7))
         self._decode = jax.jit(self._decode_impl, donate_argnums=(1,),
@@ -249,9 +250,22 @@ class GenerationServer:
         if e.ndim == 3:
             e, m = e[0], m.reshape(-1)
         l, h = e.shape
+        if h != self.cfg.hidden:
+            # fail at the API boundary: a wrong-width prompt inside the
+            # batched refill would error mid-trace AFTER valid neighbors
+            # were already dequeued
+            raise ValueError(f"prompt hidden dim {h} != cfg.hidden "
+                             f"{self.cfg.hidden}")
         if l > self.max_prompt:
             raise ValueError(f"prompt length {l} > max_prompt "
                              f"{self.max_prompt}")
+        # pin the prompt dtype NOW (lazy for device arrays): refills stack
+        # up to `slots` requests into one batch, and jnp.stack's dtype
+        # promotion would otherwise make a request's prefill numerics —
+        # and so its stream — depend on which neighbors share its refill.
+        # The standalone oracle is opt.generate on the same-cast prompt
+        # (prompt_embeds already produces this dtype).
+        e = e.astype(self._emb_dtype)
         if max_new is None:
             max_new = self.max_new
         if not 1 <= max_new <= self.max_new:
@@ -319,7 +333,10 @@ class GenerationServer:
                     break                          # post-retire garbage
                 t = int(fed[s, slot])
                 req.tokens.append(t)
-                req.valid.append(not req.done)
+                # the break above fires before any post-EOS append, so
+                # every recorded token is valid (EOS inclusive) — kept as
+                # a list to mirror opt.generate's (tokens, valid) shape
+                req.valid.append(True)
                 self._fed_host[slot] += 1
                 if t == self.eos_id:
                     req.done = True

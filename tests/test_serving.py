@@ -230,12 +230,18 @@ def test_device_resident_submission(params):
     assert serve(True) == serve(False)
 
 
-def test_prompt_too_long_raises(params):
+def test_bad_submissions_fail_at_the_api_boundary(params):
+    """Length/width errors must raise in submit(), not mid-trace inside a
+    later batched refill (which would strand already-dequeued
+    neighbors)."""
     srv = GenerationServer(params, CFG, slots=1, max_prompt=MAX_PROMPT,
                            max_new=MAX_NEW)
     with pytest.raises(ValueError):
         srv.submit(np.zeros((MAX_PROMPT + 1, CFG.hidden), np.float32),
                    np.ones((MAX_PROMPT + 1,), np.int32))
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((4, CFG.hidden + 1), np.float32),
+                   np.ones((4,), np.int32))
 
 
 def test_blip2_prompts_through_server_match_blip2_generate():

@@ -325,6 +325,11 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8,
     cache_dtype = "int8" if os.environ.get("GC_RCA_KV_INT8") == "1" else None
     cfg = blip2.Blip2Config()
     params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("GC_RCA_W_INT8") == "1":
+        # weight-only int8 on the OPT tower (the decode-bound one);
+        # vision/Q-Former run once at prefill and stay bf16
+        from garbage_classification_rca_tpu.ops import quant
+        params = dict(params, opt=quant.quantize_opt_weights(params["opt"]))
     params = _put_repl(params)
 
     @jax.jit
@@ -348,7 +353,8 @@ def bench_blip2_generate(batch_size: int = 8, new_tokens: int = 8,
 
 
 def bench_serving(slots: int = 8, n_requests: int = 24,
-                  max_prompt: int = 64, max_new: int = 64, cfg=None):
+                  max_prompt: int = 64, max_new: int = 64, cfg=None,
+                  weight_int8: bool = False):
     """Continuous batching (serving/engine.py GenerationServer) vs the
     static-batch decode path (opt.generate) on a heavy-tailed workload at
     the full OPT-2.7B geometry. Off by default (GC_RCA_BENCH_SERVE=1: four
@@ -375,8 +381,14 @@ def bench_serving(slots: int = 8, n_requests: int = 24,
     if cfg is None:
         cfg = blip2.Blip2Config().opt
     assert n_requests % slots == 0, "keep static groups full-batch"
-    params = _put_repl(opt.init(jax.random.PRNGKey(0), cfg,
-                                dtype=jnp.bfloat16))
+    params = opt.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if weight_int8:
+        # weight-only int8 (ops/quant.py): decode re-reads every weight
+        # byte per token, so halving the weight bytes is a direct decode
+        # speedup; numerics contract in tests/test_quant.py
+        from garbage_classification_rca_tpu.ops import quant
+        params = quant.quantize_opt_weights(params)
+    params = _put_repl(params)
     rng = np.random.default_rng(0)
     budgets = np.minimum(1 + rng.geometric(1 / 12.0, n_requests),
                          max_new).astype(int)
@@ -766,12 +778,15 @@ def main():
         print(f"# train bench failed: {type(e).__name__}: {e}")
     try:
         if os.environ.get("GC_RCA_BENCH_SERVE", "0") == "1":
-            s_tps, st_tps, s_wall, st_wall = bench_serving()
+            w_int8 = os.environ.get("GC_RCA_W_INT8") == "1"
+            s_tps, st_tps, s_wall, st_wall = bench_serving(
+                weight_int8=w_int8)
+            wtag = "int8 weights" if w_int8 else "bf16 weights"
             print(f"# OPT-2.7B continuous batching (8 slots, 24 requests, "
-                  f"heavy-tailed budgets <=64): {s_tps:.1f} useful tokens/s"
-                  f" vs {st_tps:.1f} static batches = "
+                  f"heavy-tailed budgets <=64, {wtag}): {s_tps:.1f} useful "
+                  f"tokens/s vs {st_tps:.1f} static batches = "
                   f"{st_wall / s_wall:.2f}x (stream exactness: "
-                  f"tests/test_serving.py)")
+                  f"tests/test_serving.py, test_quant.py)")
     except Exception as e:
         print(f"# serving bench failed: {type(e).__name__}: {e}")
 

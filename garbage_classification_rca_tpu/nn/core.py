@@ -54,6 +54,12 @@ def init_linear(key: PRNGKey, d_in: int, d_out: int, dtype=jnp.float32,
 
 def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     y = jnp.matmul(x, p["w"].astype(x.dtype), precision=precision)
+    if "w_scale" in p:
+        # Weight-only int8 (ops/quant.py quantize_linear): w is int8 in
+        # HBM; the per-output-channel f32 scale is applied to the [.., out]
+        # activations after the contraction, which equals dequantizing the
+        # weight first (the scale is constant along the contracted dim).
+        y = y * p["w_scale"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -36,3 +36,56 @@ def quantize_rows(x, axis: int = -1):
 def dequantize(q, scale, dtype):
     """Inverse of quantize_rows (up to rounding)."""
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 (serving decode path)
+#
+# Decode reads EVERY weight byte once per generated token (the cache read
+# is small next to the 5.3 GB of bf16 OPT-2.7B matmul weights), so the
+# step is weight-bandwidth-bound. Per-output-channel symmetric int8
+# halves that traffic: nn.core.linear keeps the int8 tensor as the matmul
+# operand (XLA fuses the convert into the operand load, same as the KV
+# path above) and applies the f32 per-channel scale to the [.., out]
+# activations AFTER the contraction — mathematically identical to
+# dequantizing the weight first, but the HBM read is the int8 bytes.
+#
+# Opt-in, weights only: activations, embeddings (tied lm_head), biases,
+# LayerNorms and LoRA adapters stay fp, so the only error source is the
+# <= 1/254-relative weight rounding. No reference counterpart (the
+# reference has no serving layer at all).
+# ---------------------------------------------------------------------------
+
+_OPT_LAYER_LINEARS = ("q", "k", "v", "out", "fc1", "fc2")
+
+
+def quantize_linear(p):
+    """Weight-only int8 for one nn.core linear param dict.
+
+    w [in, out] -> int8 with a per-OUTPUT-channel absmax scale
+    (f32 [1, out]); bias (if any) rides along untouched. Consumed
+    transparently by nn.core.linear (it keys on the "w_scale" entry).
+    """
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = {"w": jnp.round(w / scale).astype(jnp.int8), "w_scale": scale}
+    if "b" in p:
+        q["b"] = p["b"]
+    return q
+
+
+def quantize_opt_weights(params):
+    """Weight-only int8 for an OPT params tree (opt.init / convert_torch
+    layout): the six matmul weights of every decoder layer are quantized
+    per-output-channel; embeddings (also the tied lm_head), positional
+    table and LayerNorms stay fp. The result drops into every OPT entry
+    point unchanged (prefill / decode_step / decode_chunk / generate /
+    serving.GenerationServer) because they all project through
+    nn.core.linear."""
+    out = dict(params)
+    out["layers"] = [
+        {k: (quantize_linear(lp[k]) if k in _OPT_LAYER_LINEARS else lp[k])
+         for k in lp}
+        for lp in params["layers"]]
+    return out

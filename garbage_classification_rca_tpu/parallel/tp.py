@@ -38,16 +38,34 @@ def opt_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         "final_ln": _spec_like(params["final_ln"], P()),
         "layers": [],
     }
-    col = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}
-    row = {"w": P(MODEL_AXIS, None), "b": P()}
+    # Built per actual keys so weight-only-int8 trees (ops/quant.py adds a
+    # "w_scale" [1, out] leaf per linear) shard identically: the scale
+    # follows its weight's OUTPUT dim — sharded for column-parallel,
+    # replicated for row-parallel (out dim unsharded there).
+    def col(lp_lin):
+        s = {"w": P(None, MODEL_AXIS)}
+        if "w_scale" in lp_lin:
+            s["w_scale"] = P(None, MODEL_AXIS)
+        if "b" in lp_lin:
+            s["b"] = P(MODEL_AXIS)
+        return s
+
+    def row(lp_lin):
+        s = {"w": P(MODEL_AXIS, None)}
+        if "w_scale" in lp_lin:
+            s["w_scale"] = P()
+        if "b" in lp_lin:
+            s["b"] = P()
+        return s
+
     for lp in params["layers"]:
         specs["layers"].append({
             "ln1": _spec_like(lp["ln1"], P()),
-            "q": col, "k": col, "v": col,
-            "out": row,
+            "q": col(lp["q"]), "k": col(lp["k"]), "v": col(lp["v"]),
+            "out": row(lp["out"]),
             "ln2": _spec_like(lp["ln2"], P()),
-            "fc1": col,
-            "fc2": row,
+            "fc1": col(lp["fc1"]),
+            "fc2": row(lp["fc2"]),
         })
     return specs
 

@@ -87,3 +87,119 @@ def test_unknown_cache_dtype_rejected():
     cfg, params, emb, mask = _tiny()
     with pytest.raises(ValueError):
         opt.prefill(params, emb, mask, cfg, 2, cache_dtype="fp4")
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 (ops/quant.py quantize_linear / quantize_opt_weights
+# + nn.core.linear "w_scale" path). Decode re-reads every weight byte per
+# token, so int8 weights halve the serving decode's HBM traffic; these
+# tests pin the numerics contract and that every OPT entry point consumes
+# the quantized tree unchanged.
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_linear_error_bound():
+    from garbage_classification_rca_tpu.nn import core as nn
+
+    rng = np.random.default_rng(1)
+    p = {"w": jnp.asarray(rng.normal(size=(48, 24)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(size=(24,)).astype(np.float32))}
+    q = quant.quantize_linear(p)
+    assert q["w"].dtype == jnp.int8 and q["w_scale"].shape == (1, 24)
+    # per-output-channel symmetric rounding: |err| <= col absmax / 254
+    deq = np.asarray(q["w"], np.float32) * np.asarray(q["w_scale"])
+    amax = np.max(np.abs(np.asarray(p["w"])), axis=0, keepdims=True)
+    assert (np.abs(deq - np.asarray(p["w"])) <= amax / 254.0 + 1e-7).all()
+    # nn.core.linear(quantized) == matmul against the dequantized weight
+    x = jnp.asarray(rng.normal(size=(5, 48)).astype(np.float32))
+    y_q = nn.linear(q, x)
+    y_ref = x @ jnp.asarray(deq) + p["b"]
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_weights_logit_closeness():
+    """next-token logits with int8 weights stay within ~2% of fp (the
+    only error source is the <=1/254-relative weight rounding, averaged
+    down by each fan-in contraction)."""
+    cfg, params, emb, mask = _tiny()
+    qparams = quant.quantize_opt_weights(params)
+    assert qparams["layers"][0]["q"]["w"].dtype == jnp.int8
+    assert qparams["embed_tokens"]["w"].dtype != jnp.int8  # tied lm_head fp
+    lg_fp = opt.decode(params, emb, mask, cfg)
+    lg_q = opt.decode(qparams, emb, mask, cfg)
+    err = np.max(np.abs(np.asarray(lg_fp) - np.asarray(lg_q)))
+    assert err < 0.02 * np.max(np.abs(np.asarray(lg_fp))), err
+
+
+def test_int8_weights_generate_greedy_contract():
+    """What weight-only int8 guarantees (and no more): the stream is the
+    argmax of logits within the weight-rounding error band. On a random
+    tiny model (near-uniform logits over the vocab) token-for-token
+    equality with fp is NOT guaranteed — so assert (a) the stream is
+    invariant to the KV-cache dtype under the same quantized tree, and
+    (b) a greedy token flips vs fp ONLY at positions where fp's top-2
+    margin is inside the measured quantization logit error (trained
+    real-scale weights have far larger margins — same argument as the
+    bf16 prediction-flip audit, PARITY.md)."""
+    cfg, params, emb, mask = _tiny()
+    qparams = quant.quantize_opt_weights(params)
+    t_fp, v_fp = opt.generate(params, emb, mask, cfg, max_new_tokens=6)
+    t_q, v_q = opt.generate(qparams, emb, mask, cfg, max_new_tokens=6)
+    t_q8, v_q8 = opt.generate(qparams, emb, mask, cfg, max_new_tokens=6,
+                              cache_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(t_q8), np.asarray(t_q))
+    np.testing.assert_array_equal(np.asarray(v_q8), np.asarray(v_q))
+    # first new token: compare against the prefill-logit margins directly
+    lg_fp = np.asarray(opt.decode(params, emb, mask, cfg))
+    lg_q = np.asarray(opt.decode(qparams, emb, mask, cfg))
+    err = np.max(np.abs(lg_fp - lg_q))
+    last = np.asarray(jnp.sum(mask, axis=1)) - 1
+    for r in range(emb.shape[0]):
+        row = lg_fp[r, last[r]]
+        top2 = np.sort(row)[-2:]
+        margin = top2[1] - top2[0]
+        if margin > 2 * err:
+            assert int(np.asarray(t_q)[r, 0]) == int(np.asarray(t_fp)[r, 0])
+
+
+def test_int8_weights_server_matches_generate():
+    """The continuous-batching server's exactness contract holds under
+    quantized weights: same stream as opt.generate on the SAME quantized
+    tree (bit-exact — both paths run identical math)."""
+    from garbage_classification_rca_tpu.serving.engine import GenerationServer
+
+    cfg, params, emb, mask = _tiny()
+    qparams = quant.quantize_opt_weights(params)
+    max_prompt, max_new = emb.shape[1], 5
+    toks, valid = opt.generate(qparams, emb, mask, cfg, max_new)
+    srv = GenerationServer(qparams, cfg, slots=2, max_prompt=max_prompt,
+                           max_new=max_new, eos_id=-1)
+    uids = [srv.submit(np.asarray(emb[i]), np.asarray(mask[i]))
+            for i in range(emb.shape[0])]
+    srv.drain()
+    served = srv.requests
+    for i, uid in enumerate(uids):
+        want = list(np.asarray(toks[i])[np.asarray(valid[i])])
+        assert served[uid].tokens == want, i
+
+
+def test_tp_specs_cover_quantized_tree():
+    """opt_param_specs builds a spec tree structurally identical to a
+    weight-only-int8 params tree (w_scale follows its weight's output
+    dim: model-sharded for column-parallel, replicated for row)."""
+    from jax.sharding import PartitionSpec as P
+
+    from garbage_classification_rca_tpu.parallel import tp
+    from garbage_classification_rca_tpu.parallel.mesh import MODEL_AXIS
+
+    cfg, params, _, _ = _tiny()
+    qparams = quant.quantize_opt_weights(params)
+    specs = tp.opt_param_specs(qparams)
+    jax.tree_util.tree_map(lambda a, b: None, qparams, specs)  # same shape
+    l0 = specs["layers"][0]
+    assert l0["q"]["w_scale"] == P(None, MODEL_AXIS)
+    assert l0["out"]["w_scale"] == P()
+    # and the fp tree still gets the original specs
+    specs_fp = tp.opt_param_specs(params)
+    jax.tree_util.tree_map(lambda a, b: None, params, specs_fp)

@@ -69,6 +69,13 @@ def main(argv=None):
         from .blip2_common import normalize_clip
 
         n_new = args.max_new_tokens
+        if args.int8_weights:
+            # weight-only int8 on the decode-bound OPT tower (the vision/
+            # Q-Former towers run once at prefill and stay fp); the LoRA
+            # adapters stay fp and add on top of the int8 base projection
+            from ..ops.quant import quantize_opt_weights
+            params = dict(params, opt=quantize_opt_weights(params["opt"]))
+            params = shard_params(mesh, params)
         sampler = None
         if args.gen_temperature > 0:
             # opt-in sampled eval (HF do_sample semantics on-device);

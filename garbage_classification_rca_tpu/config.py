@@ -127,6 +127,11 @@ class RunConfig:
                                        # the serving KV cache per slot
                                        # (ops/quant.py): 2-4x less decode
                                        # HBM traffic + cache memory
+    int8_weights: bool = False         # weight-only int8 on the OPT
+                                       # tower for multi-token decode
+                                       # (ops/quant.py quantize_opt_
+                                       # weights; 1.3-1.45x measured) —
+                                       # numerics contract test_quant.py
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -275,6 +280,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--gen_seed', type=int, default=d.gen_seed)
     p.add_argument('--kv_cache_dtype', type=str, default=d.kv_cache_dtype,
                    choices=["", "int8"])
+    _add_bool_flag(p, 'int8_weights', d.int8_weights,
+                   "weight-only int8 OPT tower for multi-token decode")
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")

@@ -162,3 +162,20 @@ def test_qformer_cli_accepts_reference_layout_pth(tiny_dataset, tmp_path,
         tmp_path, monkeypatch, "qf_ref_layout")
     assert 0.0 <= acc <= 100.0
     assert os.path.getsize(csv) > 0
+
+
+def test_blip2_cli_int8_weights(tiny_dataset, tmp_path, monkeypatch):
+    """--int8_weights quantizes the OPT tower (ops/quant.py weight-only
+    int8) through the full generate CLI, stacked with the int8 KV cache
+    (numerics contract pinned in test_quant.py)."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+
+    acc, csv = _run(
+        blip2_test.main,
+        [f"--dataset_folder_name={tiny_dataset}",
+         f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4",
+         "--max_new_tokens=3", "--int8_weights",
+         "--kv_cache_dtype=int8"],
+        tmp_path, monkeypatch, "int8w")
+    assert 0.0 <= acc <= 100.0
+    assert os.path.getsize(csv) > 0

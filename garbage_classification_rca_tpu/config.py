@@ -132,6 +132,16 @@ class RunConfig:
                                        # (ops/quant.py quantize_opt_
                                        # weights; 1.3-1.45x measured) —
                                        # numerics contract test_quant.py
+    serve_slots: int = 8               # cli.serve: continuous-batching
+                                       # slot-grid width
+    max_prompt: int = 100              # cli.serve: prompt budget incl.
+                                       # the 32 BLIP-2 query embeddings
+                                       # (reference pads prompts to 100,
+                                       # blip_2_training.py:66)
+    steps_per_sync: int = 8            # cli.serve: decode ticks between
+                                       # host syncs (swept on-chip: 16
+                                       # best for throughput, lower =
+                                       # lower queue-to-slot latency)
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -282,6 +292,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["", "int8"])
     _add_bool_flag(p, 'int8_weights', d.int8_weights,
                    "weight-only int8 OPT tower for multi-token decode")
+    p.add_argument('--serve_slots', type=int, default=d.serve_slots)
+    p.add_argument('--max_prompt', type=int, default=d.max_prompt)
+    p.add_argument('--steps_per_sync', type=int, default=d.steps_per_sync)
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")

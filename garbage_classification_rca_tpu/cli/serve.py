@@ -43,9 +43,13 @@ import numpy as np
 
 
 def _build_embedders(cfg, params, args, tok, mesh):
-    """Two fixed-shape jitted prompt builders (compile once each):
-    image+text -> BLIP-2 embeds [1, 32+Lt, H]; text-only -> token embeds
-    [1, max_prompt, H]. Returns (embed_request, n_query)."""
+    """Fixed-shape jitted prompt builders (compile once each). Image
+    prompts embed as a BATCH of ``serve_slots`` (the EVA vision tower at
+    bs1 wastes the MXU; requests pulled from the queue in the same tick
+    embed together — padding rows are duplicates, sliced off after);
+    text-only prompts are a single embedding gather, done at bs1.
+    Returns embed_requests: [req, ...] -> [(embeds [L, H] on-device,
+    mask [L] np.int32), ...] in the same order."""
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +60,7 @@ def _build_embedders(cfg, params, args, tok, mesh):
     n_query = cfg.qformer.n_query
     t_len_img = max(args.max_prompt - n_query, 1)
     emb_dtype = params["opt"]["embed_tokens"]["w"].dtype
+    g = max(args.serve_slots, 1)        # vision-tower batch width
 
     @jax.jit
     def embed_img(params, pix, ids, mask):
@@ -68,26 +73,40 @@ def _build_embedders(cfg, params, args, tok, mesh):
         return (opt_mod.embed_tokens(params["opt"], ids).astype(emb_dtype),
                 mask)
 
-    def embed_request(req: dict):
-        """-> (embeds [L, H] jax.Array on device, mask [L] np.int32)."""
-        text = req.get("text", "")
-        if req.get("image"):
-            from .blip2_common import blip_preprocess_image
+    def _tokenize(req, t_len):
+        pids, _ = tok.encode_one(req.get("text", ""), t_len)
+        return left_pad(pids, t_len, tok.pad_id)
 
-            pix = blip_preprocess_image(req["image"])[None].astype(np.uint8)
-            pids, _ = tok.encode_one(text, t_len_img)
-            ids, mask = left_pad(pids, t_len_img, tok.pad_id)
-            e, m = embed_img(params, jnp.asarray(pix),
-                             jnp.asarray([ids], jnp.int32),
-                             jnp.asarray([mask], jnp.int32))
-        else:
-            pids, _ = tok.encode_one(text, args.max_prompt)
-            ids, mask = left_pad(pids, args.max_prompt, tok.pad_id)
+    def embed_requests(reqs, pixs):
+        """pixs[i]: decoded uint8 [224,224,3] for image requests, else
+        None (host IO — the only fallible part — happens in the caller,
+        per request). Pure device work from here on."""
+        out = [None] * len(reqs)
+        img_idx = [i for i in range(len(reqs)) if pixs[i] is not None]
+        for base in range(0, len(img_idx), g):
+            grp = img_idx[base:base + g]
+            pad = g - len(grp)
+            pix = np.stack([pixs[i] for i in grp] + [pixs[grp[0]]] * pad)
+            toks_masks = [_tokenize(reqs[i], t_len_img) for i in grp]
+            ids = np.asarray([t[0] for t in toks_masks]
+                             + [toks_masks[0][0]] * pad, np.int32)
+            msk = np.asarray([t[1] for t in toks_masks]
+                             + [toks_masks[0][1]] * pad, np.int32)
+            e, m = embed_img(params, jnp.asarray(pix), jnp.asarray(ids),
+                             jnp.asarray(msk))
+            m = np.asarray(m, np.int32)
+            for j, i in enumerate(grp):
+                out[i] = (e[j], m[j])
+        for i, r in enumerate(reqs):
+            if out[i] is not None:
+                continue
+            ids, mask = _tokenize(r, args.max_prompt)
             e, m = embed_txt(params, jnp.asarray([ids], jnp.int32),
                              jnp.asarray([mask], jnp.int32))
-        return e[0], np.asarray(m[0], np.int32)
+            out[i] = (e[0], np.asarray(m[0], np.int32))
+        return out
 
-    return embed_request
+    return embed_requests
 
 
 def _reader(stream, q):
@@ -144,7 +163,7 @@ def main(argv=None, stdin=None, stdout=None):
                            sampler=sampler, rng=rng,
                            cache_dtype=args.kv_cache_dtype or None,
                            steps_per_sync=args.steps_per_sync)
-    embed_request = _build_embedders(cfg, params, args, tok, mesh)
+    embed_requests = _build_embedders(cfg, params, args, tok, mesh)
 
     q: queue.Queue = queue.Queue()
     t = threading.Thread(target=_reader, args=(stdin, q), daemon=True)
@@ -161,28 +180,39 @@ def main(argv=None, stdin=None, stdout=None):
                    "tokens": [int(x) for x in toks], "n_tokens": len(toks)}
             print(json.dumps(out), file=stdout, flush=True)
 
+    from .blip2_common import blip_preprocess_image
+
     while not eof or srv.has_work:
         # pull every request already waiting; block only when idle
-        pulled = 0
+        pending, pixs = [], []
         while not eof:
             try:
-                item = q.get(block=not srv.has_work and pulled == 0)
+                item = q.get(block=not srv.has_work and not pending)
             except queue.Empty:
                 break
             if item is None:
                 eof = True
                 break
             try:
-                e, m = embed_request(item)
+                # host IO is the fallible part — isolate it per request
+                pix = (blip_preprocess_image(item["image"]).astype(np.uint8)
+                       if item.get("image") else None)
             except (OSError, ValueError) as exc:
                 print(json.dumps({"id": item.get("id"),
                                   "error": f"{type(exc).__name__}: {exc}"}),
                       file=stdout, flush=True)
                 continue
-            uid = srv.submit(e, m, max_new=min(int(item.get(
-                "max_new", max_new)), max_new))
-            uid_to_id[uid] = item.get("id")
-            pulled += 1
+            pending.append(item)
+            pixs.append(pix)
+        if pending:
+            # image prompts embed as a batch (vision tower at bs1 wastes
+            # the MXU); submissions stay in arrival order so uid-derived
+            # sampling keys are reproducible from the request log
+            for item, (e, m) in zip(pending,
+                                    embed_requests(pending, pixs)):
+                uid = srv.submit(e, m, max_new=min(int(item.get(
+                    "max_new", max_new)), max_new))
+                uid_to_id[uid] = item.get("id")
         emit(srv.step())
     emit(srv.drain())
     return 0

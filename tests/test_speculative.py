@@ -79,12 +79,21 @@ def test_decode_chunk_matches_sequential_steps():
     ("perfect", 4),     # draft == target: max acceptance every round
     ("random", 4),      # unrelated draft: mostly rejected, still exact
     ("random", 2),
+    ("int8-self", 4),   # self-speculation: the weight-only-int8 twin
+                        # drafts, the bf16 target verifies — bf16-exact
+                        # stream at near-int8 decode cost (high
+                        # acceptance: int8 flips only inside tiny
+                        # logit margins, tests/test_quant.py)
 ])
 def test_speculative_matches_greedy(draft_kind, draft_k):
     cfg, dcfg = _cfgs()
     params = opt.init(jax.random.PRNGKey(0), cfg)
     if draft_kind == "perfect":
         dcfg, draft = cfg, params
+    elif draft_kind == "int8-self":
+        from garbage_classification_rca_tpu.ops import quant
+
+        dcfg, draft = cfg, quant.quantize_opt_weights(params)
     else:
         draft = opt.init(jax.random.PRNGKey(9), dcfg)
     ids, mask = _inputs(cfg, dcfg)

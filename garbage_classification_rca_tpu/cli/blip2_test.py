@@ -50,13 +50,17 @@ def main(argv=None):
     params = shard_params(mesh, params)
     lora = shard_params(mesh, lora)
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
     if args.max_new_tokens <= 1:
         # reference path: 1-token constrained decode over the 4 answer words
         aft = answer_first_token_table(b, m.classes)
-        step = make_eval_step(cfg, params, aft, mesh=mesh)
+        step = make_eval_step(cfg, params, aft, mesh=mesh,
+                              compute_dtype=dtype)
     else:
         # serving path: KV-cache greedy decode + the reference's
         # find_closest_string word mapping (blip_2_training.py:118-134) —
@@ -91,8 +95,8 @@ def main(argv=None):
         cache_dtype = args.kv_cache_dtype or None
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
         gen = jax.jit(lambda frozen, lora, pix, ids, mask, rng:
-                      blip2_mod.generate(frozen, normalize_clip(pix), ids,
-                                         mask, cfg, lora=lora,
+                      blip2_mod.generate(frozen, normalize_clip(pix, dtype),
+                                         ids, mask, cfg, lora=lora,
                                          max_new_tokens=n_new,
                                          sampler=sampler, rng=rng,
                                          cache_dtype=cache_dtype),

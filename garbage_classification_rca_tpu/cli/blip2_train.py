@@ -37,7 +37,7 @@ BLIP2_ACC = 8            # reference :229
 
 
 def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
-                         mesh=None):
+                         mesh=None, compute_dtype=jnp.bfloat16):
     """Grad-accumulating LoRA step: the reference steps AdamW every 8
     microbatches (blip_2_training.py:280-293); here the 8 microbatches are
     one lax.scan inside a single device program. With a mesh, the
@@ -50,7 +50,7 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
     opt = optax.adamw(BLIP2_LR, eps=1e-5, weight_decay=0.01)
 
     def loss_fn(lora, frozen, mb):
-        x = normalize_clip(mb["image"])
+        x = normalize_clip(mb["image"], compute_dtype)
         # pad label tokens AND batch-padding rows (valid=0 duplicates of
         # sample 0 on the tail batch — the reference's DataLoader just
         # yields a smaller final batch instead) are excluded from the CE.
@@ -82,10 +82,11 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
     return opt, step   # nest this in a larger jit (e.g. bench scan loops)
 
 
-def make_eval_step(cfg, params, answer_first_tokens, mesh=None):
+def make_eval_step(cfg, params, answer_first_tokens, mesh=None,
+                   compute_dtype=jnp.bfloat16):
     # params as a jit argument, not a captured constant (see _step above)
     def _step_fn(frozen, lora, batch):
-        x = normalize_clip(batch["image"])
+        x = normalize_clip(batch["image"], compute_dtype)
         next_logits = blip2.next_token_logits(
             frozen, x, batch["input_ids"], batch["attention_mask"], cfg, lora)
         cls_logits = class_logits_from_next_token(
@@ -146,8 +147,11 @@ def main(argv=None):
     params = shard_params(mesh, params)
     lora = shard_params(mesh, lora)
 
-    opt, step = make_lora_train_step(cfg, params, mesh=mesh)
-    eval_step = make_eval_step(cfg, params, aft, mesh=mesh)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    opt, step = make_lora_train_step(cfg, params, mesh=mesh,
+                                     compute_dtype=dtype)
+    eval_step = make_eval_step(cfg, params, aft, mesh=mesh,
+                               compute_dtype=dtype)
     opt_state = shard_params(mesh, opt.init(lora))
     logger = MetricsLogger(args.name or "blip2_lora", use_wandb=args.wandb,
                            config=vars(args))

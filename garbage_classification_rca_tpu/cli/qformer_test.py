@@ -79,7 +79,11 @@ def main(argv=None):
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
-    _, _, eval_step = make_steps(cfg, params, mesh=mesh)
+    import jax.numpy as jnp
+    _, _, eval_step = make_steps(
+        cfg, params, mesh=mesh,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else jnp.float32))
 
     correct, all_p, all_l = 0, [], []
     bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)

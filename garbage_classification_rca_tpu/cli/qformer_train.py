@@ -33,7 +33,8 @@ QF_LR = 5e-4
 QF_ACC = 8               # reference q_former_training.py:241
 
 
-def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
+def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
+               compute_dtype=jnp.bfloat16):
     """Classifier-only training is EXACT reference parity, not a cut: the
     reference peft-wraps the model (q_former_training.py:230-240) but its
     LoRA targets q_proj/k_proj, which only exist in the OPT decoder — the
@@ -54,7 +55,7 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
     # frozen BLIP-2 params enter as a jit ARGUMENT: closing over them
     # would embed GBs of weights in the executable as captured constants
     def loss_fn(trainable, frozen, batch):
-        x = normalize_clip(batch["image"])
+        x = normalize_clip(batch["image"], compute_dtype)
         feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
         logits = nn.linear(trainable["classifier"], feat)
         return cross_entropy_loss(logits, batch["label"],
@@ -65,7 +66,7 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None):
                                   acc_steps, mesh=mesh)
 
     def _eval_fn(frozen, trainable, batch):
-        x = normalize_clip(batch["image"])
+        x = normalize_clip(batch["image"], compute_dtype)
         feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
         preds = jnp.argmax(nn.linear(trainable["classifier"], feat),
                            axis=-1).astype(jnp.int32)
@@ -117,7 +118,10 @@ def main(argv=None):
 
     trainable = shard_params(mesh, {"classifier": blip2.init_classifier(
         jax.random.PRNGKey(args.seed + 2), cfg)})
-    opt, train_step, eval_step = make_steps(cfg, params, mesh=mesh)
+    opt, train_step, eval_step = make_steps(
+        cfg, params, mesh=mesh,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else jnp.float32))
     opt_state = shard_params(mesh, opt.init(jax.device_get(trainable)))
     logger = MetricsLogger(args.name or "qformer_cls", use_wandb=args.wandb,
                            config=vars(args))

@@ -195,6 +195,178 @@ def test_mm_rca_cli_report_identity(tiny_dataset, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_vit_b16_cli_report_identity(tiny_dataset, tmp_path, monkeypatch):
+    """BASELINE config #3 (transformer_B16 image eval @224) — CLI CSV ==
+    torch CSV. Hermetic twin of the fixture-gated real-checkpoint case."""
+    from garbage_classification_rca_tpu.cli import test_image
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from tests.torch_refs.vit_ref import VisionTransformerRef
+
+    torch.manual_seed(0)
+    ref = VisionTransformerRef().eval()
+    ckpt = tmp_path / "vit_b16.pth"
+    torch.save(ref.state_dict(), ckpt)
+
+    name, got = _run_cli(
+        test_image.main,
+        ["--image_model=transformer_B16", f"--model_path={ckpt}",
+         f"--dataset_folder_name={tiny_dataset}",
+         "--compute_dtype=float32", "--eval_batch_size=8"],
+        tmp_path, monkeypatch, "cli")
+
+    m = build_manifest(str(tiny_dataset))
+    labels, preds = _torch_preds(
+        lambda b: ref(_normalize_torch(b["image"])), m, (224, 224))
+    tname, want = _torch_report_csv(labels, preds, str(tmp_path / "torch"),
+                                    "transformer_B16", "image")
+    assert name == tname
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BASELINE config #5: BLIP-2 / Q-Former (blip_2_test_set.py,
+# q_former_test_set.py). Hermetic at the tiny geometry
+# (GC_RCA_TINY_BLIP2=1) with an HF-layout checkpoint run through the real
+# converter on the CLI side and Blip2ForConditionalGeneration on the torch
+# side — both consuming the SAME Blip2Batcher host batches (CLIP bicubic
+# resize, left-padded prompts, answer-word label table).
+# ---------------------------------------------------------------------------
+
+BPE_VOCAB = os.path.join(os.path.dirname(__file__), "fixtures", "vocab",
+                         "bpe")
+
+
+def _tiny_hf_blip2():
+    """HF twin of cli.blip2_common.tiny_blip2_config() geometry."""
+    from transformers import (Blip2Config, Blip2ForConditionalGeneration,
+                              Blip2QFormerConfig, Blip2VisionConfig,
+                              OPTConfig)
+
+    cfg = Blip2Config(
+        vision_config=Blip2VisionConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, image_size=224, patch_size=14).to_dict(),
+        qformer_config=Blip2QFormerConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, encoder_hidden_size=64,
+            cross_attention_frequency=2).to_dict(),
+        text_config=OPTConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            ffn_dim=128, vocab_size=50272, max_position_embeddings=256,
+            word_embed_proj_dim=64).to_dict(),
+        num_query_tokens=8)
+    torch.manual_seed(0)
+    return Blip2ForConditionalGeneration(cfg).eval()
+
+
+def _clip_normalize_torch(u8):
+    """EXACT twin of cli.blip2_common.normalize_clip's scale/shift math
+    (same rounding, not just the same formula)."""
+    from garbage_classification_rca_tpu.data.images import CLIP_MEAN, CLIP_STD
+
+    scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
+    shift = (-CLIP_MEAN / CLIP_STD).astype(np.float32)
+    x = u8.astype(np.float32) * scale + shift
+    return x.transpose(0, 3, 1, 2)
+
+
+def test_blip2_cli_report_identity(tiny_dataset, tmp_path, monkeypatch):
+    """BASELINE config #5a (BLIP-2 1-token eval) — CLI CSV == torch CSV.
+
+    Torch side replicates blip_2_test_set.py's decision rule at the
+    constrained-decode equivalence point: next-token logits (query embeds
+    prepended, left-padded prompt) restricted to the 4 answer words' first
+    tokens, argmax."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+    from garbage_classification_rca_tpu.cli.blip2_common import Blip2Batcher
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        answer_first_token_table)
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+    from tests.test_blip2 import _hf_with_placeholders
+
+    monkeypatch.setenv("GC_RCA_TINY_BLIP2", "1")
+    tm = _tiny_hf_blip2()
+    ckpt = tmp_path / "blip2.pth"
+    torch.save(tm.state_dict(), ckpt)
+
+    name, got = _run_cli(
+        blip2_test.main,
+        [f"--model_path={ckpt}", f"--dataset_folder_name={tiny_dataset}",
+         f"--vocab_dir={BPE_VOCAB}", "--compute_dtype=float32",
+         "--eval_batch_size=4"],
+        tmp_path, monkeypatch, "cli")
+
+    m = build_manifest(str(tiny_dataset))
+    tok = get_tokenizer("opt", vocab_dir=BPE_VOCAB)
+    b = Blip2Batcher(m, tok, workers=2)
+    aft = answer_first_token_table(b, m.classes)
+    all_p, all_l = [], []
+    for batch in b.iter_batches(4):
+        pix = _clip_normalize_torch(batch["image"])
+        out = _hf_with_placeholders(tm, pix, batch["input_ids"],
+                                    batch["attention_mask"], n_query=8)
+        cls = out.logits[:, -1].numpy()[:, aft].argmax(-1)
+        valid = batch["valid"].astype(bool)
+        all_p.append(cls[valid])
+        all_l.append(batch["label"][valid])
+    b.close()
+    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    tname, want = _torch_report_csv(labels, preds, str(tmp_path / "torch"),
+                                    "blip2", "blip2")
+    assert name == tname
+    assert got == want
+
+
+def test_qformer_cli_report_identity(tiny_dataset, tmp_path, monkeypatch):
+    """BASELINE config #5b (Q-Former classifier eval) — CLI CSV == torch
+    CSV through the reference two-file layout (backbone .pth +
+    MultimodalClassifier .pth, q_former_training.py:33-47)."""
+    from garbage_classification_rca_tpu.cli import qformer_test
+    from garbage_classification_rca_tpu.cli.blip2_common import Blip2Batcher
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+
+    monkeypatch.setenv("GC_RCA_TINY_BLIP2", "1")
+    tm = _tiny_hf_blip2()
+    ckpt = tmp_path / "blip2.pth"
+    torch.save(tm.state_dict(), ckpt)
+    clf = torch.nn.Linear(32, 4)
+    cpath = tmp_path / "classifier.pth"
+    torch.save({"classifier.weight": clf.weight.detach(),
+                "classifier.bias": clf.bias.detach()}, cpath)
+
+    name, got = _run_cli(
+        qformer_test.main,
+        [f"--model_path={ckpt}", f"--classifier_weights={cpath}",
+         f"--dataset_folder_name={tiny_dataset}",
+         f"--vocab_dir={BPE_VOCAB}", "--compute_dtype=float32",
+         "--eval_batch_size=4"],
+        tmp_path, monkeypatch, "cli")
+
+    m = build_manifest(str(tiny_dataset))
+    tok = get_tokenizer("opt", vocab_dir=BPE_VOCAB)
+    b = Blip2Batcher(m, tok, workers=2)
+    all_p, all_l = [], []
+    for batch in b.iter_batches(4):
+        pix = torch.tensor(_clip_normalize_torch(batch["image"]))
+        with torch.no_grad():
+            img = tm.vision_model(pix).last_hidden_state
+            q = tm.qformer(
+                query_embeds=tm.query_tokens.expand(img.shape[0], -1, -1),
+                encoder_hidden_states=img).last_hidden_state[:, 0]
+            cls = clf(q).numpy().argmax(-1)
+        valid = batch["valid"].astype(bool)
+        all_p.append(cls[valid])
+        all_l.append(batch["label"][valid])
+    b.close()
+    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    tname, want = _torch_report_csv(labels, preds, str(tmp_path / "torch"),
+                                    "qformer", "qformer")
+    assert name == tname
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # fixture-gated: the REAL reference checkpoints (PARITY.md records results)
 # ---------------------------------------------------------------------------

@@ -39,6 +39,23 @@ def left_pad(ids: List[int], max_len: int, pad_id: int) -> Tuple[List[int], List
     return [pad_id] * pad + ids, [0] * pad + [1] * len(ids)
 
 
+def place_blip2_params(mesh, params):
+    """Place the (frozen) BLIP-2 params on the mesh: Megatron-TP-shard
+    the OPT tower when the mesh has a 'model' axis of size > 1
+    (parallel/tp.py specs — q/k/v/fc1 column-, out/fc2 row-sharded),
+    replicate otherwise. Small trainable trees (LoRA, classifier,
+    optimizer state) stay replicated at the call sites. Composes with
+    int8-quantized trees (opt_param_specs shards w_scale with its
+    weight's output dim)."""
+    from ..parallel.mesh import MODEL_AXIS, shard_params
+
+    if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+        from ..parallel.tp import blip2_param_specs, shard_with_specs
+
+        return shard_with_specs(mesh, params, blip2_param_specs(params))
+    return shard_params(mesh, params)
+
+
 class Blip2Batcher:
     """Host batches: CLIP-preprocessed uint8 images + left-padded prompt
     tokens + answer-word label tokens + class labels."""
@@ -193,7 +210,10 @@ def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None):
     from ..train.loop import microbatch_sharding
     rs, mbs = replicated_sharding(mesh), microbatch_sharding(mesh)
     shard = {k: mbs for k in BATCH_KEYS}
-    return jax.jit(_fn, in_shardings=(rs, rs, rs, shard),
+    # frozen's in_sharding is None: inherit the arg's committed placement
+    # (replicated OR Megatron-TP via place_blip2_params) instead of
+    # forcing replication, which rejects TP-sharded towers
+    return jax.jit(_fn, in_shardings=(None, rs, rs, shard),
                    out_shardings=(rs, rs, rs))
 
 

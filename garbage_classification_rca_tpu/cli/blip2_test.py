@@ -17,11 +17,11 @@ import os
 import jax
 import numpy as np
 
-from ..config import args_parser
+from ..config import args_parser, jnp_compute_dtype
 from ..data.manifest import build_manifest
 from ..eval.report import generate_report_and_image
 from ..train.engine import load_orbax
-from .blip2_common import Blip2Batcher, build_blip2
+from .blip2_common import Blip2Batcher, build_blip2, place_blip2_params
 from .blip2_train import answer_first_token_table, make_eval_step
 
 BASE_PATH = "./test_set_reports"
@@ -47,11 +47,11 @@ def main(argv=None):
 
     from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
     mesh = make_mesh(args.mesh_shape)
-    params = shard_params(mesh, params)
+    params = place_blip2_params(mesh, params)
     lora = shard_params(mesh, lora)
 
     import jax.numpy as jnp
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp_compute_dtype(args.compute_dtype)
 
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
@@ -79,7 +79,7 @@ def main(argv=None):
             # adapters stay fp and add on top of the int8 base projection
             from ..ops.quant import quantize_opt_weights
             params = dict(params, opt=quantize_opt_weights(params["opt"]))
-            params = shard_params(mesh, params)
+            params = place_blip2_params(mesh, params)
         sampler = None
         if args.gen_temperature > 0:
             # opt-in sampled eval (HF do_sample semantics on-device);
@@ -100,7 +100,7 @@ def main(argv=None):
                                          max_new_tokens=n_new,
                                          sampler=sampler, rng=rng,
                                          cache_dtype=cache_dtype),
-                      in_shardings=(rsh, rsh, bsh, bsh, bsh, rsh),
+                      in_shardings=(None, rsh, bsh, bsh, bsh, rsh),  # frozen: as placed
                       out_shardings=(bsh, bsh))
         batch_idx = 0
 

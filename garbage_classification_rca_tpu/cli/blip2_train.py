@@ -23,12 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import args_parser
+from ..config import args_parser, jnp_compute_dtype
 from ..models.vlm import blip2
 from ..train.engine import MetricsLogger, save_best, PhaseResult
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            class_logits_from_next_token, iter_accum_windows,
-                           make_accum_step, normalize_clip)
+                           make_accum_step, normalize_clip,
+                           place_blip2_params)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -103,7 +104,7 @@ def make_eval_step(cfg, params, answer_first_tokens, mesh=None,
         from ..parallel.mesh import batch_sharding, replicated_sharding
         bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
         shard = {k: bs for k in BATCH_KEYS}
-        _step = jax.jit(_step_fn, in_shardings=(rs, rs, shard),
+        _step = jax.jit(_step_fn, in_shardings=(None, rs, shard),
                         out_shardings=(bs, rs))
 
     def step(lora, batch):
@@ -144,10 +145,10 @@ def main(argv=None):
 
     from ..parallel.mesh import mesh_for_batch, shard_params
     mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
-    params = shard_params(mesh, params)
+    params = place_blip2_params(mesh, params)
     lora = shard_params(mesh, lora)
 
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp_compute_dtype(args.compute_dtype)
     opt, step = make_lora_train_step(cfg, params, mesh=mesh,
                                      compute_dtype=dtype)
     eval_step = make_eval_step(cfg, params, aft, mesh=mesh,

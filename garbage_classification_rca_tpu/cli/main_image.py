@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import NUM_CLASSES
-from ..config import args_parser, IMAGE_ARCHS
+from ..config import args_parser, jnp_compute_dtype, IMAGE_ARCHS
 from ..data.augment import augment_batch
 from ..data.images import normalize_on_device
 from ..data.manifest import build_manifest
@@ -70,7 +70,7 @@ def main(argv=None):
     # --fsdp: params/BN-state/opt-state live sharded over 'data'
     # (ZeRO-3 analog, parallel/fsdp.py); default replicates
     place = param_placer(mesh, args.fsdp)
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp_compute_dtype(args.compute_dtype)
 
     train_manifest = build_manifest(args.dataset_folder_name + TRAIN_SUFFIX,
                                     extended_desc=args.extended_desc_train)

@@ -14,12 +14,12 @@ import os
 import jax
 import numpy as np
 
-from ..config import args_parser
+from ..config import args_parser, jnp_compute_dtype
 from ..data.manifest import build_manifest
 from ..eval.report import generate_report_and_image
 from ..models.vlm import blip2
 from ..train.engine import load_orbax
-from .blip2_common import Blip2Batcher, build_blip2
+from .blip2_common import Blip2Batcher, build_blip2, place_blip2_params
 from .qformer_train import make_steps
 
 BASE_PATH = "./test_set_reports"
@@ -73,7 +73,7 @@ def main(argv=None):
 
     from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
     mesh = make_mesh(args.mesh_shape)
-    params = shard_params(mesh, params)
+    params = place_blip2_params(mesh, params)
     trainable = shard_params(mesh, trainable)
 
     m = build_manifest(args.dataset_folder_name)
@@ -82,8 +82,7 @@ def main(argv=None):
     import jax.numpy as jnp
     _, _, eval_step = make_steps(
         cfg, params, mesh=mesh,
-        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else jnp.float32))
+        compute_dtype=jnp_compute_dtype(args.compute_dtype))
 
     correct, all_p, all_l = 0, [], []
     bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)

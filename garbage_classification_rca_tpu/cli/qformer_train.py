@@ -18,14 +18,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import args_parser
+from ..config import args_parser, jnp_compute_dtype
 from ..models.vlm import blip2
 from ..nn import core as nn
 from ..train.engine import MetricsLogger, PhaseResult, save_best
 from ..train.loss import cross_entropy_loss
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            iter_accum_windows, make_accum_step,
-                           normalize_clip)
+                           normalize_clip, place_blip2_params)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -80,7 +80,7 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
         from ..parallel.mesh import batch_sharding, replicated_sharding
         bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
         shard = {k: bsh for k in BATCH_KEYS}
-        _eval_step = jax.jit(_eval_fn, in_shardings=(rsh, rsh, shard),
+        _eval_step = jax.jit(_eval_fn, in_shardings=(None, rsh, shard),
                              out_shardings=(bsh, rsh))
 
     def train_step(trainable, opt_state, batch):
@@ -114,14 +114,13 @@ def main(argv=None):
 
     from ..parallel.mesh import mesh_for_batch, shard_params
     mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
-    params = shard_params(mesh, params)
+    params = place_blip2_params(mesh, params)
 
     trainable = shard_params(mesh, {"classifier": blip2.init_classifier(
         jax.random.PRNGKey(args.seed + 2), cfg)})
     opt, train_step, eval_step = make_steps(
         cfg, params, mesh=mesh,
-        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else jnp.float32))
+        compute_dtype=jnp_compute_dtype(args.compute_dtype))
     opt_state = shard_params(mesh, opt.init(jax.device_get(trainable)))
     logger = MetricsLogger(args.name or "qformer_cls", use_wandb=args.wandb,
                            config=vars(args))

@@ -35,11 +35,15 @@ Flags: --serve_slots, --max_prompt, --steps_per_sync size the slot grid;
 from __future__ import annotations
 
 import json
+import os
 import queue
 import sys
 import threading
 
 import numpy as np
+
+_EOF = object()  # reader-thread end-of-stream sentinel (a JSON `null`
+#                  request must NOT look like EOF, so not None)
 
 
 def _build_embedders(cfg, params, args, tok, mesh):
@@ -57,15 +61,22 @@ def _build_embedders(cfg, params, args, tok, mesh):
     from ..models.vlm import opt as opt_mod
     from .blip2_common import left_pad, normalize_clip
 
+    from ..config import jnp_compute_dtype
+
     n_query = cfg.qformer.n_query
+    # image requests are rejected upstream when max_prompt <= n_query
+    # (no room for text next to the query embeddings), so the max() here
+    # is never load-bearing — it only keeps the closure constructible
     t_len_img = max(args.max_prompt - n_query, 1)
     emb_dtype = params["opt"]["embed_tokens"]["w"].dtype
+    compute_dtype = jnp_compute_dtype(args.compute_dtype)
     g = max(args.serve_slots, 1)        # vision-tower batch width
 
     @jax.jit
     def embed_img(params, pix, ids, mask):
-        e, m = blip2_mod.prompt_embeds(params, normalize_clip(pix), ids,
-                                       mask, cfg)
+        e, m = blip2_mod.prompt_embeds(params,
+                                       normalize_clip(pix, compute_dtype),
+                                       ids, mask, cfg)
         return e.astype(emb_dtype), m
 
     @jax.jit
@@ -110,17 +121,47 @@ def _build_embedders(cfg, params, args, tok, mesh):
 
 
 def _reader(stream, q):
-    """stdin thread: parsed request dicts -> q; None = EOF sentinel."""
+    """stdin thread: parsed request dicts -> q; _EOF on stream end.
+
+    Lines that don't parse, or parse to a non-object (a bare number,
+    string, or null — there is no usable "id" to echo), are protocol
+    errors reported on stderr; they must never crash or terminate the
+    server (PARITY.md serve-CLI contract)."""
     for line in stream:
         line = line.strip()
         if not line:
             continue
         try:
-            q.put(json.loads(line))
+            item = json.loads(line)
         except json.JSONDecodeError as e:
             print(json.dumps({"error": f"bad request line: {e}"}),
                   file=sys.stderr, flush=True)
-    q.put(None)
+            continue
+        if not isinstance(item, dict):
+            print(json.dumps({"error": "bad request line: expected a JSON "
+                              f"object, got {type(item).__name__}"}),
+                  file=sys.stderr, flush=True)
+            continue
+        q.put(item)
+    q.put(_EOF)
+
+
+def _validate_request(item, img_ok, n_query):
+    """Field errors -> message for an {"id":..., "error":...} line (the
+    submit path must never raise on user input)."""
+    txt = item.get("text", "")
+    if not isinstance(txt, str):
+        return f"'text' must be a string, got {type(txt).__name__}"
+    img = item.get("image")
+    if img is not None and not isinstance(img, str):
+        return f"'image' must be a path string, got {type(img).__name__}"
+    mn = item.get("max_new", 1)
+    if isinstance(mn, bool) or not isinstance(mn, int) or mn < 1:
+        return f"'max_new' must be a positive integer, got {mn!r}"
+    if img and not img_ok:
+        return (f"image prompts need --max_prompt > n_query={n_query} "
+                "(the projected query embeddings leave no room for text)")
+    return None
 
 
 def main(argv=None, stdin=None, stdout=None):
@@ -129,13 +170,13 @@ def main(argv=None, stdin=None, stdout=None):
     from ..config import args_parser
     from ..parallel.mesh import make_mesh, shard_params
     from ..serving.engine import GenerationServer
-    from .blip2_common import build_blip2
+    from .blip2_common import build_blip2, place_blip2_params
 
     args = args_parser(argv)
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     cfg, params, lora, tok = build_blip2(args)
-    if args.model_path and __import__("os").path.isdir(args.model_path):
+    if args.model_path and os.path.isdir(args.model_path):
         from ..train.engine import load_orbax
 
         restored, _ = load_orbax(args.model_path)
@@ -145,8 +186,15 @@ def main(argv=None, stdin=None, stdout=None):
 
         params = dict(params, opt=quantize_opt_weights(params["opt"]))
     mesh = make_mesh(args.mesh_shape)
-    params = shard_params(mesh, params)
+    # model-axis meshes Megatron-TP-shard the OPT tower (the docstring's
+    # --mesh_shape=data:1,model:N promise); LoRA stays replicated (tiny)
+    params = place_blip2_params(mesh, params)
     lora = shard_params(mesh, lora)
+    img_ok = args.max_prompt > cfg.qformer.n_query
+    if not img_ok:
+        print(f"warning: --max_prompt={args.max_prompt} <= n_query="
+              f"{cfg.qformer.n_query}; image requests will be rejected "
+              "with error lines", file=sys.stderr, flush=True)
 
     sampler = None
     rng = None
@@ -190,16 +238,20 @@ def main(argv=None, stdin=None, stdout=None):
                 item = q.get(block=not srv.has_work and not pending)
             except queue.Empty:
                 break
-            if item is None:
+            if item is _EOF:
                 eof = True
                 break
-            try:
-                # host IO is the fallible part — isolate it per request
-                pix = (blip_preprocess_image(item["image"]).astype(np.uint8)
-                       if item.get("image") else None)
-            except (OSError, ValueError) as exc:
-                print(json.dumps({"id": item.get("id"),
-                                  "error": f"{type(exc).__name__}: {exc}"}),
+            err = _validate_request(item, img_ok, cfg.qformer.n_query)
+            if err is None:
+                try:
+                    # image IO is the other fallible part — per request
+                    pix = (blip_preprocess_image(
+                        item["image"]).astype(np.uint8)
+                        if item.get("image") else None)
+                except (OSError, ValueError, TypeError) as exc:
+                    err = f"{type(exc).__name__}: {exc}"
+            if err is not None:
+                print(json.dumps({"id": item.get("id"), "error": err}),
                       file=stdout, flush=True)
                 continue
             pending.append(item)

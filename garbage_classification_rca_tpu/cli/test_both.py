@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import args_parser, MULTIMODAL_IMAGE_SIZE, MULTIMODAL_EVAL_BATCH
+from ..config import (args_parser, jnp_compute_dtype, MULTIMODAL_IMAGE_SIZE,
+                      MULTIMODAL_EVAL_BATCH)
 from ..checkpoint.torch_convert import load_torch_state_dict
 from ..data.images import normalize_on_device
 from ..data.manifest import build_manifest
@@ -165,7 +166,7 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers)
 
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp_compute_dtype(args.compute_dtype)
     acc, labels, preds, stats = run_multimodal_eval(
         apply_fn, params, state, batcher, batch_size, mesh, dtype)
     batcher.close()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import NUM_CLASSES
-from ..config import args_parser, IMAGE_ARCHS
+from ..config import args_parser, jnp_compute_dtype, IMAGE_ARCHS
 from ..checkpoint.torch_convert import load_torch_state_dict
 from ..data.manifest import build_manifest
 from ..data.pipeline import ImageTextBatcher
@@ -91,7 +91,7 @@ def main(argv=None):
     batcher = ImageTextBatcher(manifest, spec.input_size,
                                workers=args.data_workers)
 
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    dtype = jnp_compute_dtype(args.compute_dtype)
     if args.profile_dir:
         from ..utils.profiling import trace
         with trace(args.profile_dir):

@@ -221,6 +221,15 @@ def image_input_size(image_model: str) -> Tuple[int, int]:
 # argparse shim — flag-for-flag with reference options.py:8-116
 # ---------------------------------------------------------------------------
 
+def jnp_compute_dtype(compute_dtype: str):
+    """--compute_dtype -> jnp dtype: the ONE mapping shared by every CLI
+    (argparse restricts the value via choices=, so this cannot fall
+    through to a silent default)."""
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
+
+
 def _add_bool_flag(p: argparse.ArgumentParser, name: str, default: bool, help_: str):
     names = [f"--{name}"]
     if "_" in name:
@@ -273,7 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--classifier_weights', type=str, default=d.classifier_weights)
     # TPU-native extensions
     p.add_argument('--mesh_shape', type=str, default=d.mesh_shape)
-    p.add_argument('--compute_dtype', type=str, default=d.compute_dtype)
+    p.add_argument('--compute_dtype', type=str, default=d.compute_dtype,
+                   choices=["bfloat16", "float32"])
     p.add_argument('--param_dtype', type=str, default=d.param_dtype)
     p.add_argument('--eval_batch_size', type=int, default=d.eval_batch_size)
     p.add_argument('--seed', type=int, default=d.seed)

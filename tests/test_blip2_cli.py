@@ -85,6 +85,23 @@ def test_blip2_cli_sampled_generate(tiny_dataset, tmp_path, monkeypatch):
     assert os.path.getsize(csv) > 0
 
 
+def test_blip2_cli_tp_mesh_same_report(tiny_dataset, tmp_path, monkeypatch):
+    """--mesh_shape=data:1,model:2 Megatron-TP-shards the OPT tower
+    (place_blip2_params) and must reproduce the replicated run's report
+    byte-for-byte."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+
+    flags = [f"--dataset_folder_name={tiny_dataset}",
+             f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4"]
+    acc1, csv1 = _run(blip2_test.main, flags, tmp_path, monkeypatch, "rep")
+    acc2, csv2 = _run(blip2_test.main,
+                      flags + ["--mesh_shape=data:1,model:2"],
+                      tmp_path, monkeypatch, "tp")
+    assert acc1 == acc2
+    with open(csv1) as a, open(csv2) as b:
+        assert a.read() == b.read()
+
+
 def test_blip2_cli_int8_kv_cache(tiny_dataset, tmp_path, monkeypatch):
     """--kv_cache_dtype=int8 runs the quantized serving cache through
     the full CLI (library parity is pinned in test_quant.py)."""

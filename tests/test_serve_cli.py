@@ -124,10 +124,79 @@ def test_image_request_matches_blip2_generate(tiny_dataset):
 
 
 def test_bad_requests_are_reported_not_fatal():
+    # max_prompt=16 > tiny n_query=8 so this exercises the image-IO
+    # error path, not the too-small-max_prompt gate (tested below)
     out = _serve([{"id": "x", "text": "a", "image": "/does/not/exist.jpg"},
                   {"id": "y", "text": "ok"}],
-                 ["--max_prompt=8", "--max_new_tokens=2",
+                 ["--max_prompt=16", "--max_new_tokens=2",
                   "--serve_slots=1"])
     got = {d["id"]: d for d in out}
     assert "error" in got["x"] and "tokens" not in got["x"]
     assert got["y"]["n_tokens"] >= 1
+
+
+def _serve_raw(raw, argv):
+    from garbage_classification_rca_tpu.cli import serve
+
+    out = io.StringIO()
+    rc = serve.main(argv + [f"--vocab_dir={BPE_VOCAB}"],
+                    stdin=io.StringIO(raw), stdout=out)
+    assert rc == 0
+    return [json.loads(l) for l in out.getvalue().splitlines()]
+
+
+def test_malformed_and_invalid_requests_keep_serving(capsys):
+    """Protocol errors must never kill (or silently drain) the server:
+    non-object JSON lines — including `null`, which must not look like
+    the reader's EOF — go to stderr; parsed-but-invalid fields come back
+    as {"id", "error"} lines; a valid request AFTER all of them is still
+    served (the round-3 review found each of these crashing the loop)."""
+    raw = "\n".join([
+        "42", "null", '"hello"', "{not json",
+        json.dumps({"id": "bad1", "text": "x", "max_new": 0}),
+        json.dumps({"id": "bad2", "text": 5}),
+        json.dumps({"id": "bad3", "text": "x", "max_new": "five"}),
+        json.dumps({"id": "bad4", "text": "x", "max_new": True}),
+        json.dumps({"id": "bad5", "text": "x", "image": 7}),
+        json.dumps({"id": "ok", "text": "fine"}),
+    ]) + "\n"
+    out = _serve_raw(raw, ["--max_prompt=16", "--max_new_tokens=2",
+                           "--serve_slots=1"])
+    got = {d["id"]: d for d in out}
+    for bad in ("bad1", "bad2", "bad3", "bad4", "bad5"):
+        assert "error" in got[bad] and "tokens" not in got[bad], bad
+    assert got["ok"]["n_tokens"] >= 1      # null didn't terminate the loop
+    errs = capsys.readouterr().err
+    assert errs.count("bad request line") == 4
+
+
+def test_image_rejected_when_max_prompt_too_small(tiny_dataset):
+    """--max_prompt <= n_query leaves no room for prompt text next to
+    the projected query embeddings: image requests get an error line
+    (instead of a late ValueError killing the server); text-only
+    requests in the same session still serve."""
+    img = None
+    for root, _, files in os.walk(tiny_dataset):
+        for f in files:
+            if f.endswith(".jpg"):
+                img = os.path.join(root, f)
+                break
+        if img:
+            break
+    out = _serve([{"id": "i0", "text": "a", "image": img},
+                  {"id": "t0", "text": "ok"}],
+                 ["--max_prompt=8", "--max_new_tokens=2",
+                  "--serve_slots=1"])   # tiny n_query == 8
+    got = {d["id"]: d for d in out}
+    assert "max_prompt" in got["i0"]["error"]
+    assert got["t0"]["n_tokens"] >= 1
+
+
+def test_tp_mesh_shape_same_stream():
+    """--mesh_shape=data:1,model:2 must Megatron-TP-shard the OPT tower
+    through place_blip2_params and reproduce the replicated stream
+    bit-for-bit (the docstring's TP promise, previously unwired)."""
+    reqs = [{"id": "r0", "text": "Question: which bin? Answer:"}]
+    flags = ["--max_prompt=16", "--max_new_tokens=4", "--serve_slots=1"]
+    assert (_serve(reqs, flags)
+            == _serve(reqs, flags + ["--mesh_shape=data:1,model:2"]))

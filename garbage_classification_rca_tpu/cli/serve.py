@@ -167,6 +167,14 @@ def _validate_request(item, img_ok, n_query):
 def main(argv=None, stdin=None, stdout=None):
     import jax
 
+    if jax.process_count() > 1:
+        # same restriction as the other VLM CLIs: the server's submit
+        # path device_puts per-request embeddings without per-host
+        # sharding; run single-process (TP via --mesh_shape applies)
+        raise SystemExit(
+            "multi-host (GC_RCA_MULTIHOST) is not supported by the serve "
+            "CLI — run it single-process")
+
     from ..config import args_parser
     from ..parallel.mesh import make_mesh, shard_params
     from ..serving.engine import GenerationServer

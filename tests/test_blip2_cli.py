@@ -181,6 +181,38 @@ def test_qformer_cli_accepts_reference_layout_pth(tiny_dataset, tmp_path,
     assert os.path.getsize(csv) > 0
 
 
+def test_qformer_cli_tp_mesh_same_report(tiny_dataset, tmp_path,
+                                         monkeypatch):
+    """The Q-Former path shares place_blip2_params / the accum-step
+    shardings with blip2_test but routes through qformer_cls_feature —
+    pin its TP run to the replicated report too."""
+    from garbage_classification_rca_tpu.cli import qformer_test
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        tiny_blip2_config)
+
+    hidden = tiny_blip2_config().qformer.hidden
+
+    class MultimodalClassifier(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.classifier = torch.nn.Linear(hidden, 4)
+
+    torch.manual_seed(0)
+    ckpt = tmp_path / "Classifier_epoch_1_acc_0.5.pth"
+    torch.save(MultimodalClassifier().state_dict(), ckpt)
+    flags = [f"--dataset_folder_name={tiny_dataset}",
+             f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4",
+             f"--classifier_weights={ckpt}"]
+    acc1, csv1 = _run(qformer_test.main, flags, tmp_path, monkeypatch,
+                      "qf_rep")
+    acc2, csv2 = _run(qformer_test.main,
+                      flags + ["--mesh_shape=data:1,model:2"],
+                      tmp_path, monkeypatch, "qf_tp")
+    assert acc1 == acc2
+    with open(csv1) as a, open(csv2) as b:
+        assert a.read() == b.read()
+
+
 def test_blip2_cli_int8_weights(tiny_dataset, tmp_path, monkeypatch):
     """--int8_weights quantizes the OPT tower (ops/quant.py weight-only
     int8) through the full generate CLI, stacked with the int8 KV cache

@@ -25,7 +25,8 @@ import optax
 
 from ..config import args_parser, jnp_compute_dtype
 from ..models.vlm import blip2
-from ..train.engine import MetricsLogger, save_best, PhaseResult
+from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
+                            restore_opt_state, save_best, save_train_state)
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            class_logits_from_next_token, iter_accum_windows,
                            make_accum_step, normalize_clip,
@@ -166,10 +167,26 @@ def main(argv=None):
 
     best = PhaseResult(0.0, 0, None)
     rng = jax.random.PRNGKey(args.seed)
+    start_epoch = 0
+    # full resume (--resume_from=.../RESUME): adapters + opt state + RNG
+    # stream + epoch — bit-identical continuation, like the image/text
+    # trainers' --model_path=RESUME path (--model_path here is the HF
+    # base checkpoint, hence the separate flag)
+    resume = maybe_load_resume(args.resume_from)
+    if resume is not None:
+        lora = shard_params(mesh, resume["params"])
+        opt_state = shard_params(mesh, restore_opt_state(
+            opt, jax.device_get(lora), resume["opt_state"]))
+        rng = jnp.asarray(resume["rng"])
+        m = resume["meta"]
+        start_epoch = int(m["epoch"]) + 1
+        best = PhaseResult(float(m["best_val_acc"]), int(m["best_epoch"]),
+                           m["best_path"] or None)
+        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (blip_2_training.py:197-201,229)
     micro = args.batch_size
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for stacked in iter_accum_windows(train_b, micro, BLIP2_ACC,
@@ -187,6 +204,10 @@ def main(argv=None):
             best = PhaseResult(val_acc, epoch, save_best(
                 {"lora": lora}, {}, model_name="blip2_lora", epoch=epoch,
                 val_acc=val_acc, args=args, fine_tuning=False))
+        save_train_state(out_root=".", model_name="blip2_lora",
+                         params=lora, state={}, opt_state=opt_state,
+                         rng=rng, epoch=epoch, phase_name="train",
+                         scheduler=None, best=best)
     train_b.close()
     val_b.close()
     print(f"best val acc {best.best_val_acc:.2f} @ epoch {best.best_epoch}")

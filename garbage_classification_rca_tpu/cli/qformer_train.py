@@ -21,7 +21,8 @@ import optax
 from ..config import args_parser, jnp_compute_dtype
 from ..models.vlm import blip2
 from ..nn import core as nn
-from ..train.engine import MetricsLogger, PhaseResult, save_best
+from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
+                            restore_opt_state, save_best, save_train_state)
 from ..train.loss import cross_entropy_loss
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            iter_accum_windows, make_accum_step,
@@ -133,9 +134,23 @@ def main(argv=None):
         return 100.0 * correct / len(manifest)
 
     best = PhaseResult(0.0, 0, None)
+    start_epoch = 0
+    # full resume (--resume_from=.../RESUME): classifier + opt state +
+    # epoch (this loop draws no RNG; the constant seed key is saved for
+    # payload-shape parity with the other trainers)
+    resume = maybe_load_resume(args.resume_from)
+    if resume is not None:
+        trainable = shard_params(mesh, resume["params"])
+        opt_state = shard_params(mesh, restore_opt_state(
+            opt, jax.device_get(trainable), resume["opt_state"]))
+        m = resume["meta"]
+        start_epoch = int(m["epoch"]) + 1
+        best = PhaseResult(float(m["best_val_acc"]), int(m["best_epoch"]),
+                           m["best_path"] or None)
+        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (q_former_training.py:241,299)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for stacked in iter_accum_windows(train_b, args.batch_size, QF_ACC,
@@ -154,6 +169,10 @@ def main(argv=None):
             best = PhaseResult(val_acc, epoch, save_best(
                 trainable, {}, model_name="qformer_classifier", epoch=epoch,
                 val_acc=val_acc, args=args, fine_tuning=False))
+        save_train_state(out_root=".", model_name="qformer_classifier",
+                         params=trainable, state={}, opt_state=opt_state,
+                         rng=jax.random.PRNGKey(args.seed), epoch=epoch,
+                         phase_name="train", scheduler=None, best=best)
     train_b.close()
     val_b.close()
     print(f"best val acc {best.best_val_acc:.2f} @ epoch {best.best_epoch}")

@@ -98,6 +98,10 @@ class RunConfig:
     prefetch_depth: int = 2            # host->device double-buffer depth
     data_workers: int = 8              # host-side decode worker threads
     profile_dir: str = ""              # jax.profiler trace output (eval CLIs)
+    resume_from: str = ""              # VLM trainers: path to a RESUME dir
+    #   (the image/text/fusion trainers resume via --model_path=.../RESUME;
+    #   the BLIP-2/Q-Former trainers keep --model_path for the HF base
+    #   checkpoint, so full resume takes this separate flag)
     seq_len: int = 0                   # token bucket; 0 -> 64 (the garbage
                                        # texts are a few words; the reference
                                        # pads to the full 512-1024 positions —
@@ -291,6 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--prefetch_depth', type=int, default=d.prefetch_depth)
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
+    p.add_argument('--resume_from', type=str, default=d.resume_from)
     p.add_argument('--seq_len', type=int, default=d.seq_len)
     p.add_argument('--max_new_tokens', type=int, default=d.max_new_tokens)
     p.add_argument('--gen_temperature', type=float,

@@ -64,13 +64,19 @@ def init(key, cfg: Blip2Config, dtype=jnp.float32):
 
 def init_lora(key, cfg: Blip2Config, dtype=jnp.float32) -> Dict:
     """LoRA adapters for every OPT layer's q/k projections.
-    A ~ N(0, 1/r) (peft kaiming-ish), B = 0."""
+    A ~ N(0, 1/r) (peft kaiming-ish), B = 0.
+
+    Layer keys are STRINGS ("0", "1", ...): orbax stringifies dict keys
+    on checkpoint restore, so an int-keyed tree comes back with str keys
+    and int lookups (opt._layer's lora.get) would silently skip the
+    adapters — found as a 6e-4 resume drift whose restored train step
+    compiled WITHOUT _apply_lora (round 3)."""
     adapters = {}
     d = cfg.opt.hidden
     for i in range(cfg.opt.layers):
         k = jax.random.fold_in(key, i)
         ka, kb = jax.random.split(k)
-        adapters[i] = {
+        adapters[str(i)] = {
             name: {"a": jax.random.normal(jax.random.fold_in(ka, j),
                                           (d, cfg.lora_r), dtype)
                    / jnp.sqrt(cfg.lora_r),
@@ -249,5 +255,5 @@ def _extract_lora(sd, cfg: Blip2Config) -> Optional[Dict]:
         proj = "q" if "q_proj" in k else "k"
         ab = "a" if "lora_A" in k else "b"
         # peft stores lora_A [r, in], lora_B [out, r] -> ours a [in, r], b [r, out]
-        lora.setdefault(li, {}).setdefault(proj, {})[ab] = jnp.asarray(v).T
+        lora.setdefault(str(li), {}).setdefault(proj, {})[ab] = jnp.asarray(v).T
     return lora or None

@@ -130,7 +130,7 @@ def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
     h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
                                     cfg)
     for i, lp in enumerate(params["layers"]):
-        layer_lora = None if lora is None else lora.get(i)
+        layer_lora = None if lora is None else lora.get(str(i))
         h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask,
                    train=train)
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
@@ -245,7 +245,7 @@ def prefill(params, inputs_embeds, attention_mask, cfg: OPTConfig,
                                     cfg)
     ks, vs = [], []
     for i, lp in enumerate(params["layers"]):
-        layer_lora = None if lora is None else lora.get(i)
+        layer_lora = None if lora is None else lora.get(str(i))
         h, k, v = layer_prefill(lp, h, bias, cfg, layer_lora, lora_scale,
                                 mask=mask)
         ks.append(jnp.pad(k, ((0, 0), (0, max_new_tokens), (0, 0))))
@@ -279,7 +279,7 @@ def decode_step(params, caches, tok_emb, write_index, positions, attn_mask,
     quantized = "k_scale" in caches
     new = {k: [] for k in caches}
     for i, lp in enumerate(params["layers"]):
-        layer_lora = None if lora is None else lora.get(i)
+        layer_lora = None if lora is None else lora.get(str(i))
         if quantized:
             h, ckq, cks, cvq, cvs = layer_decode_q(
                 lp, h, caches["k"][i], caches["k_scale"][i],
@@ -322,7 +322,7 @@ def decode_chunk(params, caches, tok_embs, write_base, positions,
         lambda cch, blk, i: jax.lax.dynamic_update_slice(cch, blk, (i, 0)))
     new_k, new_v = [], []
     for i, lp in enumerate(params["layers"]):
-        layer_lora = None if lora is None else lora.get(i)
+        layer_lora = None if lora is None else lora.get(str(i))
         hn = nn.layernorm(lp["ln1"], h, eps=cfg.ln_eps)
         q, k, v = _qkv(lp, hn, layer_lora, lora_scale)
         ck = scatter_blk(caches["k"][i], k.astype(caches["k"].dtype),

@@ -242,7 +242,7 @@ def test_lora_roundtrip_with_peft(models, converted):
     sd = TrackingDict(numpy_state_dict(pm))
     params, lora = blip2.convert_torch(sd, cfg)
     sd.audit()     # peft rewrites (base_model prefix, base_layer, lora_A/B)
-    assert lora is not None and 0 in lora and "q" in lora[0]
+    assert lora is not None and "0" in lora and "q" in lora["0"]
 
     pix, ids, mask = _inputs()
     want = _hf_with_placeholders(pm, pix, ids, mask,

@@ -117,6 +117,119 @@ def test_blip2_cli_int8_kv_cache(tiny_dataset, tmp_path, monkeypatch):
     assert os.path.getsize(csv) > 0
 
 
+def _train_tree(tiny_dataset, tmp_path):
+    base = tmp_path / "ds"
+    os.symlink(tiny_dataset, f"{base}_Train")
+    os.symlink(tiny_dataset, f"{base}_Val")
+    return str(base)
+
+
+def _assert_resume_bit_identical(main, model_name, base_flags, tmp_path,
+                                 monkeypatch):
+    """epochs=2 straight vs epochs=1 + --resume_from continuation: the
+    RESUME payloads (trainable params + meta) must match bit-for-bit."""
+    import jax
+
+    from garbage_classification_rca_tpu.train.engine import load_train_state
+
+    def run(sub, flags):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        monkeypatch.chdir(d)
+        main(flags)
+        monkeypatch.chdir(tmp_path)
+        return d / "model_weights" / model_name / "RESUME"
+
+    straight = load_train_state(run("straight", base_flags + ["--epochs=2"]))
+    run("resumed", base_flags + ["--epochs=1"])
+    resume_dir = tmp_path / "resumed" / "model_weights" / model_name / "RESUME"
+    resumed = load_train_state(run(
+        "resumed", base_flags + ["--epochs=2",
+                                 f"--resume_from={resume_dir}"]))
+    assert straight["meta"]["epoch"] == resumed["meta"]["epoch"] == 1
+    a = jax.tree_util.tree_leaves(straight["params"])
+    b = jax.tree_util.tree_leaves(resumed["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert (straight["meta"]["best_val_acc"]
+            == resumed["meta"]["best_val_acc"])
+
+
+def test_blip2_train_full_resume_bit_identical(tiny_dataset, tmp_path,
+                                               monkeypatch):
+    """Interrupt-after-epoch-0 + --resume_from == uninterrupted 2-epoch
+    run, including the LoRA-dropout RNG stream (saved/restored key)."""
+    from garbage_classification_rca_tpu.cli import blip2_train
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    _assert_resume_bit_identical(
+        blip2_train.main, "blip2_lora",
+        [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+         "--batch_size=4"],
+        tmp_path, monkeypatch)
+
+
+def test_qformer_train_full_resume_bit_identical(tiny_dataset, tmp_path,
+                                                 monkeypatch):
+    from garbage_classification_rca_tpu.cli import qformer_train
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    _assert_resume_bit_identical(
+        qformer_train.main, "qformer_classifier",
+        [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+         "--batch_size=4"],
+        tmp_path, monkeypatch)
+
+
+def test_orbax_restored_lora_is_applied(tmp_path, monkeypatch):
+    """REGRESSION (round-3 resume drift): orbax stringifies dict keys on
+    restore, and the int-layer-keyed LoRA tree then failed every
+    opt-layer lookup — the train/eval steps silently compiled WITHOUT
+    _apply_lora (hash-identical inputs, 6e-4 trajectory drift; the
+    blip2_test --model_path=<best dir> eval path had the same hole).
+    Layer keys are now canonically strings; a restored tree must produce
+    the exact logits of the live one, and both must differ from no-LoRA."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        tiny_blip2_config)
+    from garbage_classification_rca_tpu.config import args_parser
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.train.engine import (load_orbax,
+                                                             save_best)
+
+    cfg = tiny_blip2_config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg)
+    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg)
+    # init_lora's B==0 makes adapters a no-op; randomize so they bite
+    lora = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(2), a.shape,
+                                    a.dtype) * 0.1, lora)
+    rng = np.random.default_rng(3)
+    pix = jnp.asarray(rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        jnp.float32)
+    ids = jnp.asarray(rng.integers(5, 100, (2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    def logits(lo):
+        return np.asarray(blip2.next_token_logits(params, pix, ids, mask,
+                                                  cfg, lo))
+
+    live = logits(lora)
+    assert not np.allclose(live, logits(None)), "adapters must bite"
+
+    monkeypatch.chdir(tmp_path)
+    args = args_parser([])
+    path = save_best({"lora": lora}, {}, model_name="blip2_lora", epoch=0,
+                     val_acc=50.0, args=args, fine_tuning=False)
+    restored, _ = load_orbax(path)
+    np.testing.assert_array_equal(logits(restored["lora"]), live)
+
+
 def test_qformer_cli_rejects_bare_linear_pth(tiny_dataset, tmp_path,
                                              monkeypatch):
     """A .pth saved as Linear.state_dict() (keys weight/bias) is not the

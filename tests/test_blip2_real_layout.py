@@ -117,7 +117,7 @@ def test_convert_real_layout_peft_and_decode_parity(real_models, tmp_path):
     params, lora = blip2.convert_torch(sd, cfg)
     sd.audit()
     assert lora is not None and len(lora) == cfg.opt.layers
-    assert lora[0]["q"]["a"].shape == (2560, 32)
+    assert lora["0"]["q"]["a"].shape == (2560, 32)
 
     rng = np.random.default_rng(0)
     b, l = 1, 9

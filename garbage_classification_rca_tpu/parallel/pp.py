@@ -16,8 +16,21 @@ activation to the next stage. Composes with dp on a second mesh axis
 
 Parity contract: pp_decode_hidden == opt.decode_hidden bit-close for any
 S dividing the layer count and any M dividing the batch
-(tests/test_pp.py); LoRA adapters are intentionally unsupported here (the
-serving path runs merged/base weights — adapters live on the dp/tp paths).
+(tests/test_pp.py).
+
+TRAINING: the whole pipeline is differentiable — `lax.scan` and
+`lax.ppermute` transpose cleanly, so `jax.grad` of a loss through
+`pp_decode_hidden` IS the GPipe backward (activations hop back
+stage-to-stage in reverse; each chip accumulates grads only for its
+local layers). `pp_lm_loss` + `make_pp_train_step` package that into a
+causal-LM train step (full fine-tune or LoRA-only, the reference's
+BLIP-2 recipe blip_2_training.py:210-229), with `remat=True` trading
+recompute for activation memory via `jax.checkpoint` on the layer body.
+GPipe with exact microbatch accumulation is mathematically identical to
+single-device large-batch training — asserted in tests/test_pp_train.py.
+
+Generation-side LoRA stays unsupported (`pp_generate` runs merged/base
+weights — serving adapters live on the dp/tp paths).
 """
 
 from __future__ import annotations
@@ -52,9 +65,28 @@ def shard_pipeline_params(mesh: Mesh, stacked, axis: str = PIPE_AXIS):
     return jax.tree_util.tree_map(lambda l: jax.device_put(l, s), stacked)
 
 
+def stack_pipeline_lora(lora, n_layers: int, n_stages: int):
+    """LoRA adapters (string-keyed per layer, blip2.init_lora layout) ->
+    stage-stacked pytree with leading [S, L/S] dims, ready to shard dim0
+    over 'pipe' alongside stack_pipeline_params output.
+
+    Requires an adapter for EVERY layer with a uniform structure (the
+    pipelined scan slices a dense stack; blip2.init_lora satisfies this)."""
+    missing = [i for i in range(n_layers) if lora.get(str(i)) is None]
+    if missing:
+        raise ValueError(
+            f"pipelined LoRA needs an adapter for every layer; missing "
+            f"string keys {missing[:4]}{'...' if len(missing) > 4 else ''} "
+            "(sparse adapters only run on the dp/tp paths)")
+    return stack_pipeline_params([lora[str(i)] for i in range(n_layers)],
+                                 n_stages)
+
+
 def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
                      cfg, mesh: Mesh, n_microbatches: int,
-                     axis: str = PIPE_AXIS, train: bool = False):
+                     axis: str = PIPE_AXIS, train: bool = False,
+                     stage_lora=None, lora_scale: float = 1.0,
+                     remat: bool = False):
     """Pipelined twin of models/vlm/opt.decode_hidden (opt.py:126-135).
 
     params: the OPT params dict (embeddings + final_ln used here; its
@@ -62,6 +94,12 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
     stage_layers: stack_pipeline_params output, placed via
     shard_pipeline_params (leading [S] dim sharded over `axis`).
     inputs_embeds [B, L, H], attention_mask [B, L]; B % n_microbatches == 0.
+    stage_lora: optional stack_pipeline_lora output (same sharding as
+    stage_layers) — q/k low-rank updates applied inside every layer,
+    exactly as the single-device path (opt._apply_lora).
+    remat=True wraps the per-layer body in jax.checkpoint so the GPipe
+    backward recomputes layer internals instead of storing them — the
+    standard activation-memory trade for pipelined TRAINING.
     """
     from ..models.vlm.opt import _layer, prompt_prologue
     from ..nn import core as nn
@@ -94,19 +132,23 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
 
     fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def per_device(local_layers, h_all, bias_all, mask_all):
+    def per_device(local_layers, local_lora, h_all, bias_all, mask_all):
         # local_layers leading dims [1, L/S] (this device's stage);
         # h_all [M, mb/n_dp, l, d] — the LOCAL slice when dp-sharded
         local_layers = jax.tree_util.tree_map(
             lambda x: x[0], local_layers)
+        local_lora = jax.tree_util.tree_map(lambda x: x[0], local_lora)
         s = jax.lax.axis_index(axis)
         mb_loc = h_all.shape[1]
 
         def stage_fn(hcur, bias_t, mask_t):
-            def body(hc, lp):
-                return _layer(lp, hc, bias_t, cfg, mask=mask_t,
-                              train=train), None
-            out, _ = jax.lax.scan(body, hcur, local_layers)
+            def body(hc, xs):
+                lp, ll = xs
+                return _layer(lp, hc, bias_t, cfg, ll, lora_scale,
+                              mask=mask_t, train=train), None
+            if remat:
+                body = jax.checkpoint(body)
+            out, _ = jax.lax.scan(body, hcur, (local_layers, local_lora))
             return out
 
         def tick(carry, t):
@@ -141,10 +183,10 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
         return outputs
 
     dp = P(None, dp_axis) if dp_axis else P()
-    specs_in = (P(axis), dp, dp, dp)
+    specs_in = (P(axis), P(axis), dp, dp, dp)
     out = jax.shard_map(per_device, mesh=mesh, in_specs=specs_in,
                         out_specs=dp, check_vma=False)(
-        stage_layers, h_mb, bias_mb, mask_mb)
+        stage_layers, stage_lora, h_mb, bias_mb, mask_mb)
     out = out.reshape(b, l, d)
     return nn.layernorm(params["final_ln"], out, eps=cfg.ln_eps)
 
@@ -157,6 +199,76 @@ def pp_decode(params, stage_layers, inputs_embeds, attention_mask, cfg,
     h = pp_decode_hidden(params, stage_layers, inputs_embeds,
                          attention_mask, cfg, mesh, n_microbatches, axis)
     return lm_head(params, h)
+
+
+def pp_lm_loss(params, stage_layers, inputs_embeds, attention_mask, labels,
+               cfg, mesh: Mesh, n_microbatches: int, axis: str = PIPE_AXIS,
+               stage_lora=None, lora_scale: float = 1.0,
+               remat: bool = False):
+    """Causal-LM CE through the pipelined forward — the same shifted
+    next-token loss as blip2.lm_loss (blip2.py:126-145, the reference's
+    BLIP-2 objective blip_2_training.py:280-293): positions with
+    label -100 are ignored, mean over the valid rest.
+
+    `labels` [B, L] align with the FULL input sequence (for BLIP-2 use,
+    mark the query segment and pads -100, as the reference collate does).
+    params needs only embed_tokens / embed_positions / final_ln.
+    """
+    h = pp_decode_hidden(params, stage_layers, inputs_embeds,
+                         attention_mask, cfg, mesh, n_microbatches, axis,
+                         train=True, stage_lora=stage_lora,
+                         lora_scale=lora_scale, remat=remat)
+    from ..models.vlm.opt import lm_head
+    logits = lm_head(params, h)
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = (shift_labels != -100)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.clip(shift_labels, 0)[..., None], axis=-1)[..., 0]
+    return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
+def make_pp_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
+                       axis: str = PIPE_AXIS, lora_scale: float = 1.0,
+                       remat: bool = True):
+    """Build the jitted GPipe train step.
+
+    Returns step(trainable, frozen, opt_state, batch) ->
+    (trainable, opt_state, loss). `trainable`/`frozen` together supply
+    {"head": {embed_tokens, embed_positions, final_ln},
+     "stages": stack_pipeline_params output,
+     "lora": stack_pipeline_lora output (optional)} — put each group in
+    whichever dict matches the recipe:
+      full fine-tune: trainable={"head", "stages"}, frozen={}
+      LoRA (the reference BLIP-2 recipe): trainable={"lora"},
+        frozen={"head", "stages"}  (base weights never touched, adapter
+        grads are tiny — the GPipe backward still streams activations
+        stage-to-stage but materializes no base-weight grads).
+
+    The backward is jax.grad through the pipelined scan/ppermute forward:
+    activations hop back in reverse stage order, every chip computes
+    grads only for its local [L/S] layer slice, exactly GPipe. Grads are
+    bit-identical to single-device large-batch training
+    (tests/test_pp_train.py).
+    """
+    import optax
+
+    def loss_fn(trainable, frozen, batch):
+        full = {**frozen, **trainable}
+        return pp_lm_loss(full["head"], full["stages"],
+                          batch["inputs_embeds"], batch["attention_mask"],
+                          batch["labels"], cfg, mesh, n_microbatches, axis,
+                          stage_lora=full.get("lora"),
+                          lora_scale=lora_scale, remat=remat)
+
+    @jax.jit
+    def step(trainable, frozen, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    return step
 
 
 def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,

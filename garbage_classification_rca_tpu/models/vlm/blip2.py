@@ -134,14 +134,7 @@ def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
         params, pixel_values, input_ids, attention_mask, cfg, lora,
         train=True))
     n_query = cfg.qformer.n_query
-    text_logits = logits[:, n_query:, :]
-    shift_logits = text_logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
-    valid = (shift_labels != -100)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    picked = jnp.take_along_axis(
-        logp, jnp.clip(shift_labels, 0)[..., None], axis=-1)[..., 0]
-    return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+    return opt_mod.shifted_ce(logits[:, n_query:, :], labels)
 
 
 def _last_valid_index(mask):

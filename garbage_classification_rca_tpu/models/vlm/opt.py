@@ -142,6 +142,22 @@ def lm_head(params, h):
     return h @ params["embed_tokens"]["w"].astype(h.dtype).T
 
 
+def shifted_ce(logits, labels):
+    """Shifted next-token CE, HF CausalLM semantics: logits [B, L, V]
+    predict labels[:, 1:]; positions with label -100 are ignored; mean
+    over the valid rest (fp32 softmax). The ONE home of this objective —
+    blip2.lm_loss (after its query-segment slice), parallel/pp.pp_lm_loss
+    and the multichip dryrun all call it, so the -100/clip/mean handling
+    cannot drift between the single-device and pipelined paths."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = (shift_labels != -100)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.clip(shift_labels, 0)[..., None], axis=-1)[..., 0]
+    return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
 def decode(params, inputs_embeds, attention_mask, cfg: OPTConfig,
            lora=None, lora_scale=1.0):
     """inputs_embeds [B, L, H] + mask [B, L] -> logits [B, L, vocab]."""

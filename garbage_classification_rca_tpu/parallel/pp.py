@@ -78,6 +78,14 @@ def stack_pipeline_lora(lora, n_layers: int, n_stages: int):
             f"pipelined LoRA needs an adapter for every layer; missing "
             f"string keys {missing[:4]}{'...' if len(missing) > 4 else ''} "
             "(sparse adapters only run on the dp/tp paths)")
+    want = jax.tree_util.tree_structure(lora["0"])
+    for i in range(1, n_layers):
+        got = jax.tree_util.tree_structure(lora[str(i)])
+        if got != want:
+            raise ValueError(
+                f"pipelined LoRA needs a uniform adapter structure; layer "
+                f"{i} has {got} but layer 0 has {want} (per-layer "
+                "structures only run on the dp/tp paths)")
     return stack_pipeline_params([lora[str(i)] for i in range(n_layers)],
                                  n_stages)
 
@@ -192,12 +200,16 @@ def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
 
 
 def pp_decode(params, stage_layers, inputs_embeds, attention_mask, cfg,
-              mesh: Mesh, n_microbatches: int, axis: str = PIPE_AXIS):
-    """Pipelined twin of opt.decode: final hidden -> tied-embedding logits."""
+              mesh: Mesh, n_microbatches: int, axis: str = PIPE_AXIS,
+              stage_lora=None, lora_scale: float = 1.0):
+    """Pipelined twin of opt.decode: final hidden -> tied-embedding
+    logits. stage_lora (stack_pipeline_lora output) evaluates a
+    LoRA-tuned model through the same pipeline it trained on."""
     from ..models.vlm.opt import lm_head
 
     h = pp_decode_hidden(params, stage_layers, inputs_embeds,
-                         attention_mask, cfg, mesh, n_microbatches, axis)
+                         attention_mask, cfg, mesh, n_microbatches, axis,
+                         stage_lora=stage_lora, lora_scale=lora_scale)
     return lm_head(params, h)
 
 
@@ -218,15 +230,8 @@ def pp_lm_loss(params, stage_layers, inputs_embeds, attention_mask, labels,
                          attention_mask, cfg, mesh, n_microbatches, axis,
                          train=True, stage_lora=stage_lora,
                          lora_scale=lora_scale, remat=remat)
-    from ..models.vlm.opt import lm_head
-    logits = lm_head(params, h)
-    shift_logits = logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
-    valid = (shift_labels != -100)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    picked = jnp.take_along_axis(
-        logp, jnp.clip(shift_labels, 0)[..., None], axis=-1)[..., 0]
-    return -(picked * valid).sum() / jnp.maximum(valid.sum(), 1)
+    from ..models.vlm.opt import lm_head, shifted_ce
+    return shifted_ce(lm_head(params, h), labels)
 
 
 def make_pp_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
@@ -248,9 +253,11 @@ def make_pp_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
 
     The backward is jax.grad through the pipelined scan/ppermute forward:
     activations hop back in reverse stage order, every chip computes
-    grads only for its local [L/S] layer slice, exactly GPipe. Grads are
-    bit-identical to single-device large-batch training
-    (tests/test_pp_train.py).
+    grads only for its local [L/S] layer slice, exactly GPipe. GPipe
+    microbatch accumulation is exact, so grads/updates equal
+    single-device large-batch training to fp reduction-order noise
+    (tests/test_pp_train.py). trainable and opt_state buffers are
+    donated — re-bind them, don't reuse the arguments after a step.
     """
     import optax
 
@@ -262,11 +269,71 @@ def make_pp_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
                           stage_lora=full.get("lora"),
                           lora_scale=lora_scale, remat=remat)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 2))
     def step(trainable, frozen, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
+
+    return step
+
+
+def pp_blip2_lm_loss(params, stage_layers, stage_lora, pixel_values,
+                     input_ids, attention_mask, labels, cfg, mesh: Mesh,
+                     n_microbatches: int, axis: str = PIPE_AXIS,
+                     remat: bool = False):
+    """Pipelined twin of blip2.lm_loss (blip2.py:126-137) — the
+    reference's BLIP-2 LoRA objective (blip_2_training.py:280-293) with
+    the OPT tower GPipe-pipelined: the frozen EVA-ViT + Q-Former +
+    projection forward runs replicated (dp-sharded over a 'data' mesh
+    axis when present), its query embeddings prepend the token
+    embeddings exactly like blip2._lm_hidden, and the combined sequence
+    streams through the stage-sharded decoder with stage-stacked LoRA
+    adapters. Text-segment shifted CE via opt.shifted_ce — same -100
+    semantics as the single-device path (tests/test_pp_train.py asserts
+    loss AND lora-grad parity)."""
+    from ..models.vlm import blip2 as b2
+    from ..models.vlm.opt import embed_tokens, lm_head, shifted_ce
+    from ..nn import core as nn
+
+    q = b2.query_features(params, pixel_values, cfg)
+    q_emb = nn.linear(params["projection"], q)
+    t_emb = embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
+    embeds = jnp.concatenate([q_emb, t_emb], axis=1)
+    q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
+    mask = jnp.concatenate([q_mask, attention_mask], axis=1)
+    h = pp_decode_hidden(params["opt"], stage_layers, embeds, mask,
+                         cfg.opt, mesh, n_microbatches, axis, train=True,
+                         stage_lora=stage_lora, lora_scale=cfg.lora_scale,
+                         remat=remat)
+    logits = lm_head(params["opt"], h)
+    return shifted_ce(logits[:, cfg.qformer.n_query:, :], labels)
+
+
+def make_pp_blip2_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
+                             axis: str = PIPE_AXIS, remat: bool = True):
+    """The reference BLIP-2 recipe (LoRA-only training, AdamW
+    blip_2_training.py:210-229) over a dp x pipe mesh: base weights
+    frozen (vision/Q-Former replicated, decoder stage-sharded), only the
+    stage-stacked adapters update. Returns
+    step(stage_lora, opt_state, params, stage_layers, batch) ->
+    (stage_lora, opt_state, loss); batch carries pixel_values /
+    input_ids / attention_mask / labels. stage_lora and opt_state are
+    donated — re-bind, don't reuse the arguments."""
+    import optax
+
+    def loss_fn(stage_lora, params, stage_layers, batch):
+        return pp_blip2_lm_loss(params, stage_layers, stage_lora,
+                                batch["pixel_values"], batch["input_ids"],
+                                batch["attention_mask"], batch["labels"],
+                                cfg, mesh, n_microbatches, axis, remat)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(stage_lora, opt_state, params, stage_layers, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(stage_lora, params,
+                                                  stage_layers, batch)
+        updates, opt_state = tx.update(grads, opt_state, stage_lora)
+        return optax.apply_updates(stage_lora, updates), opt_state, loss
 
     return step
 

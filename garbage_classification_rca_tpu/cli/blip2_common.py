@@ -166,7 +166,8 @@ BATCH_KEYS = ("image", "input_ids", "attention_mask", "label_tokens",
               "label", "valid")
 
 
-def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None):
+def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None,
+                    inherit_trainable: bool = False):
     """The grad-accumulating optimizer step shared by the BLIP-2 LoRA and
     Q-Former classifier trainers (they differ only in the loss).
 
@@ -212,9 +213,12 @@ def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None):
     shard = {k: mbs for k in BATCH_KEYS}
     # frozen's in_sharding is None: inherit the arg's committed placement
     # (replicated OR Megatron-TP via place_blip2_params) instead of
-    # forcing replication, which rejects TP-sharded towers
-    return jax.jit(_fn, in_shardings=(None, rs, rs, shard),
-                   out_shardings=(rs, rs, rs))
+    # forcing replication, which rejects TP-sharded towers.
+    # inherit_trainable=True does the same for trainable+opt_state — the
+    # GPipe path commits stage-stacked adapters sharded over 'pipe'
+    rs_t = None if inherit_trainable else rs
+    return jax.jit(_fn, in_shardings=(None, rs_t, rs_t, shard),
+                   out_shardings=(rs_t, rs_t, rs))
 
 
 def iter_accum_windows(batcher, batch_size: int, acc_steps: int, *,

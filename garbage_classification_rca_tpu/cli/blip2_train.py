@@ -12,6 +12,13 @@ Parity with reference blip_2_training.py:176-311:
     full model dict — ours saves the trained leaves, 6000x smaller).
 
 TPU: one jitted LoRA train step (grad wrt adapters only), bf16 backbone.
+Scaling: ``--mesh_shape=data:D`` dp-shards the batch;
+``--mesh_shape=data:1,model:M`` Megatron-TP-shards the OPT tower;
+``--mesh_shape=data:D,pipe:S`` GPipe-pipelines the OPT decoder over S
+stages (parallel/pp.py — decoder params stage-sharded, replicated copy
+dropped; losses equal the dp run to fp noise). BEST adapters are always
+saved in the portable per-layer form; pp RESUME payloads are
+stage-stacked and resume on the same pipe size.
 """
 
 from __future__ import annotations
@@ -38,6 +45,38 @@ BLIP2_LR = 5e-4          # reference blip_2_training.py:228
 BLIP2_ACC = 8            # reference :229
 
 
+def _assemble_lm_batch(mb, compute_dtype):
+    """Microbatch dict -> (pixels, ids, mask, full_labels) for the LM CE.
+
+    Pad label tokens AND batch-padding rows (valid=0 duplicates of
+    sample 0 on the tail batch — the reference's DataLoader just yields a
+    smaller final batch instead) are excluded from the CE. "valid"
+    presence is static under jit; synthetic callers (dryrun, bench) may
+    feed full batches without it. Shared by the dp/tp and GPipe train
+    steps so the label semantics cannot drift."""
+    x = normalize_clip(mb["image"], compute_dtype)
+    pad = mb["label_tokens"] == jnp.int32(1)
+    if "valid" in mb:
+        pad = pad | (mb["valid"][:, None] == 0)
+    labels = jnp.where(pad, -100, mb["label_tokens"])
+    ids = jnp.concatenate([mb["input_ids"], mb["label_tokens"]], 1)
+    mask = jnp.concatenate(
+        [mb["attention_mask"],
+         (mb["label_tokens"] != 1).astype(mb["attention_mask"].dtype)],
+        1)
+    full_labels = jnp.concatenate(
+        [jnp.full_like(mb["input_ids"], -100), labels], 1)
+    return x, ids, mask, full_labels
+
+
+# reference: torch.optim.AdamW(lr=5e-4, eps=1e-05)
+# (blip_2_training.py:228) — torch's default weight_decay is 0.01,
+# where optax's is 1e-4 and its default eps 1e-8, so both must be
+# spelled out for update-rule parity (test_blip2_trajectory.py)
+def _blip2_adamw():
+    return optax.adamw(BLIP2_LR, eps=1e-5, weight_decay=0.01)
+
+
 def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
                          mesh=None, compute_dtype=jnp.bfloat16):
     """Grad-accumulating LoRA step: the reference steps AdamW every 8
@@ -45,30 +84,10 @@ def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
     one lax.scan inside a single device program. With a mesh, the
     microbatch axis stays replicated and the batch axis is sharded over
     'data' (XLA psums the LoRA grads across chips)."""
-    # reference: torch.optim.AdamW(lr=5e-4, eps=1e-05)
-    # (blip_2_training.py:228) — torch's default weight_decay is 0.01,
-    # where optax's is 1e-4 and its default eps 1e-8, so both must be
-    # spelled out for update-rule parity (test_blip2_trajectory.py)
-    opt = optax.adamw(BLIP2_LR, eps=1e-5, weight_decay=0.01)
+    opt = _blip2_adamw()
 
     def loss_fn(lora, frozen, mb):
-        x = normalize_clip(mb["image"], compute_dtype)
-        # pad label tokens AND batch-padding rows (valid=0 duplicates of
-        # sample 0 on the tail batch — the reference's DataLoader just
-        # yields a smaller final batch instead) are excluded from the CE.
-        # "valid" presence is static under jit; synthetic callers (dryrun,
-        # bench) may feed full batches without it.
-        pad = mb["label_tokens"] == jnp.int32(1)
-        if "valid" in mb:
-            pad = pad | (mb["valid"][:, None] == 0)
-        labels = jnp.where(pad, -100, mb["label_tokens"])
-        ids = jnp.concatenate([mb["input_ids"], mb["label_tokens"]], 1)
-        mask = jnp.concatenate(
-            [mb["attention_mask"],
-             (mb["label_tokens"] != 1).astype(mb["attention_mask"].dtype)],
-            1)
-        full_labels = jnp.concatenate(
-            [jnp.full_like(mb["input_ids"], -100), labels], 1)
+        x, ids, mask, full_labels = _assemble_lm_batch(mb, compute_dtype)
         return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg, lora)
 
     # accumulation machinery (scan, /acc_steps partial-window semantics,
@@ -114,6 +133,89 @@ def make_eval_step(cfg, params, answer_first_tokens, mesh=None,
     return step
 
 
+def pick_pp_microbatches(batch_size: int, mesh) -> int:
+    """Largest pipeline microbatch count M <= the pipe-axis size with
+    batch % M == 0 and (batch/M) % data-axis == 0 (pp_decode_hidden's
+    divisibility contract). More microbatches = smaller GPipe bubble
+    (utilization M/(M+S-1))."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    s, d = sizes.get("pipe", 1), sizes.get("data", 1)
+    for m in range(min(batch_size, s), 0, -1):
+        if batch_size % m == 0 and (batch_size // m) % d == 0:
+            return m
+    return 1
+
+
+def make_pp_lora_train_step(cfg, params, stage_layers, mesh,
+                            n_microbatches: int, acc_steps: int = BLIP2_ACC,
+                            compute_dtype=jnp.bfloat16, remat: bool = True):
+    """The GPipe twin of make_lora_train_step: --mesh_shape=...,pipe:S
+    stage-shards the OPT decoder over 'pipe' (parallel/pp.py) while the
+    frozen vision/Q-Former towers stay replicated; only the stage-stacked
+    LoRA adapters train. Same accumulation scan, same AdamW, same label
+    semantics (_assemble_lm_batch) — a pp run's losses equal the dp run's
+    to fp noise (tests/test_blip2_cli.py::test_blip2_train_pp_matches_dp).
+    """
+    from ..parallel import pp as ppp
+
+    opt = _blip2_adamw()
+
+    def loss_fn(stage_lora, frozen, mb):
+        fparams, fstages = frozen
+        x, ids, mask, full_labels = _assemble_lm_batch(mb, compute_dtype)
+        return ppp.pp_blip2_lm_loss(fparams, fstages, stage_lora, x, ids,
+                                    mask, full_labels, cfg, mesh,
+                                    n_microbatches, remat=remat)
+
+    _step = make_accum_step(jax.value_and_grad(loss_fn), opt, acc_steps,
+                            mesh=mesh, inherit_trainable=True)
+
+    def step(stage_lora, opt_state, batch, rng):
+        del rng
+        return _step((params, stage_layers), stage_lora, opt_state, batch)
+
+    step.raw = _step
+    return opt, step
+
+
+def make_pp_eval_step(cfg, params, stage_layers, answer_first_tokens, mesh,
+                      n_microbatches: int, compute_dtype=jnp.bfloat16):
+    """1-token constrained decode through the pipeline — the pp twin of
+    make_eval_step (same last-valid-index gather as
+    blip2.next_token_logits, so left- OR right-padded prompts work)."""
+    from ..models.vlm.blip2 import _last_valid_index, prompt_embeds
+    from ..models.vlm.opt import lm_head
+    from ..parallel import pp as ppp
+    from ..parallel.mesh import batch_sharding
+
+    def _step_fn(frozen, stages, stage_lora, batch):
+        x = normalize_clip(batch["image"], compute_dtype)
+        embeds, mask = prompt_embeds(frozen, x, batch["input_ids"],
+                                     batch["attention_mask"], cfg)
+        h = ppp.pp_decode_hidden(frozen["opt"], stages, embeds, mask,
+                                 cfg.opt, mesh, n_microbatches,
+                                 stage_lora=stage_lora,
+                                 lora_scale=cfg.lora_scale)
+        last = cfg.qformer.n_query + _last_valid_index(
+            batch["attention_mask"])
+        h_last = h[jnp.arange(h.shape[0]), last]
+        next_logits = lm_head(frozen["opt"], h_last)
+        cls_logits = class_logits_from_next_token(
+            next_logits.astype(jnp.float32), answer_first_tokens)
+        preds = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        correct = jnp.sum((preds == batch["label"]) * batch["valid"])
+        return preds, correct
+
+    bs = batch_sharding(mesh)
+    shard = {k: bs for k in BATCH_KEYS}
+    _step = jax.jit(_step_fn, in_shardings=(None, None, None, shard))
+
+    def step(stage_lora, batch):
+        return _step(params, stage_layers, stage_lora, batch)
+
+    return step
+
+
 def answer_first_token_table(batcher: Blip2Batcher, classes) -> np.ndarray:
     """first answer-word token id per class index (sorted-folder order)."""
     return np.asarray([batcher.answer_token_ids[c][1]
@@ -146,15 +248,44 @@ def main(argv=None):
 
     from ..parallel.mesh import mesh_for_batch, shard_params
     mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
-    params = place_blip2_params(mesh, params)
-    lora = shard_params(mesh, lora)
-
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_pipe = sizes.get("pipe", 1)
     dtype = jnp_compute_dtype(args.compute_dtype)
-    opt, step = make_lora_train_step(cfg, params, mesh=mesh,
-                                     compute_dtype=dtype)
-    eval_step = make_eval_step(cfg, params, aft, mesh=mesh,
-                               compute_dtype=dtype)
-    opt_state = shard_params(mesh, opt.init(lora))
+    if n_pipe > 1:
+        # GPipe: the OPT decoder lives stage-sharded over 'pipe' (its
+        # replicated copy is dropped — that memory saving is the point of
+        # pipelining); adapters train stage-stacked (parallel/pp.py)
+        from ..parallel import pp as ppp
+        if sizes.get("model", 1) > 1:
+            raise SystemExit("--mesh_shape: combine pipe with data only "
+                             "(model-axis TP of a stage-sharded decoder "
+                             "is not supported)")
+        if cfg.opt.layers % n_pipe:
+            raise SystemExit(f"--mesh_shape pipe:{n_pipe} must divide the "
+                             f"{cfg.opt.layers}-layer OPT decoder")
+        stage_layers = ppp.shard_pipeline_params(
+            mesh, ppp.stack_pipeline_params(params["opt"]["layers"],
+                                            n_pipe))
+        params = {**params, "opt": {**params["opt"], "layers": []}}
+        params = place_blip2_params(mesh, params)
+        lora = ppp.shard_pipeline_params(
+            mesh, ppp.stack_pipeline_lora(lora, cfg.opt.layers, n_pipe))
+        n_micro = pick_pp_microbatches(args.batch_size, mesh)
+        print(f"GPipe over pipe:{n_pipe}, {n_micro} pipeline microbatches")
+        opt, step = make_pp_lora_train_step(cfg, params, stage_layers,
+                                            mesh, n_micro,
+                                            compute_dtype=dtype)
+        eval_step = make_pp_eval_step(cfg, params, stage_layers, aft, mesh,
+                                      n_micro, compute_dtype=dtype)
+        opt_state = opt.init(lora)      # inherits the stage shardings
+    else:
+        params = place_blip2_params(mesh, params)
+        lora = shard_params(mesh, lora)
+        opt, step = make_lora_train_step(cfg, params, mesh=mesh,
+                                         compute_dtype=dtype)
+        eval_step = make_eval_step(cfg, params, aft, mesh=mesh,
+                                   compute_dtype=dtype)
+        opt_state = shard_params(mesh, opt.init(lora))
     logger = MetricsLogger(args.name or "blip2_lora", use_wandb=args.wandb,
                            config=vars(args))
 
@@ -174,9 +305,45 @@ def main(argv=None):
     # base checkpoint, hence the separate flag)
     resume = maybe_load_resume(args.resume_from)
     if resume is not None:
-        lora = shard_params(mesh, resume["params"])
-        opt_state = shard_params(mesh, restore_opt_state(
-            opt, jax.device_get(lora), resume["opt_state"]))
+        if n_pipe > 1:
+            # pp RESUME payloads are stage-stacked (leading [S] dim) —
+            # continuation requires the same pipe size; BEST checkpoints
+            # are saved in the portable per-layer form instead
+            from ..parallel import pp as ppp
+            if all(k.isdigit() for k in resume["params"]):
+                raise SystemExit(
+                    "--resume_from payload is per-layer (saved by a dp/tp "
+                    "run); resume with the same --mesh_shape")
+            lead = jax.tree_util.tree_leaves(resume["params"])[0].shape[0]
+            if lead != n_pipe:
+                raise SystemExit(
+                    f"--resume_from was saved with pipe:{lead}; resume "
+                    f"with the same mesh (got pipe:{n_pipe})")
+            lora = ppp.shard_pipeline_params(mesh, resume["params"])
+            # re-place exactly like the fresh opt.init(lora) the step was
+            # built against: mu/nu committed on the adapters' pipe
+            # shardings, but the scalar AdamW count left UNCOMMITTED —
+            # committing it (plain device_put) pins it to one device,
+            # which the step's inherit-placement (in_shardings=None) jit
+            # rejects against the mesh-committed towers
+            fresh = opt.init(lora)
+            opt_state = jax.tree_util.tree_map(
+                lambda f, h: (jax.device_put(h, f.sharding)
+                              if f.committed else jnp.asarray(h)),
+                fresh, restore_opt_state(opt, jax.device_get(lora),
+                                         resume["opt_state"]))
+        else:
+            if not all(k.isdigit() for k in resume["params"]):
+                # a pipe:N run's RESUME is stage-stacked ({q,k} at the
+                # top, layers folded into a leading dim) — loading it on
+                # the dp path would silently train with NO adapters
+                # (per-layer .get("0") lookups all miss)
+                raise SystemExit(
+                    "--resume_from payload is stage-stacked (saved by a "
+                    "pipe:N run); resume with the same --mesh_shape")
+            lora = shard_params(mesh, resume["params"])
+            opt_state = shard_params(mesh, restore_opt_state(
+                opt, jax.device_get(lora), resume["opt_state"]))
         rng = jnp.asarray(resume["rng"])
         m = resume["meta"]
         start_epoch = int(m["epoch"]) + 1
@@ -201,9 +368,17 @@ def main(argv=None):
                     "epoch_time_seconds": time.time() - t0})
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} val_acc={val_acc:.2f}")
         if val_acc > best.best_val_acc:
+            if n_pipe > 1:
+                # portable per-layer form: blip2_test / serve load BEST
+                # adapters on the dp/tp paths regardless of the train mesh
+                from ..parallel import pp as ppp
+                best_lora = ppp.unstack_pipeline_lora(jax.device_get(lora))
+            else:
+                best_lora = lora
             best = PhaseResult(val_acc, epoch, save_best(
-                {"lora": lora}, {}, model_name="blip2_lora", epoch=epoch,
-                val_acc=val_acc, args=args, fine_tuning=False))
+                {"lora": best_lora}, {}, model_name="blip2_lora",
+                epoch=epoch, val_acc=val_acc, args=args,
+                fine_tuning=False))
         save_train_state(out_root=".", model_name="blip2_lora",
                          params=lora, state={}, opt_state=opt_state,
                          rng=rng, epoch=epoch, phase_name="train",

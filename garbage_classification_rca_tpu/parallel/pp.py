@@ -90,6 +90,23 @@ def stack_pipeline_lora(lora, n_layers: int, n_stages: int):
                                  n_stages)
 
 
+def unstack_pipeline_params(stacked):
+    """Inverse of stack_pipeline_params: [S, L/S, ...]-stacked pytree ->
+    flat [L] list of per-layer trees. For checkpoint boundaries (BEST
+    adapters are saved in the portable per-layer form so the dp/tp eval
+    CLIs can load them)."""
+    lead = jax.tree_util.tree_leaves(stacked)[0].shape[:2]
+    s, per = int(lead[0]), int(lead[1])
+    return [jax.tree_util.tree_map(lambda x: x[i][j], stacked)
+            for i in range(s) for j in range(per)]
+
+
+def unstack_pipeline_lora(stacked):
+    """Inverse of stack_pipeline_lora: back to the string-keyed per-layer
+    dict (orbax-safe keys — see blip2.init_lora's string-key note)."""
+    return {str(i): l for i, l in enumerate(unstack_pipeline_params(stacked))}
+
+
 def pp_decode_hidden(params, stage_layers, inputs_embeds, attention_mask,
                      cfg, mesh: Mesh, n_microbatches: int,
                      axis: str = PIPE_AXIS, train: bool = False,
@@ -293,15 +310,10 @@ def pp_blip2_lm_loss(params, stage_layers, stage_lora, pixel_values,
     semantics as the single-device path (tests/test_pp_train.py asserts
     loss AND lora-grad parity)."""
     from ..models.vlm import blip2 as b2
-    from ..models.vlm.opt import embed_tokens, lm_head, shifted_ce
-    from ..nn import core as nn
+    from ..models.vlm.opt import lm_head, shifted_ce
 
-    q = b2.query_features(params, pixel_values, cfg)
-    q_emb = nn.linear(params["projection"], q)
-    t_emb = embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
-    embeds = jnp.concatenate([q_emb, t_emb], axis=1)
-    q_mask = jnp.ones(q_emb.shape[:2], attention_mask.dtype)
-    mask = jnp.concatenate([q_mask, attention_mask], axis=1)
+    embeds, mask = b2.prompt_embeds(params, pixel_values, input_ids,
+                                    attention_mask, cfg)
     h = pp_decode_hidden(params["opt"], stage_layers, embeds, mask,
                          cfg.opt, mesh, n_microbatches, axis, train=True,
                          stage_lora=stage_lora, lora_scale=cfg.lora_scale,

@@ -156,6 +156,48 @@ def _assert_resume_bit_identical(main, model_name, base_flags, tmp_path,
             == resumed["meta"]["best_val_acc"])
 
 
+def test_blip2_train_pp_matches_dp(tiny_dataset, tmp_path, monkeypatch):
+    """--mesh_shape=data:2,pipe:2 GPipe-trains the adapters over a
+    stage-sharded decoder: per-epoch losses and val accuracy must equal
+    the dp run (GPipe accumulation is exact), and the BEST checkpoint
+    must be the portable per-layer form the dp/tp eval CLIs load."""
+    import json
+
+    from garbage_classification_rca_tpu.cli import blip2_train
+    from garbage_classification_rca_tpu.train.engine import load_orbax
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    flags = [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+             "--batch_size=4", "--epochs=2"]
+
+    def run(sub, extra):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        monkeypatch.chdir(d)
+        best = blip2_train.main(flags + extra)
+        monkeypatch.chdir(tmp_path)
+        losses = [json.loads(l)["avg_loss"]
+                  for p in glob.glob(str(d / "runs" / "*.jsonl"))
+                  for l in open(p) if "avg_loss" in l]
+        return best, losses, d
+
+    b_dp, l_dp, _ = run("dp_run", [])
+    b_pp, l_pp, d_pp = run("pp_run", ["--mesh_shape=data:2,pipe:2"])
+
+    assert b_dp.best_val_acc == b_pp.best_val_acc
+    assert len(l_dp) == len(l_pp) == 2
+    np.testing.assert_allclose(l_pp, l_dp, rtol=1e-4,
+                               err_msg="pp losses != dp losses")
+    # BEST adapters: per-layer string-keyed dict, loadable like any
+    # dp-trained checkpoint (blip2_test --model_path path)
+    best_dirs = glob.glob(str(d_pp / "model_weights" / "blip2_lora" /
+                              "BEST_*"))
+    assert best_dirs
+    restored, _ = load_orbax(best_dirs[0])
+    assert set(restored["lora"].keys()) == {"0", "1"}
+    assert set(restored["lora"]["0"].keys()) == {"q", "k"}
+
+
 def test_blip2_train_full_resume_bit_identical(tiny_dataset, tmp_path,
                                                monkeypatch):
     """Interrupt-after-epoch-0 + --resume_from == uninterrupted 2-epoch
@@ -168,6 +210,48 @@ def test_blip2_train_full_resume_bit_identical(tiny_dataset, tmp_path,
         [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
          "--batch_size=4"],
         tmp_path, monkeypatch)
+
+
+def test_blip2_train_pp_full_resume_bit_identical(tiny_dataset, tmp_path,
+                                                  monkeypatch):
+    """Resume under GPipe: the stage-stacked RESUME payload (adapters +
+    AdamW state re-placed on the pipe shardings) continues bit-identically,
+    like the dp path."""
+    from garbage_classification_rca_tpu.cli import blip2_train
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    _assert_resume_bit_identical(
+        blip2_train.main, "blip2_lora",
+        [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+         "--batch_size=4", "--mesh_shape=data:2,pipe:2"],
+        tmp_path, monkeypatch)
+
+
+def test_blip2_train_resume_mesh_mismatch_guarded(tiny_dataset, tmp_path,
+                                                  monkeypatch):
+    """A RESUME payload saved under one mesh must be rejected loudly on
+    the other: dp-resume of a pipe payload would otherwise silently train
+    with NO adapters (per-layer .get lookups all miss on the
+    stage-stacked tree), and vice versa."""
+    from garbage_classification_rca_tpu.cli import blip2_train
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    flags = [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+             "--batch_size=4", "--epochs=1"]
+    monkeypatch.chdir(tmp_path)
+    blip2_train.main(flags + ["--mesh_shape=data:2,pipe:2"])
+    resume = ["--resume_from=model_weights/blip2_lora/RESUME",
+              "--epochs=2"]
+    with pytest.raises(SystemExit, match="stage-stacked"):
+        blip2_train.main(flags + resume)           # pipe payload, dp mesh
+    d2 = tmp_path / "dp2"
+    d2.mkdir()
+    monkeypatch.chdir(d2)
+    blip2_train.main(flags)
+    monkeypatch.chdir(d2)
+    with pytest.raises(SystemExit, match="per-layer"):
+        blip2_train.main(flags + resume +
+                         ["--mesh_shape=data:2,pipe:2"])  # dp payload, pp
 
 
 def test_qformer_train_full_resume_bit_identical(tiny_dataset, tmp_path,

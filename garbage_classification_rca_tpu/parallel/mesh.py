@@ -51,7 +51,13 @@ def make_mesh(spec: str = "data:-1",
 
 
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard leading (batch) dim over `axis`, replicate the rest."""
+    """Shard leading (batch) dim over `axis`, replicate the rest.
+
+    A mesh without `axis` (e.g. --mesh_shape=pipe:2 with no data axis)
+    replicates the batch — NamedSharding would otherwise raise a cryptic
+    "resource axis not found" at step-construction time."""
+    if axis not in mesh.axis_names:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis))
 
 

@@ -127,9 +127,14 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
 
 
 def microbatch_sharding(mesh):
-    """Sharding for [acc, B, ...] stacked batches: batch axis over 'data'."""
+    """Sharding for [acc, B, ...] stacked batches: batch axis over 'data'.
+
+    Data-less meshes (e.g. a pure pipe: mesh) replicate the stack — see
+    parallel.mesh.batch_sharding."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if "data" not in mesh.axis_names:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(None, "data"))
 
 

@@ -183,11 +183,15 @@ def test_blip2_train_pp_matches_dp(tiny_dataset, tmp_path, monkeypatch):
 
     b_dp, l_dp, _ = run("dp_run", [])
     b_pp, l_pp, d_pp = run("pp_run", ["--mesh_shape=data:2,pipe:2"])
+    # a data-less mesh must work too (batch replicated, decoder pipelined)
+    b_po, l_po, _ = run("pipe_only_run", ["--mesh_shape=pipe:2"])
 
-    assert b_dp.best_val_acc == b_pp.best_val_acc
-    assert len(l_dp) == len(l_pp) == 2
+    assert b_dp.best_val_acc == b_pp.best_val_acc == b_po.best_val_acc
+    assert len(l_dp) == len(l_pp) == len(l_po) == 2
     np.testing.assert_allclose(l_pp, l_dp, rtol=1e-4,
                                err_msg="pp losses != dp losses")
+    np.testing.assert_allclose(l_po, l_dp, rtol=1e-4,
+                               err_msg="pipe-only losses != dp losses")
     # BEST adapters: per-layer string-keyed dict, loadable like any
     # dp-trained checkpoint (blip2_test --model_path path)
     best_dirs = glob.glob(str(d_pp / "model_weights" / "blip2_lora" /
@@ -248,7 +252,6 @@ def test_blip2_train_resume_mesh_mismatch_guarded(tiny_dataset, tmp_path,
     d2.mkdir()
     monkeypatch.chdir(d2)
     blip2_train.main(flags)
-    monkeypatch.chdir(d2)
     with pytest.raises(SystemExit, match="per-layer"):
         blip2_train.main(flags + resume +
                          ["--mesh_shape=data:2,pipe:2"])  # dp payload, pp

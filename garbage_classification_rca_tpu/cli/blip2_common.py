@@ -56,6 +56,40 @@ def place_blip2_params(mesh, params):
     return shard_params(mesh, params)
 
 
+def setup_pipeline(cfg, params, lora, mesh):
+    """Stage-shard the OPT decoder over the mesh's 'pipe' axis for the
+    GPipe train/eval/generate paths (parallel/pp.py).
+
+    Returns (params, stage_layers, stage_lora): params with its
+    ``opt.layers`` list emptied (the replicated decoder copy is dropped —
+    that memory saving is the point of pipelining) and the remaining
+    towers placed via place_blip2_params; per-layer adapters come back
+    stage-stacked (pass lora=None for base weights only). Guards the
+    unsupported model+pipe combination and non-dividing layer counts with
+    clean exits — shared by blip2_train and blip2_test so the mesh
+    contract cannot drift between them."""
+    from ..parallel import pp as ppp
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_pipe = sizes.get("pipe", 1)
+    if sizes.get("model", 1) > 1:
+        raise SystemExit("--mesh_shape: combine pipe with data only "
+                         "(model-axis TP of a stage-sharded decoder "
+                         "is not supported)")
+    if cfg.opt.layers % n_pipe:
+        raise SystemExit(f"--mesh_shape pipe:{n_pipe} must divide the "
+                         f"{cfg.opt.layers}-layer OPT decoder")
+    stage_layers = ppp.shard_pipeline_params(
+        mesh, ppp.stack_pipeline_params(params["opt"]["layers"], n_pipe))
+    params = {**params, "opt": {**params["opt"], "layers": []}}
+    params = place_blip2_params(mesh, params)
+    stage_lora = None
+    if lora is not None:
+        stage_lora = ppp.shard_pipeline_params(
+            mesh, ppp.stack_pipeline_lora(lora, cfg.opt.layers, n_pipe))
+    return params, stage_layers, stage_lora
+
+
 class Blip2Batcher:
     """Host batches: CLIP-preprocessed uint8 images + left-padded prompt
     tokens + answer-word label tokens + class labels."""

@@ -8,6 +8,13 @@ folder, emit confusion PNG + report CSV.
 Defect fixed knowingly: the reference divides accuracy by a HARD-CODED
 ``len_test_set = 2000`` (blip_2_test_set.py:162,190); we divide by the
 actual dataset size (SURVEY §2 defects list).
+
+Scaling: ``--mesh_shape=data:D`` dp-shards batches,
+``--mesh_shape=data:1,model:M`` Megatron-TP-shards the OPT tower, and
+``--mesh_shape=data:D,pipe:S`` evals through a GPipe-stage-sharded
+decoder (1-token path via make_pp_eval_step, --max_new_tokens>1 via
+parallel.pp.pp_generate with stage-stacked adapters) — reports equal
+the dp run's.
 """
 
 from __future__ import annotations
@@ -47,8 +54,20 @@ def main(argv=None):
 
     from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
     mesh = make_mesh(args.mesh_shape)
-    params = place_blip2_params(mesh, params)
-    lora = shard_params(mesh, lora)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_pipe = sizes.get("pipe", 1)
+    stage_layers = stage_lora = None
+    if n_pipe > 1:
+        # GPipe eval: decoder stage-sharded, adapters stage-stacked —
+        # a pipe-trained model evals through the mesh it trained on
+        # (1-token path via make_pp_eval_step, multi-token via
+        # pp_generate); predictions equal the dp run's
+        from .blip2_common import setup_pipeline
+        params, stage_layers, stage_lora = setup_pipeline(cfg, params,
+                                                          lora, mesh)
+    else:
+        params = place_blip2_params(mesh, params)
+        lora = shard_params(mesh, lora)
 
     import jax.numpy as jnp
     dtype = jnp_compute_dtype(args.compute_dtype)
@@ -56,11 +75,28 @@ def main(argv=None):
     m = build_manifest(args.dataset_folder_name)
     print(f"Num of test images: {len(m)}")
     b = Blip2Batcher(m, tok, workers=args.data_workers)
+    bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
+    if n_pipe > 1:
+        # pp_generate pins one microbatch per stage and dp-shards within
+        # each, so pipe meshes need batch % (pipe * data) == 0; round the
+        # eval batch up — tail padding is masked by `valid` either way
+        pp_unit = n_pipe * sizes.get("data", 1)
+        bs = max(pp_unit, ((bs + pp_unit - 1) // pp_unit) * pp_unit)
     if args.max_new_tokens <= 1:
         # reference path: 1-token constrained decode over the 4 answer words
         aft = answer_first_token_table(b, m.classes)
-        step = make_eval_step(cfg, params, aft, mesh=mesh,
-                              compute_dtype=dtype)
+        if n_pipe > 1:
+            from .blip2_train import make_pp_eval_step, pick_pp_microbatches
+            pstep = make_pp_eval_step(
+                cfg, params, stage_layers, aft, mesh,
+                pick_pp_microbatches(bs, mesh), compute_dtype=dtype)
+
+            def step(lora, batch):
+                del lora                 # adapters live stage-stacked
+                return pstep(stage_lora, batch)
+        else:
+            step = make_eval_step(cfg, params, aft, mesh=mesh,
+                                  compute_dtype=dtype)
     else:
         # serving path: KV-cache greedy decode + the reference's
         # find_closest_string word mapping (blip_2_training.py:118-134) —
@@ -73,35 +109,71 @@ def main(argv=None):
         from .blip2_common import normalize_clip
 
         n_new = args.max_new_tokens
-        if args.int8_weights:
+        if n_pipe > 1:
+            # ring-scheduled pipelined decode (parallel/pp.pp_generate) —
+            # greedy, fp weights; adapters ride stage-stacked
+            if args.gen_temperature > 0:
+                raise SystemExit("--gen_temperature: sampled decode is "
+                                 "not supported on pipe meshes (use a "
+                                 "data/model mesh)")
+            if args.int8_weights:
+                raise SystemExit("--int8_weights: weight-only int8 is "
+                                 "not supported on pipe meshes (use a "
+                                 "data/model mesh; --kv_cache_dtype=int8 "
+                                 "works on both)")
+            from ..parallel import pp as ppp
+            cache_dtype = args.kv_cache_dtype or None
+            bsh = batch_sharding(mesh)
+
+            def _gen_fn(frozen, stages, slora, pix, ids, mask):
+                embeds, full_mask = blip2_mod.prompt_embeds(
+                    frozen, normalize_clip(pix, dtype), ids, mask, cfg)
+                return ppp.pp_generate(frozen["opt"], stages, embeds,
+                                       full_mask, cfg.opt, mesh, n_new,
+                                       cache_dtype=cache_dtype,
+                                       stage_lora=slora,
+                                       lora_scale=cfg.lora_scale)
+
+            pgen = jax.jit(_gen_fn,
+                           in_shardings=(None, None, None, bsh, bsh, bsh),
+                           out_shardings=(bsh, bsh))
+
+            def gen(frozen, lora, pix, ids, mask, rng):
+                del lora, rng            # greedy; adapters stage-stacked
+                return pgen(frozen, stage_layers, stage_lora, pix, ids,
+                            mask)
+
+        elif args.int8_weights:
             # weight-only int8 on the decode-bound OPT tower (the vision/
             # Q-Former towers run once at prefill and stay fp); the LoRA
             # adapters stay fp and add on top of the int8 base projection
             from ..ops.quant import quantize_opt_weights
             params = dict(params, opt=quantize_opt_weights(params["opt"]))
             params = place_blip2_params(mesh, params)
-        sampler = None
-        if args.gen_temperature > 0:
-            # opt-in sampled eval (HF do_sample semantics on-device);
-            # default stays greedy = reference parity
-            from ..ops.sampling import SamplerConfig
-            sampler = SamplerConfig(temperature=args.gen_temperature,
-                                    top_k=args.gen_top_k,
-                                    top_p=args.gen_top_p)
+        if n_pipe == 1:
+            sampler = None
+            if args.gen_temperature > 0:
+                # opt-in sampled eval (HF do_sample semantics on-device);
+                # default stays greedy = reference parity
+                from ..ops.sampling import SamplerConfig
+                sampler = SamplerConfig(temperature=args.gen_temperature,
+                                        top_k=args.gen_top_k,
+                                        top_p=args.gen_top_p)
+            cache_dtype = args.kv_cache_dtype or None
+            bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+            gen = jax.jit(lambda frozen, lora, pix, ids, mask, rng:
+                          blip2_mod.generate(frozen,
+                                             normalize_clip(pix, dtype),
+                                             ids, mask, cfg, lora=lora,
+                                             max_new_tokens=n_new,
+                                             sampler=sampler, rng=rng,
+                                             cache_dtype=cache_dtype),
+                          in_shardings=(None, rsh, bsh, bsh, bsh, rsh),  # frozen: as placed
+                          out_shardings=(bsh, bsh))
         # The key is a jit ARGUMENT (not a captured constant) and is
         # split per batch below — a fixed key baked into the closure
         # would hand every batch the identical Gumbel noise sequence.
         base_rng = jax.random.PRNGKey(args.gen_seed)
-        cache_dtype = args.kv_cache_dtype or None
-        bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
-        gen = jax.jit(lambda frozen, lora, pix, ids, mask, rng:
-                      blip2_mod.generate(frozen, normalize_clip(pix, dtype),
-                                         ids, mask, cfg, lora=lora,
-                                         max_new_tokens=n_new,
-                                         sampler=sampler, rng=rng,
-                                         cache_dtype=cache_dtype),
-                      in_shardings=(None, rsh, bsh, bsh, bsh, rsh),  # frozen: as placed
-                      out_shardings=(bsh, bsh))
         batch_idx = 0
 
         def step(lora, batch):  # same (preds, correct) contract
@@ -123,7 +195,6 @@ def main(argv=None):
             return preds, correct
 
     correct, all_p, all_l = 0, [], []
-    bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
     for batch in b.iter_batches(bs):
         preds, c = step(lora, batch)
         correct += int(c)

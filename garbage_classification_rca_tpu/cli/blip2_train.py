@@ -37,7 +37,7 @@ from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            class_logits_from_next_token, iter_accum_windows,
                            make_accum_step, normalize_clip,
-                           place_blip2_params)
+                           place_blip2_params, setup_pipeline)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -254,24 +254,10 @@ def main(argv=None):
     n_pipe = sizes.get("pipe", 1)
     dtype = jnp_compute_dtype(args.compute_dtype)
     if n_pipe > 1:
-        # GPipe: the OPT decoder lives stage-sharded over 'pipe' (its
-        # replicated copy is dropped — that memory saving is the point of
-        # pipelining); adapters train stage-stacked (parallel/pp.py)
-        from ..parallel import pp as ppp
-        if sizes.get("model", 1) > 1:
-            raise SystemExit("--mesh_shape: combine pipe with data only "
-                             "(model-axis TP of a stage-sharded decoder "
-                             "is not supported)")
-        if cfg.opt.layers % n_pipe:
-            raise SystemExit(f"--mesh_shape pipe:{n_pipe} must divide the "
-                             f"{cfg.opt.layers}-layer OPT decoder")
-        stage_layers = ppp.shard_pipeline_params(
-            mesh, ppp.stack_pipeline_params(params["opt"]["layers"],
-                                            n_pipe))
-        params = {**params, "opt": {**params["opt"], "layers": []}}
-        params = place_blip2_params(mesh, params)
-        lora = ppp.shard_pipeline_params(
-            mesh, ppp.stack_pipeline_lora(lora, cfg.opt.layers, n_pipe))
+        # GPipe: the OPT decoder lives stage-sharded over 'pipe';
+        # adapters train stage-stacked (blip2_common.setup_pipeline)
+        params, stage_layers, lora = setup_pipeline(cfg, params, lora,
+                                                    mesh)
         n_micro = pick_pp_microbatches(args.batch_size, mesh)
         print(f"GPipe over pipe:{n_pipe}, {n_micro} pipeline microbatches")
         opt, step = make_pp_lora_train_step(cfg, params, stage_layers,

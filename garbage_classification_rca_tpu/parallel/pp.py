@@ -29,8 +29,9 @@ recompute for activation memory via `jax.checkpoint` on the layer body.
 GPipe with exact microbatch accumulation is mathematically identical to
 single-device large-batch training — asserted in tests/test_pp_train.py.
 
-Generation-side LoRA stays unsupported (`pp_generate` runs merged/base
-weights — serving adapters live on the dp/tp paths).
+Generation supports stage-stacked LoRA too (`pp_generate(stage_lora=...)`)
+so pipe-trained adapters eval/serve through the mesh they trained on;
+sampled decoding stays on the dp/tp paths (opt.generate's sampler).
 """
 
 from __future__ import annotations
@@ -352,7 +353,8 @@ def make_pp_blip2_train_step(tx, cfg, mesh: Mesh, n_microbatches: int,
 
 def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                 mesh: Mesh, max_new_tokens: int, eos_id: int = 2,
-                axis: str = PIPE_AXIS, cache_dtype=None):
+                axis: str = PIPE_AXIS, cache_dtype=None,
+                stage_lora=None, lora_scale: float = 1.0):
     """Pipelined greedy KV-cache generation — the pp twin of the serving
     path (models/vlm/opt.py prefill + decode_step; semantics of
     blip2.generate's token loop, blip2.py:167-226).
@@ -375,10 +377,13 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     ticks of one-token stage steps. Static shapes throughout.
 
     Composes with dp exactly like pp_decode_hidden (sample dim sharded
-    over a 'data' mesh axis when present). LoRA and sampling are
-    intentionally not supported here (serving runs merged/base weights —
-    adapters live on the dp/tp paths; for sampled decoding use
-    opt.generate's sampler on those paths).
+    over a 'data' mesh axis when present). stage_lora (the
+    stack_pipeline_lora layout, stage dim sharded like stage_layers)
+    applies q/k low-rank updates inside every prefill and decode layer —
+    token streams match opt.generate with the same per-layer adapters
+    exactly (tests/test_pp.py), so a pipe-trained LoRA model evals
+    through the mesh it trained on. Sampling stays unsupported (for
+    sampled decoding use opt.generate's sampler on the dp/tp paths).
 
     Returns (tokens [B, max_new_tokens] int32, valid [B, max_new_tokens]
     bool) — identical contract to blip2.generate: each row's EOS token is
@@ -437,9 +442,10 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     fln = params["final_ln"]
     dtype = inputs_embeds.dtype
 
-    def per_device(local_layers, h_all, bias_all, bmask_all, nvalid_all,
-                   last_all, emb_w, pos_w, fln):
+    def per_device(local_layers, local_lora, h_all, bias_all, bmask_all,
+                   nvalid_all, last_all, emb_w, pos_w, fln):
         local_layers = jax.tree_util.tree_map(lambda x: x[0], local_layers)
+        local_lora = jax.tree_util.tree_map(lambda x: x[0], local_lora)
         n_loc = jax.tree_util.tree_leaves(local_layers)[0].shape[0]
         s = jax.lax.axis_index(axis)
         mb_loc = h_all.shape[1]
@@ -486,11 +492,14 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
                           blk)
             bi = jax.lax.dynamic_index_in_dim(bias_all, mi, 0, False)
 
-            def lyr(hc, lp):
-                hc, k, v = layer_prefill(lp, hc, bi, cfg)
+            def lyr(hc, xs):
+                lp, ll = xs
+                hc, k, v = layer_prefill(lp, hc, bi, cfg, lora=ll,
+                                         lora_scale=lora_scale)
                 return hc, (k, v)
 
-            h_out, (ks, vs) = jax.lax.scan(lyr, x, local_layers)
+            h_out, (ks, vs) = jax.lax.scan(lyr, x,
+                                           (local_layers, local_lora))
             kp = jnp.pad(ks, ((0, 0), (0, 0), (0, n_new), (0, 0)))
             vp = jnp.pad(vs, ((0, 0), (0, 0), (0, n_new), (0, 0)))
             if quantized:
@@ -559,24 +568,27 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
 
             if quantized:
                 def lyr(hc, xs):
-                    lp, ckq, cks, cvq, cvs = xs
+                    lp, ll, ckq, cks, cvq, cvs = xs
                     hc, ckq, cks, cvq, cvs = layer_decode_q(
-                        lp, hc, ckq, cks, cvq, cvs, widx, bi, cfg)
+                        lp, hc, ckq, cks, cvq, cvs, widx, bi, cfg,
+                        lora=ll, lora_scale=lora_scale)
                     return hc, {"k": ckq, "k_scale": cks,
                                 "v": cvq, "v_scale": cvs}
 
                 h_out, new = jax.lax.scan(
-                    lyr, h_in, (local_layers, cur["k"], cur["k_scale"],
-                                cur["v"], cur["v_scale"]))
+                    lyr, h_in, (local_layers, local_lora, cur["k"],
+                                cur["k_scale"], cur["v"], cur["v_scale"]))
             else:
                 def lyr(hc, xs):
-                    lp, ckl, cvl = xs
+                    lp, ll, ckl, cvl = xs
                     hc, ckl, cvl = layer_decode(lp, hc, ckl, cvl, widx,
-                                                bi, cfg)
+                                                bi, cfg, lora=ll,
+                                                lora_scale=lora_scale)
                     return hc, {"k": ckl, "v": cvl}
 
                 h_out, new = jax.lax.scan(
-                    lyr, h_in, (local_layers, cur["k"], cur["v"]))
+                    lyr, h_in, (local_layers, local_lora, cur["k"],
+                                cur["v"]))
             # slice-gated write (see prefill_tick): never select on the
             # full cache buffer
             caches = {
@@ -619,8 +631,8 @@ def pp_generate(params, stage_layers, inputs_embeds, attention_mask, cfg,
     dp3 = P(None, dp_axis, None) if dp_axis else P()
     toks, valid = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis), dp, dp, dp, dp, dp, P(), P(), P()),
+        in_specs=(P(axis), P(axis), dp, dp, dp, dp, dp, P(), P(), P()),
         out_specs=(dp3, dp3), check_vma=False)(
-        stage_layers, h_mb, bias_mb, basemask_mb, nvalid_mb, last_mb,
-        emb_w, pos_w, fln)
+        stage_layers, stage_lora, h_mb, bias_mb, basemask_mb, nvalid_mb,
+        last_mb, emb_w, pos_w, fln)
     return toks.reshape(b, n_new), valid.reshape(b, n_new).astype(bool)

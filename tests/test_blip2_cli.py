@@ -102,6 +102,27 @@ def test_blip2_cli_tp_mesh_same_report(tiny_dataset, tmp_path, monkeypatch):
         assert a.read() == b.read()
 
 
+def test_blip2_cli_pipe_mesh_same_report(tiny_dataset, tmp_path,
+                                         monkeypatch):
+    """--mesh_shape=data:2,pipe:2 evals through the GPipe-stage-sharded
+    decoder on BOTH eval paths (1-token constrained decode and
+    --max_new_tokens>1 via pp_generate with stage-stacked adapters) and
+    must reproduce the dp run's report byte-for-byte."""
+    from garbage_classification_rca_tpu.cli import blip2_test
+
+    flags = [f"--dataset_folder_name={tiny_dataset}",
+             f"--vocab_dir={BPE_VOCAB}", "--eval_batch_size=4"]
+    for name, extra in (("1tok", []), ("gen", ["--max_new_tokens=3"])):
+        acc1, csv1 = _run(blip2_test.main, flags + extra, tmp_path,
+                          monkeypatch, f"pp_dp_{name}")
+        acc2, csv2 = _run(blip2_test.main,
+                          flags + extra + ["--mesh_shape=data:2,pipe:2"],
+                          tmp_path, monkeypatch, f"pp_pipe_{name}")
+        assert acc1 == acc2, name
+        with open(csv1) as a, open(csv2) as b:
+            assert a.read() == b.read(), name
+
+
 def test_blip2_cli_int8_kv_cache(tiny_dataset, tmp_path, monkeypatch):
     """--kv_cache_dtype=int8 runs the quantized serving cache through
     the full CLI (library parity is pinned in test_quant.py)."""

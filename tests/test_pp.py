@@ -160,6 +160,43 @@ def test_pp_generate_matches_single_device(mesh_spec, n_stages):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
+def test_pp_generate_with_lora_matches_single_device():
+    """stage_lora applies the per-layer q/k adapters inside the ring —
+    tokens must equal opt.generate with the same adapters (and differ
+    from the base model, so the adapters demonstrably fired)."""
+    cfg, params = _tiny_opt()
+    emb, mask = _inputs(cfg, b=8, l=7)
+    rng = jax.random.PRNGKey(3)
+    # adapters with non-zero B so they change the logits
+    lora = {}
+    for i in range(cfg.layers):
+        k = jax.random.fold_in(rng, i)
+        ka, kb = jax.random.split(k)
+        lora[str(i)] = {
+            name: {"a": jax.random.normal(jax.random.fold_in(ka, j),
+                                          (cfg.hidden, 4)) * 0.3,
+                   "b": jax.random.normal(jax.random.fold_in(kb, j),
+                                          (4, cfg.hidden)) * 0.3}
+            for j, name in enumerate(("q", "k"))}
+    want_t, want_v = opt.generate(params, emb, mask, cfg,
+                                  max_new_tokens=5, lora=lora,
+                                  lora_scale=0.25)
+    base_t, _ = opt.generate(params, emb, mask, cfg, max_new_tokens=5)
+    assert not np.array_equal(np.asarray(want_t), np.asarray(base_t))
+
+    mesh = make_mesh("data:2,pipe:4")
+    stacked = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_params(params["layers"], 4))
+    slora = pp.shard_pipeline_params(
+        mesh, pp.stack_pipeline_lora(lora, cfg.layers, 4))
+    got_t, got_v = pp.pp_generate(params, stacked, emb, mask, cfg, mesh,
+                                  max_new_tokens=5, stage_lora=slora,
+                                  lora_scale=0.25)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t),
+                                  err_msg="pp+lora tokens != single-device")
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
 def test_pp_generate_eos_semantics():
     """Pick an eos id that actually occurs mid-stream; both paths must
     mark it as the last valid entry and mask everything after it."""

@@ -98,8 +98,15 @@ def _warp_bilinear(img_f32, mat, h, w):
     return out
 
 
-_SHARP_ID = jnp.zeros((3, 3)).at[1, 1].set(1.0)
-_LAPLACE = jnp.array([[-1., -1., -1.], [-1., 8., -1.], [-1., -1., -1.]]) / 8.0
+def _sharpen_kernels():
+    """Built lazily (they become jit constants anyway): module-level jnp
+    arrays would initialize the JAX backend as an import side effect,
+    racing GC_RCA_PLATFORM pinning / jax.distributed.initialize for
+    anyone importing this module before configuring JAX."""
+    ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+    laplace = jnp.array([[-1., -1., -1.], [-1., 8., -1.],
+                         [-1., -1., -1.]]) / 8.0
+    return ident, laplace
 
 
 def _dwconv(img, kernel):
@@ -149,7 +156,8 @@ def _augment_one(key, img_u8, p: float):
     # sharpen (unsharp: blend identity with edge-enhanced)
     s_alpha = _rand(keys[12], 0.2, 0.5)
     light = _rand(keys[13], 0.5, 1.0)
-    sharp = _dwconv(x, _SHARP_ID + _LAPLACE * light)
+    ident, laplace = _sharpen_kernels()
+    sharp = _dwconv(x, ident + laplace * light)
     sh = (1 - s_alpha) * x + s_alpha * sharp
     x = jnp.where(jax.random.uniform(keys[14]) < p, sh, x)
 

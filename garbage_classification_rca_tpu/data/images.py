@@ -94,11 +94,18 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 def blip_preprocess_image(path: str, size: int = 224) -> np.ndarray:
     """HF BlipImageProcessor host path: bicubic resize to (size, size),
-    uint8 out (CLIP normalization happens on device)."""
-    import cv2
+    uint8 out (CLIP normalization happens on device).
 
-    img = load_rgb(path)
-    return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+    Resizes via PIL like HF image processors do — PIL's bicubic scales its
+    filter support to the reduction factor (antialiased), where
+    cv2.INTER_CUBIC samples a fixed 4x4 neighborhood and aliases on
+    downscale; photos would diverge materially from the reference
+    pipeline's pixels (tests/test_blip2_preprocess.py pins HF parity)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BICUBIC)
+        return np.asarray(im)
 
 
 def normalize_on_device(x_uint8, mean=None, std=None, dtype=None):

@@ -119,7 +119,11 @@ def build_manifest(root: str, extended_desc: Optional[str] = None) -> Manifest:
                 text = pre_process_text(Path(path).stem)
                 long_text = ""
                 if lookup is not None:
-                    key = os.path.join(Path(path).parent.name, fname)
+                    # keyed class/file.jpg (CustomImageTextFolder.py:81-112)
+                    # — the CLASS dir, not the immediate parent: images in
+                    # nested subfolders would otherwise silently miss
+                    # their captions
+                    key = os.path.join(cls, fname)
                     long_text = lookup.get(key, "") or ""
                 s = Sample(path, text, idx, long_text)
                 samples.append(s)

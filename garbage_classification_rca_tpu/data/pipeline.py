@@ -113,9 +113,16 @@ class ImageTextBatcher:
                                                      target_ar=w / h)
                 if res is not None:
                     out, ok = res
-                    for i in np.flatnonzero(~ok):
-                        out[i] = self._pil_pad_resize(
-                            [load_rgb(samples[i].image_path)], h, w)[0]
+                    bad = np.flatnonzero(~ok)
+                    if bad.size:
+                        # refused files (non-JPEG/CMYK/truncated) fall
+                        # back to PIL as ONE pooled decode + batched
+                        # pad/resize — a serial per-image loop here would
+                        # negate the native speedup on mixed-format sets
+                        raw = list(self.pool.map(
+                            lambda i: load_rgb(samples[i].image_path),
+                            bad))
+                        out[bad] = self._pil_pad_resize(raw, h, w)
             if out is None:
                 raw = list(self.pool.map(
                     lambda s: load_rgb(s.image_path), samples))

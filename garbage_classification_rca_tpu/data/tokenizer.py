@@ -109,7 +109,9 @@ class WordPieceTokenizer(BaseTokenizer):
         vocab = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                vocab[line.rstrip("\n")] = i
+                # \r too: a CRLF vocab.txt would otherwise miss EVERY
+                # entry (incl. [CLS]/[SEP]) and encode everything to UNK
+                vocab[line.rstrip("\r\n")] = i
         return cls(vocab, lowercase)
 
     def _wordpiece(self, word: str) -> List[int]:
@@ -183,8 +185,12 @@ class ByteLevelBPETokenizer(BaseTokenizer):
             vocab = json.load(f)
         merges = []
         with open(merges_txt, encoding="utf-8") as f:
-            for line in f:
-                if line.startswith("#") or not line.strip():
+            for n, line in enumerate(f):
+                # only the FIRST line is a header ("#version: ..."):
+                # real merges can begin with '#' (GPT-2 has "# #" -> "##"
+                # etc.) and must not be dropped, or any text containing
+                # '#' runs tokenizes differently from HF
+                if (n == 0 and line.startswith("#")) or not line.strip():
                     continue
                 a, b = line.split()
                 merges.append((a, b))
@@ -259,12 +265,14 @@ class HashTokenizer(BaseTokenizer):
     files ship. Stable across processes (FNV-1a, not Python hash())."""
 
     def __init__(self, vocab_size: int = 30522, cls_id: int = 101,
-                 sep_id: int = 102, pad_id: int = 0, reserved: int = 1000):
+                 sep_id: int = 102, pad_id: int = 0, reserved: int = 1000,
+                 append_sep: bool = True):
         self.vocab_size = vocab_size
         self.cls_id = cls_id
         self.sep_id = sep_id
         self.pad_id = pad_id
         self.reserved = reserved
+        self.append_sep = append_sep
 
     @staticmethod
     def _fnv1a(s: str) -> int:
@@ -278,7 +286,10 @@ class HashTokenizer(BaseTokenizer):
         span = self.vocab_size - self.reserved
         for w in basic_tokenize(text):
             ids.append(self.reserved + self._fnv1a(w) % span)
-        ids = ids[:max_len - 1] + [self.sep_id]
+        if self.append_sep:
+            ids = ids[:max_len - 1] + [self.sep_id]
+        else:
+            ids = ids[:max_len]
         return ids, [1] * len(ids)
 
     def decode(self, ids) -> str:
@@ -288,17 +299,12 @@ class HashTokenizer(BaseTokenizer):
         return " ".join(f"<{int(i)}>" for i in ids if int(i) not in skip)
 
 
-# reference text_models.py — per-tower max token sizes (config defaults)
-MAX_TOKEN_SIZES = {
-    "distilbert": 512, "bert": 512, "mobilebert": 512, "mobile_bert": 512,
-    "roberta": 514, "bart": 1024, "gpt2": 1024,
-}
-
 # practical sequence length for the garbage texts (a few words or one
 # caption sentence). The reference pads to the full max_position_embeddings
-# (512-1024) and burns FLOPs on padding; we default to a 64-token bucket —
-# a pure-performance win with identical results for in-range texts. Pass
-# ``full_parity=True`` to reproduce reference padding exactly.
+# (512-1024, each tower's registry extras carry its max_token_size) and
+# burns FLOPs on padding; we default to a 64-token bucket — a
+# pure-performance win with identical results for in-range texts. Pass
+# ``--seq_len <max_token_size>`` to reproduce reference padding exactly.
 DEFAULT_SEQ_LEN = 64
 
 
@@ -339,7 +345,15 @@ def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseToken
                 if model_name == "opt":
                     return ByteLevelBPETokenizer.from_files(
                         vj, mt, bos="</s>", pad="<pad>")
-                return ByteLevelBPETokenizer.from_files(vj, mt)
+                tok = ByteLevelBPETokenizer.from_files(vj, mt)
+                # GPT-2 has no pad token; the reference pads with eos
+                # (text_models.py:138,156). Without this the pad falls
+                # back to id 0 ('!'), which breaks the classifier's
+                # last-real-token pooling (gpt2.py PAD_ID=50256) and
+                # makes decode() drop legitimate '!' tokens.
+                if "<|endoftext|>" in tok.vocab:
+                    tok.pad_id = tok.vocab["<|endoftext|>"]
+                return tok
     print(f"WARNING: no vocab files for '{model_name}'"
           f"{f' under {vocab_dir}' if vocab_dir else ''} — using the "
           "deterministic HashTokenizer fallback. Hash ids are MEANINGLESS "
@@ -352,10 +366,10 @@ def get_tokenizer(model_name: str, vocab_dir: Optional[str] = None) -> BaseToken
                              pad_id=50256)
     if model_name == "opt":
         # OPT: GPT-2-style byte BPE, bos=</s>(2), pad=<pad>(1); the hash
-        # fallback emits bos + hashed words (no trailing sep)
-        return HashTokenizer(vocab_size=50272, cls_id=2, sep_id=2, pad_id=1)
+        # fallback emits bos + hashed words with NO trailing sep, the same
+        # sequence shape as the real-vocab path (bos only)
+        return HashTokenizer(vocab_size=50272, cls_id=2, sep_id=2, pad_id=1,
+                             append_sep=False)
     return HashTokenizer()
 
 
-def max_token_size(model_name: str) -> int:
-    return MAX_TOKEN_SIZES[model_name]

@@ -28,7 +28,7 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 
 
 def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
-                   donate: bool = False, norm_stats=None):
+                   norm_stats=None):
     """Build the jitted eval step for an image model.
 
     apply_fn(params, state, images_normalized) -> (logits, state)

@@ -28,7 +28,7 @@ import pytest  # noqa: E402
 # `pytest -m "not slow"` (~2 min); the full suite is ~15 min on one core
 SLOW_MODULES = {
     "test_bart", "test_mobilebert", "test_blip2", "test_blip2_real_layout",
-    "test_blip2_cli",
+    "test_blip2_cli", "test_blip2_preprocess",
     "test_fusion", "test_report_identity",
     "test_fusion_train", "test_efficientnet", "test_vit",
     "test_large_variants", "test_real_checkpoints", "test_convert_audit",

@@ -86,9 +86,20 @@ def shard_params_fsdp(mesh: Mesh, tree, axis: str = DATA_AXIS,
 def param_placer(mesh: Optional[Mesh], use_fsdp: bool):
     """The placement function a train CLI applies to params / BN state /
     optimizer state: FSDP-sharded when requested, replicated otherwise."""
+    import jax
+
     from .mesh import shard_params
 
     if mesh is not None and use_fsdp:
+        if jax.process_count() > 1:
+            # checkpointing device_gets params every epoch, which cannot
+            # read an array spanning non-addressable devices — without
+            # this guard the run burns a full epoch and THEN crashes at
+            # the first save (multihost.py documents the limitation)
+            raise SystemExit(
+                "--fsdp is not supported under multi-host "
+                "(GC_RCA_MULTIHOST) runs: checkpoint saves gather params "
+                "to the host. Run FSDP single-process or drop --fsdp.")
         return lambda tree: shard_params_fsdp(mesh, tree)
     if mesh is not None:
         return lambda tree: shard_params(mesh, tree)

@@ -102,9 +102,12 @@ def process_local_rows(sharding, n_rows: int) -> np.ndarray:
 def rows_sharding(mesh, axis: str = "data"):
     """1-D projection of a batch sharding: how dim 0 of size-[B] arrays
     is laid out over ``axis`` (for process_local_rows on batches whose
-    keys differ in rank)."""
+    keys differ in rank). Data-less meshes replicate, matching
+    mesh.batch_sharding — every host then supplies all rows."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if axis not in mesh.axis_names:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis))
 
 

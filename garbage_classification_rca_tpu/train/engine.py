@@ -27,10 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RunConfig
-from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.pipeline import ImageTextBatcher
 from ..data.sampler import imbalanced_sample_order
-from .loop import (all_trainable_mask, head_only_mask, make_train_step,
-                   microbatch_sharding)
+from .loop import microbatch_sharding
 from .optim import (PlateauScheduler, get_learning_rate, make_optimizer,
                     set_learning_rate)
 
@@ -129,7 +128,7 @@ def save_best(params, state, *, model_name: str, epoch: int, val_acc: float,
                                 "state": jax.device_get(state)})
     print(f"Saving weights to {path}")
     if keep_top_k:
-        _prune_best(base, keep_top_k)
+        _prune_best(base, keep_top_k, protect=name)
     return path
 
 
@@ -176,9 +175,14 @@ def check_loaded_tree(loaded_params, init_fn, flag_desc: str) -> None:
         + "— was this run dir trained with a different model flag?")
 
 
-def _prune_best(base: str, keep_top_k: int) -> None:
+def _prune_best(base: str, keep_top_k: int, protect: str = "") -> None:
     """Top-k retention: keep only the k best BEST_* checkpoints per model
-    dir (long runs otherwise accumulate a full param copy per best epoch)."""
+    dir (long runs otherwise accumulate a full param copy per best epoch).
+
+    `protect` (the checkpoint just saved) is never deleted: the model dir
+    is shared across runs, so a rerun whose accuracy trails an earlier
+    run's top-k would otherwise have its fresh best removed right after
+    saving, leaving best_path (recorded in RESUME meta) dangling."""
     import re
     import shutil
 
@@ -187,10 +191,11 @@ def _prune_best(base: str, keep_top_k: int) -> None:
     entries = []
     for name in os.listdir(base):
         m = re.search(r"VAL_ACC_([0-9.]+)_", name)
-        if name.startswith("BEST_") and m:
+        if name.startswith("BEST_") and m and name != protect:
             entries.append((float(m.group(1)), name))
     entries.sort(reverse=True)
-    for _, name in entries[keep_top_k:]:
+    keep = keep_top_k - (1 if protect else 0)
+    for _, name in entries[max(keep, 0):]:
         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
 
@@ -249,21 +254,54 @@ def load_train_state(path: str) -> Dict:
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
+def _check_resume_agreement(value: int, what: str) -> None:
+    """Multi-host runs must agree on the resume point: RESUME is written
+    by process 0 only, so on hosts without a shared filesystem the other
+    processes would silently start at epoch 0 with a different shuffle
+    plan (divergent global batches) and then hang when the resumed host
+    finishes its fewer remaining epochs. Fail fast instead. MUST run
+    before any one-sided orbax restore — restores are collective under
+    multiprocess JAX, so a host loading while another skips dies with a
+    cryptic gloo size-mismatch inside the load."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    every = np.asarray(multihost_utils.process_allgather(
+        np.array([value], np.int32))).ravel()
+    if not (every == every[0]).all():
+        raise SystemExit(
+            f"multi-host resume mismatch: per-process {what} = "
+            f"{every.tolist()} — every host must see the same RESUME dir "
+            "(put model_weights/ on a shared filesystem, or copy process "
+            "0's RESUME to every host) or none.")
+
+
 def maybe_load_resume(model_path: str) -> Optional[Dict]:
     """Full-resume payload when --model_path points at a RESUME dir
     (written by save_train_state); None otherwise. Falls back to the
-    RESUME.prev kept during the crash-safe swap."""
+    RESUME.prev kept during the crash-safe swap.
+
+    Collective under multi-process JAX (every process passes the same
+    flag value, so all of them reach the agreement checks together, and
+    the orbax restore runs on all processes or none)."""
     if not model_path or \
             os.path.basename(os.path.normpath(model_path)) != "RESUME":
         return None
-    if os.path.isdir(model_path):
-        return load_train_state(model_path)
     prev = os.path.normpath(model_path) + ".prev"
-    if os.path.isdir(prev):
+    found = 2 if os.path.isdir(model_path) else (
+        1 if os.path.isdir(prev) else 0)
+    _check_resume_agreement(found, "RESUME-found state")
+    if found == 0:
+        return None
+    if found == 1:
         print(f"RESUME missing but {prev} exists (interrupted checkpoint "
               "swap) — resuming from it")
-        return load_train_state(prev)
-    return None
+    payload = load_train_state(model_path if found == 2 else prev)
+    _check_resume_agreement(int(payload["meta"]["epoch"]), "RESUME epoch")
+    return payload
 
 
 class ResumePlan:

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import optax
 
 from ..data.images import normalize_on_device
-from ..parallel.mesh import batch_sharding, replicated_sharding
 from .loss import cross_entropy_loss_and_weight
 
 
@@ -68,13 +67,20 @@ def make_train_step(apply_fn: Callable, optimizer: optax.GradientTransformation,
         def batch_to_inputs(mb, rng=None):
             return normalize_on_device(mb["image"], dtype=compute_dtype)
 
+    # batch_to_inputs may take (mb) or (mb, rng) — rng enables device-side
+    # augmentation inside the step (data/augment.py). Arity is resolved
+    # ONCE here from the signature: an exception-driven probe would
+    # swallow genuine TypeErrors raised inside a two-arg body and retry
+    # without rng, silently training un-randomized.
+    import inspect
+
+    try:
+        takes_rng = len(inspect.signature(batch_to_inputs).parameters) >= 2
+    except (TypeError, ValueError):     # builtins/partials without sigs
+        takes_rng = True
+
     def _inputs(mb, rng):
-        # batch_to_inputs may take (mb) or (mb, rng) — rng enables
-        # device-side augmentation inside the step (data/augment.py)
-        try:
-            return batch_to_inputs(mb, rng)
-        except TypeError:
-            return batch_to_inputs(mb)
+        return batch_to_inputs(mb, rng) if takes_rng else batch_to_inputs(mb)
 
     def loss_fn(params, state, mb, rng):
         r_in, r_model = jax.random.split(rng)

@@ -171,6 +171,29 @@ def test_save_best_top_k_retention(tmp_path):
     assert len(names) == 2 and accs == [60.0, 70.0]
 
 
+def test_save_best_never_prunes_its_own_save(tmp_path):
+    """The model dir is shared across runs: a rerun whose best trails an
+    earlier run's top-k must still keep its OWN just-saved checkpoint
+    (otherwise best_path in the RESUME meta dangles)."""
+    import time as _time
+
+    params = {"w": jnp.ones((2,))}
+    args = RunConfig(lr=0.01, reg=0.1, opt="sgd")
+    for i, acc in enumerate([80.0, 90.0]):          # "run 1", strong
+        save_best(params, {}, model_name="unit_p", epoch=i, val_acc=acc,
+                  args=args, fine_tuning=False, out_root=str(tmp_path),
+                  keep_top_k=2)
+    _time.sleep(1.1)                                # unique timestamped name
+    p = save_best(params, {}, model_name="unit_p", epoch=0, val_acc=40.0,
+                  args=args, fine_tuning=False, out_root=str(tmp_path),
+                  keep_top_k=2)                     # "run 2", weaker
+    assert os.path.isdir(p), "fresh best was pruned away"
+    base = tmp_path / "model_weights" / "unit_p"
+    accs = sorted(float(n.split("VAL_ACC_")[1].split("_")[0])
+                  for n in os.listdir(base))
+    assert accs == [40.0, 90.0]                     # top-(k-1) + the fresh one
+
+
 def test_resume_swap_crash_fallback(tmp_path):
     """A kill between the RESUME swap's rename steps must not lose resume
     state: maybe_load_resume falls back to RESUME.prev."""

@@ -322,6 +322,87 @@ def test_two_process_eval_and_train_match_single_process(tiny_dataset,
                                rtol=1e-4, atol=2e-5)
 
 
+RESUME_WORKER = textwrap.dedent("""
+    import os
+    import sys
+
+    pid, nproc, port, scratch = (int(sys.argv[1]), int(sys.argv[2]),
+                                 int(sys.argv[3]), sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+
+    from garbage_classification_rca_tpu.train.engine import (
+        PhaseResult, maybe_load_resume, save_train_state)
+
+    # PER-PROCESS scratch dirs simulate hosts without a shared
+    # filesystem: only process 0 has a RESUME on disk
+    mine = os.path.join(scratch, f"p{pid}")
+    os.makedirs(mine, exist_ok=True)
+    if pid == 0:
+        import numpy as np
+        save_train_state(out_root=mine, model_name="m",
+                         params={"w": np.zeros(2, np.float32)}, state={},
+                         opt_state={"o": np.zeros(2, np.float32)},
+                         rng=jax.random.PRNGKey(0), epoch=3,
+                         phase_name="train", scheduler=None,
+                         best=PhaseResult(0.0, 0, None))
+    code = 1
+    try:
+        maybe_load_resume(os.path.join(mine, "model_weights", "m",
+                                       "RESUME"))
+    except SystemExit as e:
+        code = 0 if "resume mismatch" in str(e) else 2
+    jax.distributed.shutdown()
+    sys.exit(code)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_resume_mismatch_fails_fast(tmp_path):
+    """Process 0 resumes at epoch 3, process 1 finds no RESUME (no shared
+    filesystem): both must exit with the loud mismatch error instead of
+    silently training on divergent shuffle plans and hanging."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "mh_resume_worker.py"
+    script.write_text(RESUME_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port),
+         str(tmp_path)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, \
+            f"worker did not fail fast:\n{stdout.decode(errors='replace')[-4000:]}"
+
+
+def test_rows_sharding_tolerates_dataless_mesh():
+    """A mesh without a 'data' axis replicates rows (every host supplies
+    all of them) instead of crashing NamedSharding."""
+    mesh = make_mesh("model:2")
+    rows = mh.process_local_rows(mh.rows_sharding(mesh), 8)
+    np.testing.assert_array_equal(rows, np.arange(8))
+
+
+def test_fsdp_rejected_under_multihost(monkeypatch):
+    from garbage_classification_rca_tpu.parallel.fsdp import param_placer
+
+    mesh = make_mesh("data:-1")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(SystemExit, match="fsdp"):
+        param_placer(mesh, True)
+
+
 def test_stacked_train_stream_matches_single_process(tiny_dataset):
     """stacked_train_stream at process_count==1 must assemble the exact
     [acc, B] stacks engine.stacked_batches + device_put produces — same

@@ -61,11 +61,13 @@ def main(argv=None):
         print("Invalid optimizer!")   # reference wording, main_image.py:536
         raise SystemExit(1)
     cfg = fusion_config_from_args(args)
-    try:
-        init_fn, apply_fn, _ = build_fusion(cfg)
-    except ValueError:
+    from ..config import LATE_FUSION_STRATEGIES
+    if args.late_fusion not in LATE_FUSION_STRATEGIES:
         print("Wrong late fusion strategy: ", args.late_fusion)  # reference main_both.py:342
         raise SystemExit(1)
+    # other ValueErrors (e.g. hierarchical+bart incompatibility) propagate
+    # with their specific message instead of being mislabeled here
+    init_fn, apply_fn, _ = build_fusion(cfg)
 
     from . import train_mesh
     mesh = train_mesh(args.mesh_shape, args.batch_size,

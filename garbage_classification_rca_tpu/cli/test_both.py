@@ -20,18 +20,16 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import (args_parser, jnp_compute_dtype, MULTIMODAL_IMAGE_SIZE,
                       MULTIMODAL_EVAL_BATCH)
 from ..checkpoint.torch_convert import load_torch_state_dict
 from ..data.images import normalize_on_device
 from ..data.manifest import build_manifest
-from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.pipeline import ImageTextBatcher
 from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import generate_report_and_image
 from ..models.fusion import FusionConfig, build_fusion
@@ -77,34 +75,12 @@ def make_both_eval_step(apply_fn, mesh, compute_dtype):
 
 def run_multimodal_eval(apply_fn, params, state, batcher, batch_size, mesh,
                         compute_dtype=jnp.bfloat16, progress=True):
+    from ..eval.harness import run_eval
+
     step = make_both_eval_step(apply_fn, mesh, compute_dtype)
-    if mesh is not None:
-        import jax as _jax
-
-        if _jax.process_count() > 1:
-            from ..parallel.multihost import run_eval_multiprocess
-
-            return run_eval_multiprocess(
-                step, params, state, batcher, batch_size, mesh,
-                keys=("image", "input_ids", "attention_mask", "label",
-                      "valid"))
-    n_total = len(batcher.m)
-    all_preds, all_labels, correct = [], [], 0
-    t0 = time.perf_counter()
-    for i, batch in enumerate(device_prefetch(batcher.iter_batches(batch_size),
-                                              mesh)):
-        preds, c = step(params, state, batch)
-        correct += int(c)
-        valid = np.asarray(batch["valid"]).astype(bool)
-        all_preds.append(np.asarray(preds)[valid])
-        all_labels.append(np.asarray(batch["label"])[valid])
-        if progress:
-            print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
-                  end="\r")
-    wall = time.perf_counter() - t0
-    acc = 100.0 * correct / n_total
-    return (acc, np.concatenate(all_labels), np.concatenate(all_preds),
-            {"wall_s": wall, "samples_per_s": n_total / wall, "n": n_total})
+    return run_eval(step, params, state, batcher, batch_size, mesh,
+                    keys=("image", "input_ids", "attention_mask", "label",
+                          "valid"), progress=progress)
 
 
 def main(argv=None):
@@ -115,11 +91,14 @@ def main(argv=None):
         # (calculate_test_accuracy_image.py:138-140 sys.exit(0))
 
     cfg = fusion_config_from_args(args)
-    try:
-        init_fn, apply_fn, convert_fn = build_fusion(cfg)
-    except ValueError:
+    from ..config import LATE_FUSION_STRATEGIES
+    if args.late_fusion not in LATE_FUSION_STRATEGIES:
         print("Wrong late fusion strategy: ", args.late_fusion)  # reference main_both.py:342
         raise SystemExit(1)
+    # other ValueErrors (e.g. hierarchical needs a per-layer-hidden-states
+    # text tower) propagate with their specific message — a blanket catch
+    # here used to mislabel them as a wrong strategy
+    init_fn, apply_fn, convert_fn = build_fusion(cfg)
     if os.path.isdir(args.model_path):
         import jax as _jax
 

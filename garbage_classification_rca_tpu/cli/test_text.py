@@ -16,17 +16,15 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import NUM_CLASSES
 from ..config import args_parser, TEXT_ARCHS
 from ..checkpoint.torch_convert import load_torch_state_dict
 from ..data.manifest import build_manifest
-from ..data.pipeline import ImageTextBatcher, device_prefetch
+from ..data.pipeline import ImageTextBatcher
 from ..data.tokenizer import get_tokenizer, resolve_vocab_dir, DEFAULT_SEQ_LEN
 from ..eval.report import generate_report_and_image
 from ..models import get_text_model
@@ -123,33 +121,14 @@ def main(argv=None):
         extended_desc=args.extended_desc_val is not None,
         workers=args.data_workers, with_images=False)
 
-    step = make_text_eval_step(mdef.apply, mesh, text_model=args.text_model)
-    n_total = len(manifest)
-    if jax.process_count() > 1:
-        from ..parallel.multihost import run_eval_multiprocess
+    from ..eval.harness import run_eval
 
-        acc, labels, preds, stats = run_eval_multiprocess(
-            step, params, state, batcher, batch_size, mesh,
-            keys=("input_ids", "attention_mask", "label", "valid"))
-        wall = stats["wall_s"]
-    else:
-        all_preds, all_labels, correct = [], [], 0
-        t0 = time.perf_counter()
-        for i, batch in enumerate(device_prefetch(
-                batcher.iter_batches(batch_size), mesh)):
-            preds, c = step(params, state, batch)
-            correct += int(c)
-            valid = np.asarray(batch["valid"]).astype(bool)
-            all_preds.append(np.asarray(preds)[valid])
-            all_labels.append(np.asarray(batch["label"])[valid])
-            print(f"Test batches {i}/{(n_total + batch_size - 1) // batch_size}",
-                  end="\r")
-        wall = time.perf_counter() - t0
-        acc = 100.0 * correct / n_total
-        labels = np.concatenate(all_labels)
-        preds = np.concatenate(all_preds)
-    print(f"\nsamples checked for test: {n_total}")
-    print(f"eval throughput: {n_total / wall:.1f} samples/s")
+    step = make_text_eval_step(mdef.apply, mesh, text_model=args.text_model)
+    acc, labels, preds, stats = run_eval(
+        step, params, state, batcher, batch_size, mesh,
+        keys=("input_ids", "attention_mask", "label", "valid"))
+    print(f"\nsamples checked for test: {stats['n']}")
+    print(f"eval throughput: {stats['samples_per_s']:.1f} samples/s")
     if jax.process_index() == 0:
         report = generate_report_and_image(
             labels, preds, acc, os.path.join(BASE_PATH, args.text_model),

@@ -61,28 +61,33 @@ def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
     )
 
 
-def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
-                   batch_size: int, mesh=None, compute_dtype=jnp.bfloat16,
-                   progress: bool = True, norm_stats=None
-                   ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
-    """Full-dataset eval. Returns (acc%, labels, preds, timing stats)."""
-    step = make_eval_step(apply_fn, mesh, compute_dtype, norm_stats=norm_stats)
+def run_eval(step, params, state, batcher: ImageTextBatcher,
+             batch_size: int, mesh=None,
+             keys: Tuple[str, ...] = ("image", "label", "valid"),
+             progress: bool = True
+             ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
+    """Generic full-dataset eval driver shared by the image/text/both test
+    CLIs (reference loops calculate_test_accuracy_image.py:60-119 and the
+    text/both variants). Takes a prebuilt jitted
+    ``step(params, state, batch) -> (preds, correct)`` plus the batch keys
+    it consumes; returns (acc%, labels, preds, timing stats).
+
+    Dispatches to the multi-process twin under multi-host — outputs
+    (acc/labels/preds) are identical to the single-process stream
+    (parallel/multihost.py).
+    """
     if mesh is not None and jax.process_count() > 1:
-        # multi-host: each process decodes only its shard of every global
-        # batch; outputs (acc/labels/preds) are identical to the
-        # single-process stream — see parallel/multihost.py
         from ..parallel.multihost import run_eval_multiprocess
 
         return run_eval_multiprocess(step, params, state, batcher,
-                                     batch_size, mesh,
-                                     keys=("image", "label", "valid"),
+                                     batch_size, mesh, keys=keys,
                                      progress=progress)
     n_total = len(batcher.m)
     all_preds, all_labels = [], []
     correct = 0
     t0 = time.perf_counter()
     step_times = []
-    keep = {"image", "label", "valid"}
+    keep = set(keys)
     host_iter = (
         {k: v for k, v in b.items() if k in keep}
         for b in batcher.iter_batches(batch_size, shuffle=False)
@@ -118,3 +123,13 @@ def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
         "n": n_total,
     }
     return acc, labels, preds, stats
+
+
+def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
+                   batch_size: int, mesh=None, compute_dtype=jnp.bfloat16,
+                   progress: bool = True, norm_stats=None
+                   ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
+    """Full-dataset image eval. Returns (acc%, labels, preds, stats)."""
+    step = make_eval_step(apply_fn, mesh, compute_dtype, norm_stats=norm_stats)
+    return run_eval(step, params, state, batcher, batch_size, mesh,
+                    keys=("image", "label", "valid"), progress=progress)

@@ -46,8 +46,6 @@ def main(argv=None):
             "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, lora, tok = build_blip2(args)
-    if args.classifier_weights and os.path.isdir(args.classifier_weights):
-        pass  # classifier path is qformer_test's job
     if args.model_path and os.path.isdir(args.model_path):
         restored, _ = load_orbax(args.model_path)
         lora = restored["lora"]

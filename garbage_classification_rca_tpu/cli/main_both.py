@@ -119,6 +119,10 @@ def main(argv=None):
         print(f"Warm-started from torch checkpoint {args.model_path}")
     else:
         params, state = init_fn(jax.random.PRNGKey(args.seed))
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    # fp32 master weights unless --param_dtype overrides (bf16 halves
+    # param HBM; optimizer moments follow via opt.init)
+    params = cast_float_params(params, resolve_param_dtype(args, "float32"))
     params = place(params)
     state = place(state)
 
@@ -172,7 +176,8 @@ def main(argv=None):
             return acc
         correct, all_p, all_l = 0, [], []
         for batch in device_prefetch(
-                val_batcher.iter_batches(eval_bs), mesh):
+                val_batcher.iter_batches(eval_bs), mesh,
+                depth=args.prefetch_depth):
             preds, c = step(params, state, batch)
             correct += int(c)
             valid = np.asarray(batch["valid"]).astype(bool)

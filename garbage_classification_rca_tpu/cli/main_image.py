@@ -117,6 +117,10 @@ def main(argv=None):
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),
                                   num_classes=NUM_CLASSES)
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    # fp32 master weights unless --param_dtype overrides (bf16 halves
+    # param HBM; optimizer moments follow via opt.init)
+    params = cast_float_params(params, resolve_param_dtype(args, "float32"))
     params = place(params)
     state = place(state)
 
@@ -148,7 +152,8 @@ def main(argv=None):
             from ..eval.report import classification_report_dict
             acc, labels, preds, _ = run_image_eval(
                 mdef.apply, params, state, val_batcher, bs, mesh, dtype,
-                progress=False, norm_stats=norm_stats)
+                progress=False, norm_stats=norm_stats,
+                prefetch_depth=args.prefetch_depth)
             return acc, classification_report_dict(labels, preds)
         return eval_fn
 

@@ -134,6 +134,10 @@ def main(argv=None):
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),
                                   num_classes=NUM_CLASSES)
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    # fp32 master weights unless --param_dtype overrides (bf16 halves
+    # param HBM; optimizer moments follow via opt.init)
+    params = cast_float_params(params, resolve_param_dtype(args, "float32"))
     params = place(params)
     state = place(state)
 

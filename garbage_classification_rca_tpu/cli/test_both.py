@@ -74,13 +74,15 @@ def make_both_eval_step(apply_fn, mesh, compute_dtype):
 
 
 def run_multimodal_eval(apply_fn, params, state, batcher, batch_size, mesh,
-                        compute_dtype=jnp.bfloat16, progress=True):
+                        compute_dtype=jnp.bfloat16, progress=True,
+                        prefetch_depth=2):
     from ..eval.harness import run_eval
 
     step = make_both_eval_step(apply_fn, mesh, compute_dtype)
     return run_eval(step, params, state, batcher, batch_size, mesh,
                     keys=("image", "input_ids", "attention_mask", "label",
-                          "valid"), progress=progress)
+                          "valid"), progress=progress,
+                    prefetch_depth=prefetch_depth)
 
 
 def main(argv=None):
@@ -115,10 +117,9 @@ def main(argv=None):
     params["image"], state["image"] = fold_batchnorm(
         params["image"], state["image"], 1e-3)   # EffNetV2 bn eps
 
-    if args.compute_dtype == "bfloat16":
-        from ..utils.dtype import cast_float_params
-        import jax.numpy as _jnp
-        params = cast_float_params(params, _jnp.bfloat16)
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    params = cast_float_params(params,
+                               resolve_param_dtype(args, args.compute_dtype))
 
     manifest = build_manifest(args.dataset_folder_name,
                               extended_desc=args.extended_desc_val)
@@ -147,7 +148,8 @@ def main(argv=None):
 
     dtype = jnp_compute_dtype(args.compute_dtype)
     acc, labels, preds, stats = run_multimodal_eval(
-        apply_fn, params, state, batcher, batch_size, mesh, dtype)
+        apply_fn, params, state, batcher, batch_size, mesh, dtype,
+        prefetch_depth=args.prefetch_depth)
     batcher.close()
 
     tag = args.late_fusion

@@ -74,10 +74,9 @@ def main(argv=None):
         from ..nn.fold import fold_batchnorm
         params, state = fold_batchnorm(params, state, mdef.extras["bn_eps"])
 
-    if args.compute_dtype == "bfloat16":
-        from ..utils.dtype import cast_float_params
-        import jax.numpy as _jnp
-        params = cast_float_params(params, _jnp.bfloat16)
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    params = cast_float_params(params,
+                               resolve_param_dtype(args, args.compute_dtype))
 
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)
@@ -96,10 +95,12 @@ def main(argv=None):
         from ..utils.profiling import trace
         with trace(args.profile_dir):
             acc, labels, preds, stats = run_image_eval(
-                mdef.apply, params, state, batcher, batch_size, mesh, dtype)
+                mdef.apply, params, state, batcher, batch_size, mesh, dtype,
+                prefetch_depth=args.prefetch_depth)
     else:
         acc, labels, preds, stats = run_image_eval(
-            mdef.apply, params, state, batcher, batch_size, mesh, dtype)
+            mdef.apply, params, state, batcher, batch_size, mesh, dtype,
+            prefetch_depth=args.prefetch_depth)
     batcher.close()
 
     print(f"\nsamples checked for test: {stats['n']}")

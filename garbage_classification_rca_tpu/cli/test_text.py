@@ -99,10 +99,9 @@ def main(argv=None):
             mdef.convert_torch, sd, f"--text_model={args.text_model}",
             num_classes=NUM_CLASSES)
 
-    if args.compute_dtype == "bfloat16":
-        from ..utils.dtype import cast_float_params
-        import jax.numpy as _jnp
-        params = cast_float_params(params, _jnp.bfloat16)
+    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    params = cast_float_params(params,
+                               resolve_param_dtype(args, args.compute_dtype))
 
     mesh = make_mesh(args.mesh_shape)
     params = shard_params(mesh, params)
@@ -126,7 +125,8 @@ def main(argv=None):
     step = make_text_eval_step(mdef.apply, mesh, text_model=args.text_model)
     acc, labels, preds, stats = run_eval(
         step, params, state, batcher, batch_size, mesh,
-        keys=("input_ids", "attention_mask", "label", "valid"))
+        keys=("input_ids", "attention_mask", "label", "valid"),
+        prefetch_depth=args.prefetch_depth)
     print(f"\nsamples checked for test: {stats['n']}")
     print(f"eval throughput: {stats['samples_per_s']:.1f} samples/s")
     if jax.process_index() == 0:

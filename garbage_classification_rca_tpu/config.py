@@ -91,7 +91,11 @@ class RunConfig:
     # ---- TPU-native extensions (not in the reference) ----
     mesh_shape: str = "data:-1"       # e.g. "data:8" or "data:4,model:2"
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype on TPU
-    param_dtype: str = "float32"
+    # param STORAGE dtype. "" = follow the path's default policy: eval
+    # CLIs store weights in compute_dtype (bf16 halves HBM + tunnel
+    # upload), train CLIs keep fp32 master weights. An explicit value
+    # overrides either (utils/dtype.resolve_param_dtype).
+    param_dtype: str = ""
     eval_batch_size: int = 0           # 0 -> per-arch table value
     seed: int = 42
     wandb: bool = False                # wandb optional behind a flag (SURVEY §5)
@@ -288,7 +292,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--mesh_shape', type=str, default=d.mesh_shape)
     p.add_argument('--compute_dtype', type=str, default=d.compute_dtype,
                    choices=["bfloat16", "float32"])
-    p.add_argument('--param_dtype', type=str, default=d.param_dtype)
+    p.add_argument('--param_dtype', type=str, default=d.param_dtype,
+                   choices=["", "float32", "bfloat16"])
     p.add_argument('--eval_batch_size', type=int, default=d.eval_batch_size)
     p.add_argument('--seed', type=int, default=d.seed)
     _add_bool_flag(p, 'wandb', d.wandb, "log to wandb")

@@ -199,16 +199,20 @@ class ImageTextBatcher:
                 pass
 
 
-def device_prefetch(host_iter, mesh=None, depth: int = 2):
+def device_prefetch(host_iter, mesh=None, depth: int = 2, sharding=None):
     """Move host batches to device ahead of consumption (double buffer).
 
     With a mesh, the leading dim is sharded over axis 'data'; otherwise a
-    plain device_put. Overlaps H2D DMA with TPU compute.
+    plain device_put. Overlaps H2D DMA with TPU compute. `depth` is the
+    lookahead window (--prefetch_depth); an explicit `sharding` overrides
+    the mesh-derived batch sharding (the train engine passes its stacked
+    microbatch sharding).
     """
     import jax
     from ..parallel.mesh import batch_sharding
 
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    if sharding is None and mesh is not None:
+        sharding = batch_sharding(mesh)
 
     def put(b):
         if sharding is not None:
@@ -219,7 +223,7 @@ def device_prefetch(host_iter, mesh=None, depth: int = 2):
     buf: List = []
     it = iter(host_iter)
     try:
-        for _ in range(depth):
+        for _ in range(max(1, depth)):   # depth<1 would yield nothing
             buf.append(put(next(it)))
     except StopIteration:
         pass

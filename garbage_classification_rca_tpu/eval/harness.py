@@ -64,7 +64,7 @@ def make_eval_step(apply_fn: Callable, mesh=None, compute_dtype=jnp.bfloat16,
 def run_eval(step, params, state, batcher: ImageTextBatcher,
              batch_size: int, mesh=None,
              keys: Tuple[str, ...] = ("image", "label", "valid"),
-             progress: bool = True
+             progress: bool = True, prefetch_depth: int = 2
              ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
     """Generic full-dataset eval driver shared by the image/text/both test
     CLIs (reference loops calculate_test_accuracy_image.py:60-119 and the
@@ -92,7 +92,8 @@ def run_eval(step, params, state, batcher: ImageTextBatcher,
         {k: v for k, v in b.items() if k in keep}
         for b in batcher.iter_batches(batch_size, shuffle=False)
     )
-    for i, batch in enumerate(device_prefetch(host_iter, mesh)):
+    for i, batch in enumerate(device_prefetch(host_iter, mesh,
+                                              depth=prefetch_depth)):
         ts = time.perf_counter()
         preds, c = step(params, state, batch)
         preds_np = np.asarray(preds)
@@ -127,9 +128,11 @@ def run_eval(step, params, state, batcher: ImageTextBatcher,
 
 def run_image_eval(apply_fn, params, state, batcher: ImageTextBatcher,
                    batch_size: int, mesh=None, compute_dtype=jnp.bfloat16,
-                   progress: bool = True, norm_stats=None
+                   progress: bool = True, norm_stats=None,
+                   prefetch_depth: int = 2
                    ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
     """Full-dataset image eval. Returns (acc%, labels, preds, stats)."""
     step = make_eval_step(apply_fn, mesh, compute_dtype, norm_stats=norm_stats)
     return run_eval(step, params, state, batcher, batch_size, mesh,
-                    keys=("image", "label", "valid"), progress=progress)
+                    keys=("image", "label", "valid"), progress=progress,
+                    prefetch_depth=prefetch_depth)

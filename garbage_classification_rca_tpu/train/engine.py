@@ -409,8 +409,11 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
                                    seed=args.seed * 77 + epoch, order=order,
                                    keys=keys)
             if sb is not None:
-                host = (jax.tree_util.tree_map(
-                    lambda a: jax.device_put(a, sb), b) for b in host)
+                # lookahead device_put (--prefetch_depth): decode/stack the
+                # next window(s) while the current train step runs
+                from ..data.pipeline import device_prefetch
+                host = device_prefetch(host, sharding=sb,
+                                       depth=args.prefetch_depth)
         for bi, batch in enumerate(host):
             rng, step_rng = jax.random.split(rng)
             params, state, opt_state, loss, _ = train_step(

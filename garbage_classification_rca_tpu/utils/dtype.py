@@ -20,3 +20,12 @@ def cast_float_params(params, dtype):
         return p
 
     return jax.tree_util.tree_map(cast, params)
+
+
+def resolve_param_dtype(args, default: str):
+    """--param_dtype -> jnp storage dtype, falling back to the calling
+    path's policy when the flag is left empty (eval CLIs pass
+    args.compute_dtype — weights stored at compute precision; train CLIs
+    pass "float32" — fp32 master weights for the optimizer)."""
+    s = args.param_dtype or default
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[s]

@@ -137,3 +137,30 @@ def test_main_both_sampler_captions_dropout(train_tree, tmp_path,
     # per-epoch ablation evals (main_both.py:635-667) must be logged
     assert {"val_acc_image_only", "val_acc_text_only"} <= set(row)
     assert math.isfinite(row["avg_loss"])  # dropout NaN guard holds
+
+
+def test_main_image_param_dtype_bf16_prefetch_depth(train_tree, tmp_path,
+                                                    monkeypatch):
+    """--param_dtype=bfloat16 must actually change the param STORAGE dtype
+    (utils/dtype.resolve_param_dtype; fp32 master weights otherwise) and
+    --prefetch_depth must be accepted by the full input stream — both are
+    documented TPU-native extensions (docs/MIGRATION.md)."""
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.cli import main_image
+    from garbage_classification_rca_tpu.train.engine import load_orbax
+
+    d = _chdir(monkeypatch, tmp_path, "pdtype")
+    best = main_image.main([
+        f"--dataset_folder_name={train_tree}", "--image_model=shuffle_net",
+        "--epochs=1", "--ft_epochs=0", "--batch_size=4", "--batch_size_FT=4",
+        "--param_dtype=bfloat16", "--prefetch_depth=3",
+        "--lr=1e-3", "--data_workers=2"])
+    assert 0.0 <= best.best_val_acc <= 100.0
+    (path,) = glob.glob(str(d / "model_weights" / "shuffle_net" / "BEST_*"))
+    params, _ = load_orbax(path)
+    import jax
+
+    float_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(params)
+                    if jnp.issubdtype(l.dtype, jnp.floating)}
+    assert float_dtypes == {jnp.dtype(jnp.bfloat16)}, float_dtypes

@@ -234,3 +234,42 @@ def test_decode_error_raises_not_truncates(tiny_dataset):
         for _ in b.iter_batches(4):
             pass
     b.close()
+
+
+def test_device_prefetch_depth_lookahead():
+    """--prefetch_depth plumbing: depth N pulls N host batches before the
+    first yield (lookahead window), depth<1 is clamped so the stream still
+    yields everything."""
+    from garbage_classification_rca_tpu.data.pipeline import device_prefetch
+
+    pulled = []
+
+    def src(n):
+        for i in range(n):
+            pulled.append(i)
+            yield {"x": np.full((2,), i)}
+
+    it = device_prefetch(src(5), depth=3)
+    first = next(it)
+    assert int(np.asarray(first["x"])[0]) == 0
+    assert len(pulled) == 4            # 3 prefetched + 1 refill after yield
+    rest = list(it)
+    assert [int(np.asarray(b["x"])[0]) for b in rest] == [1, 2, 3, 4]
+
+    assert len(list(device_prefetch(src(3), depth=0))) == 3
+
+
+def test_resolve_param_dtype_policy():
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.config import args_parser
+    from garbage_classification_rca_tpu.utils.dtype import resolve_param_dtype
+
+    a = args_parser(["--dataset_folder_name=x"])          # empty default
+    assert resolve_param_dtype(a, "float32") == jnp.float32
+    assert resolve_param_dtype(a, a.compute_dtype) == jnp.bfloat16
+    a = args_parser(["--dataset_folder_name=x", "--param_dtype=bfloat16"])
+    assert resolve_param_dtype(a, "float32") == jnp.bfloat16
+    a = args_parser(["--dataset_folder_name=x", "--param_dtype=float32",
+                     "--compute_dtype=bfloat16"])
+    assert resolve_param_dtype(a, a.compute_dtype) == jnp.float32

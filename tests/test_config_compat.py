@@ -104,3 +104,30 @@ def test_launcher_dataset_suffix_applied_exactly_once(script):
     resolved = ds_value.replace("${DATASET}", "/tmp/ds").replace(
         "$DATASET", "/tmp/ds") + "_Train"
     assert resolved == "/tmp/ds_Train", (script, resolved)
+
+
+def test_every_flag_has_a_consumer():
+    """Every argparse flag must be read somewhere outside config.py —
+    catches flags that parse but silently do nothing (--param_dtype and
+    --prefetch_depth had detached exactly this way; found round 3 by this
+    audit, then wired for real)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(
+        __import__("garbage_classification_rca_tpu").__file__).parent
+    src = "\n".join(
+        p.read_text() for p in pkg.rglob("*.py") if p.name != "config.py")
+    flags = re.findall(r"add_argument\(\s*['\"]--(\w+)['\"]",
+                       (pkg / "config.py").read_text())
+    assert len(flags) > 40, flags   # the parser moved? keep this honest
+    # base_path parses and is ignored BY THE REFERENCE TOO (options.py:59
+    # declares it; no reference script reads it) — parity says keep it.
+    # vocab_dir's consumer is config.resolve_vocab_dir itself (called by
+    # every tokenizer-using CLI), which this scan excludes.
+    allowed_dead = {"base_path", "vocab_dir"}
+    assert re.search(r"resolve_vocab_dir\(", src)   # keep that claim true
+    dead = [f for f in flags
+            if f not in allowed_dead
+            and not re.search(rf"\.{f}\b", src)]
+    assert not dead, f"flags with no consumer outside config.py: {dead}"

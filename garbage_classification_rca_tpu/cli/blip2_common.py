@@ -269,3 +269,57 @@ def iter_accum_windows(batcher, batch_size: int, acc_steps: int, *,
             stack = []
     if stack:
         yield {k: np.stack([b[k] for b in stack]) for k in stack[0]}
+
+
+def vlm_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
+                     seed: int):
+    """The trainer input stream, multi-host aware: single-process it is
+    iter_accum_windows (trailing PARTIAL window, reference /acc_steps
+    semantics); under multi-process it is multihost.stacked_train_stream
+    with the same global shuffle plan — each host decodes only its rows,
+    and the trailing window is PADDED to acc_steps with valid=0
+    microbatches instead of shortened. Gradients are identical either way
+    (a fully-masked microbatch contributes zero loss and zero grads —
+    shifted_ce and train/loss.py both guard the 0-denominator); only the
+    trailing window's LOGGED mean loss divides by acc_steps instead of W.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        from ..parallel.multihost import stacked_train_stream
+
+        return stacked_train_stream(batcher, batch_size, acc_steps, mesh,
+                                    seed=seed, keys=BATCH_KEYS)
+    return iter_accum_windows(batcher, batch_size, acc_steps, shuffle=True,
+                              seed=seed)
+
+
+def vlm_eval_multiprocess(eval_step, trainable, batcher, batch_size: int,
+                          mesh):
+    """Multi-host twin of the VLM eval loops: adapts the CLIs'
+    ``eval_step(trainable, batch)`` contract to
+    multihost.run_eval_multiprocess (each host decodes only its rows;
+    acc/labels/preds identical to the single-process stream on every
+    host). Batches keep ALL BATCH_KEYS — the jitted steps' in_shardings
+    dicts are built from that list and must see the same structure."""
+    from ..parallel.multihost import run_eval_multiprocess
+
+    def step(t, _state, batch):
+        return eval_step(t, batch)
+
+    return run_eval_multiprocess(step, trainable, None, batcher,
+                                 batch_size, mesh, keys=BATCH_KEYS)
+
+
+def vlm_multihost_mesh_check(mesh):
+    """Multi-process VLM runs support data (and model-axis TP) meshes;
+    pipe meshes stay single-process (the GPipe ring's ppermute schedule
+    is validated on single-process meshes only)."""
+    import jax
+
+    if jax.process_count() > 1 and \
+            dict(zip(mesh.axis_names, mesh.devices.shape)).get("pipe", 1) > 1:
+        raise SystemExit(
+            "--mesh_shape with a pipe axis is single-process only; "
+            "multi-host (GC_RCA_MULTIHOST) VLM runs support data / "
+            "data,model meshes")

@@ -35,23 +35,24 @@ BASE_PATH = "./test_set_reports"
 
 
 def main(argv=None):
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        # the VLM loops feed batches with plain device_puts; per-host
-        # input sharding is wired for the image/text/fusion CLIs only
-        raise SystemExit(
-            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
-            "BLIP-2/Q-Former CLIs yet — run them single-process "
-            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
+    if jax.process_count() > 1 and args.max_new_tokens > 1:
+        # the generate paths drive their own batch loops (KV caches, host
+        # token decode) — multi-host input sharding covers the 1-token
+        # constrained-decode path only
+        raise SystemExit(
+            "--max_new_tokens>1 is single-process only; multi-host "
+            "(GC_RCA_MULTIHOST) BLIP-2 eval supports the 1-token "
+            "constrained-decode path")
     cfg, params, lora, tok = build_blip2(args)
     if args.model_path and os.path.isdir(args.model_path):
         restored, _ = load_orbax(args.model_path)
         lora = restored["lora"]
 
     from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
+    from .blip2_common import vlm_multihost_mesh_check
     mesh = make_mesh(args.mesh_shape)
+    vlm_multihost_mesh_check(mesh)   # pipe meshes are single-process only
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_pipe = sizes.get("pipe", 1)
     stage_layers = stage_lora = None
@@ -192,21 +193,30 @@ def main(argv=None):
                            * np.asarray(batch["valid"])).sum())
             return preds, correct
 
-    correct, all_p, all_l = 0, [], []
-    for batch in b.iter_batches(bs):
-        preds, c = step(lora, batch)
-        correct += int(c)
-        valid = np.asarray(batch["valid"]).astype(bool)
-        all_p.append(np.asarray(preds)[valid])
-        all_l.append(np.asarray(batch["label"])[valid])
-    b.close()
-    acc = 100.0 * correct / len(m)   # actual size, not hard-coded 2000
-    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
-    report = generate_report_and_image(
-        labels, preds, acc, os.path.join(BASE_PATH, "blip2"), "blip2",
-        kind="blip2")
-    print(f"Test accuracy: {acc:.2f} %")
-    print(report)
+    if jax.process_count() > 1:
+        # each host decodes only its rows of every global batch; the
+        # acc/label/pred streams equal the single-process run's
+        from .blip2_common import vlm_eval_multiprocess
+        acc, labels, preds, _ = vlm_eval_multiprocess(step, lora, b, bs,
+                                                      mesh)
+        b.close()
+    else:
+        correct, all_p, all_l = 0, [], []
+        for batch in b.iter_batches(bs):
+            preds, c = step(lora, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        b.close()
+        acc = 100.0 * correct / len(m)   # actual size, not hard-coded 2000
+        labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    if jax.process_index() == 0:   # one report writer on multi-host runs
+        report = generate_report_and_image(
+            labels, preds, acc, os.path.join(BASE_PATH, "blip2"), "blip2",
+            kind="blip2")
+        print(f"Test accuracy: {acc:.2f} %")
+        print(report)
     return acc
 
 

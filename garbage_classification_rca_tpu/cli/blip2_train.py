@@ -35,9 +35,10 @@ from ..models.vlm import blip2
 from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
                             restore_opt_state, save_best, save_train_state)
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
-                           class_logits_from_next_token, iter_accum_windows,
-                           make_accum_step, normalize_clip,
-                           place_blip2_params, setup_pipeline)
+                           class_logits_from_next_token, make_accum_step,
+                           normalize_clip, place_blip2_params,
+                           setup_pipeline, vlm_eval_multiprocess,
+                           vlm_multihost_mesh_check, vlm_train_stream)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -227,15 +228,6 @@ def answer_first_token_table(batcher: Blip2Batcher, classes) -> np.ndarray:
 
 
 def main(argv=None):
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        # the VLM loops feed batches with plain device_puts; per-host
-        # input sharding is wired for the image/text/fusion CLIs only
-        raise SystemExit(
-            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
-            "BLIP-2/Q-Former CLIs yet — run them single-process "
-            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, lora, tok = build_blip2(args)
 
@@ -250,6 +242,7 @@ def main(argv=None):
 
     from ..parallel.mesh import mesh_for_batch, shard_params
     mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
+    vlm_multihost_mesh_check(mesh)   # pipe meshes are single-process only
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_pipe = sizes.get("pipe", 1)
     dtype = jnp_compute_dtype(args.compute_dtype)
@@ -278,6 +271,11 @@ def main(argv=None):
                            config=vars(args))
 
     def evaluate(lora, batcher, manifest):
+        if jax.process_count() > 1:
+            # each host decodes only its rows; acc identical on every host
+            acc, _, _, _ = vlm_eval_multiprocess(
+                eval_step, lora, batcher, args.batch_size, mesh)
+            return acc
         correct = 0
         for batch in batcher.iter_batches(args.batch_size):
             _, c = eval_step(lora, batch)
@@ -340,13 +338,14 @@ def main(argv=None):
         print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (blip_2_training.py:197-201,229)
+    from ..parallel.multihost import is_primary
+    primary = is_primary()   # side effects (saves, prints) on process 0
     micro = args.batch_size
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
-        for stacked in iter_accum_windows(train_b, micro, BLIP2_ACC,
-                                          shuffle=True,
-                                          seed=args.seed + epoch):
+        for stacked in vlm_train_stream(train_b, micro, BLIP2_ACC, mesh,
+                                        seed=args.seed + epoch):
             rng, srng = jax.random.split(rng)
             lora, opt_state, loss = step(lora, opt_state, stacked, srng)
             losses.append(float(loss))
@@ -354,8 +353,12 @@ def main(argv=None):
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),
                     "val_acc": val_acc,
                     "epoch_time_seconds": time.time() - t0})
-        print(f"epoch {epoch}: loss={np.mean(losses):.4f} val_acc={val_acc:.2f}")
+        if primary:
+            print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+                  f"val_acc={val_acc:.2f}")
         if val_acc > best.best_val_acc:
+            # every process tracks the same best (val_acc is identical —
+            # vlm_eval_multiprocess), but only the primary writes
             if n_pipe > 1:
                 # portable per-layer form: blip2_test / serve load BEST
                 # adapters on the dp/tp paths regardless of the train mesh
@@ -366,14 +369,17 @@ def main(argv=None):
             best = PhaseResult(val_acc, epoch, save_best(
                 {"lora": best_lora}, {}, model_name="blip2_lora",
                 epoch=epoch, val_acc=val_acc, args=args,
-                fine_tuning=False))
-        save_train_state(out_root=".", model_name="blip2_lora",
-                         params=lora, state={}, opt_state=opt_state,
-                         rng=rng, epoch=epoch, phase_name="train",
-                         scheduler=None, best=best)
+                fine_tuning=False) if primary else best.best_path)
+        if primary:
+            save_train_state(out_root=".", model_name="blip2_lora",
+                             params=lora, state={}, opt_state=opt_state,
+                             rng=rng, epoch=epoch, phase_name="train",
+                             scheduler=None, best=best)
     train_b.close()
     val_b.close()
-    print(f"best val acc {best.best_val_acc:.2f} @ epoch {best.best_epoch}")
+    if primary:
+        print(f"best val acc {best.best_val_acc:.2f} "
+              f"@ epoch {best.best_epoch}")
     return best
 
 

@@ -26,15 +26,6 @@ BASE_PATH = "./test_set_reports"
 
 
 def main(argv=None):
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        # the VLM loops feed batches with plain device_puts; per-host
-        # input sharding is wired for the image/text/fusion CLIs only
-        raise SystemExit(
-            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
-            "BLIP-2/Q-Former CLIs yet — run them single-process "
-            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, _, tok = build_blip2(args, with_lora=False)
     if args.classifier_weights and os.path.isdir(args.classifier_weights):
@@ -72,7 +63,9 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed + 2), cfg)}
 
     from ..parallel.mesh import clamp_eval_batch, make_mesh, shard_params
+    from .blip2_common import vlm_multihost_mesh_check
     mesh = make_mesh(args.mesh_shape)
+    vlm_multihost_mesh_check(mesh)   # pipe meshes are single-process only
     params = place_blip2_params(mesh, params)
     trainable = shard_params(mesh, trainable)
 
@@ -84,22 +77,31 @@ def main(argv=None):
         cfg, params, mesh=mesh,
         compute_dtype=jnp_compute_dtype(args.compute_dtype))
 
-    correct, all_p, all_l = 0, [], []
     bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
-    for batch in b.iter_batches(bs):
-        preds, c = eval_step(trainable, batch)
-        correct += int(c)
-        valid = np.asarray(batch["valid"]).astype(bool)
-        all_p.append(np.asarray(preds)[valid])
-        all_l.append(np.asarray(batch["label"])[valid])
-    b.close()
-    acc = 100.0 * correct / len(m)
-    labels, preds = np.concatenate(all_l), np.concatenate(all_p)
-    report = generate_report_and_image(
-        labels, preds, acc, os.path.join(BASE_PATH, "qformer"), "qformer",
-        kind="qformer")
-    print(f"Test accuracy: {acc:.2f} %")
-    print(report)
+    if jax.process_count() > 1:
+        # each host decodes only its rows of every global batch; the
+        # acc/label/pred streams equal the single-process run's
+        from .blip2_common import vlm_eval_multiprocess
+        acc, labels, preds, _ = vlm_eval_multiprocess(eval_step, trainable,
+                                                      b, bs, mesh)
+        b.close()
+    else:
+        correct, all_p, all_l = 0, [], []
+        for batch in b.iter_batches(bs):
+            preds, c = eval_step(trainable, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        b.close()
+        acc = 100.0 * correct / len(m)
+        labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    if jax.process_index() == 0:   # one report writer on multi-host runs
+        report = generate_report_and_image(
+            labels, preds, acc, os.path.join(BASE_PATH, "qformer"),
+            "qformer", kind="qformer")
+        print(f"Test accuracy: {acc:.2f} %")
+        print(report)
     return acc
 
 

@@ -25,8 +25,9 @@ from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
                             restore_opt_state, save_best, save_train_state)
 from ..train.loss import cross_entropy_loss
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
-                           iter_accum_windows, make_accum_step,
-                           normalize_clip, place_blip2_params)
+                           make_accum_step, normalize_clip,
+                           place_blip2_params, vlm_eval_multiprocess,
+                           vlm_multihost_mesh_check, vlm_train_stream)
 
 TRAIN_SUFFIX = "_Train"
 VAL_SUFFIX = "_Val"
@@ -94,15 +95,6 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
 
 
 def main(argv=None):
-    import jax as _jax
-
-    if _jax.process_count() > 1:
-        # the VLM loops feed batches with plain device_puts; per-host
-        # input sharding is wired for the image/text/fusion CLIs only
-        raise SystemExit(
-            "multi-host (GC_RCA_MULTIHOST) is not supported by the "
-            "BLIP-2/Q-Former CLIs yet — run them single-process "
-            "(TP over the model axis via --mesh_shape still applies)")
     args = args_parser(argv)
     cfg, params, lora, tok = build_blip2(args, with_lora=False)
 
@@ -115,6 +107,7 @@ def main(argv=None):
 
     from ..parallel.mesh import mesh_for_batch, shard_params
     mesh = mesh_for_batch(args.mesh_shape, args.batch_size)
+    vlm_multihost_mesh_check(mesh)   # pipe meshes are single-process only
     params = place_blip2_params(mesh, params)
 
     trainable = shard_params(mesh, {"classifier": blip2.init_classifier(
@@ -127,6 +120,11 @@ def main(argv=None):
                            config=vars(args))
 
     def evaluate(trainable, batcher, manifest):
+        if jax.process_count() > 1:
+            # each host decodes only its rows; acc identical on every host
+            acc, _, _, _ = vlm_eval_multiprocess(
+                eval_step, trainable, batcher, args.batch_size, mesh)
+            return acc
         correct = 0
         for batch in batcher.iter_batches(args.batch_size):
             _, c = eval_step(trainable, batch)
@@ -150,12 +148,13 @@ def main(argv=None):
         print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (q_former_training.py:241,299)
+    from ..parallel.multihost import is_primary
+    primary = is_primary()   # side effects (saves, prints) on process 0
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
-        for stacked in iter_accum_windows(train_b, args.batch_size, QF_ACC,
-                                          shuffle=True,
-                                          seed=args.seed + epoch):
+        for stacked in vlm_train_stream(train_b, args.batch_size, QF_ACC,
+                                        mesh, seed=args.seed + epoch):
             trainable, opt_state, loss = train_step(trainable, opt_state,
                                                     stacked)
             losses.append(float(loss))
@@ -163,19 +162,27 @@ def main(argv=None):
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),
                     "val_acc": val_acc,
                     "epoch_time_seconds": time.time() - t0})
-        print(f"epoch {epoch}: loss={np.mean(losses):.4f} val_acc={val_acc:.2f}")
+        if primary:
+            print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+                  f"val_acc={val_acc:.2f}")
         if val_acc > best.best_val_acc:
-            # classifier saved separately (reference q_former_training.py:33-47)
+            # every process tracks the same best (val_acc is identical —
+            # vlm_eval_multiprocess); only the primary writes
+            # (classifier saved separately, q_former_training.py:33-47)
             best = PhaseResult(val_acc, epoch, save_best(
                 trainable, {}, model_name="qformer_classifier", epoch=epoch,
-                val_acc=val_acc, args=args, fine_tuning=False))
-        save_train_state(out_root=".", model_name="qformer_classifier",
-                         params=trainable, state={}, opt_state=opt_state,
-                         rng=jax.random.PRNGKey(args.seed), epoch=epoch,
-                         phase_name="train", scheduler=None, best=best)
+                val_acc=val_acc, args=args, fine_tuning=False)
+                if primary else best.best_path)
+        if primary:
+            save_train_state(out_root=".", model_name="qformer_classifier",
+                             params=trainable, state={}, opt_state=opt_state,
+                             rng=jax.random.PRNGKey(args.seed), epoch=epoch,
+                             phase_name="train", scheduler=None, best=best)
     train_b.close()
     val_b.close()
-    print(f"best val acc {best.best_val_acc:.2f} @ epoch {best.best_epoch}")
+    if primary:
+        print(f"best val acc {best.best_val_acc:.2f} "
+              f"@ epoch {best.best_epoch}")
     return best
 
 

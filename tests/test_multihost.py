@@ -429,3 +429,196 @@ def test_stacked_train_stream_matches_single_process(tiny_dataset):
         for k in w:
             np.testing.assert_array_equal(np.asarray(g[k]), w[k])
             assert g[k].sharding == sb
+
+
+# ---------------------------------------------------------------------------
+# VLM (BLIP-2 / Q-Former) multi-host wiring — cli/blip2_common.py
+# ---------------------------------------------------------------------------
+
+BPE_VOCAB = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixtures", "vocab", "bpe")
+
+
+def _tiny_blip2(mesh, compute_dtype):
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        place_blip2_params, tiny_blip2_config)
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    cfg = tiny_blip2_config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=compute_dtype)
+    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg)
+    return cfg, place_blip2_params(mesh, params), shard_params(mesh, lora)
+
+
+@pytest.mark.slow
+def test_vlm_eval_multiprocess_single_process_identity(tiny_dataset):
+    """vlm_eval_multiprocess at process_count==1 must reproduce the
+    blip2_test single-process loop's (acc, labels, preds) exactly."""
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        Blip2Batcher, vlm_eval_multiprocess)
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        answer_first_token_table, make_eval_step)
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+
+    mesh = make_mesh("data:-1")
+    cfg, params, lora = _tiny_blip2(mesh, jnp.float32)
+    manifest = build_manifest(str(tiny_dataset))
+    b = Blip2Batcher(manifest, get_tokenizer("opt", vocab_dir=BPE_VOCAB),
+                     workers=2)
+    try:
+        step = make_eval_step(cfg, params, answer_first_token_table(
+            b, manifest.classes), mesh=mesh, compute_dtype=jnp.float32)
+        correct, all_p, all_l = 0, [], []
+        for batch in b.iter_batches(8):
+            preds, c = step(lora, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        want_acc = 100.0 * correct / len(manifest)
+        got = vlm_eval_multiprocess(step, lora, b, 8, mesh)
+    finally:
+        b.close()
+    assert got[0] == want_acc
+    np.testing.assert_array_equal(got[1], np.concatenate(all_l))
+    np.testing.assert_array_equal(got[2], np.concatenate(all_p))
+
+
+VLM_WORKER = textwrap.dedent("""
+    import sys
+
+    pid, nproc, port, out, data_root, vocab = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5], sys.argv[6])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        Blip2Batcher, place_blip2_params, tiny_blip2_config,
+        vlm_eval_multiprocess, vlm_train_stream)
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        answer_first_token_table, make_eval_step, make_lora_train_step)
+    from garbage_classification_rca_tpu.data.manifest import build_manifest
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.parallel.mesh import (make_mesh,
+                                                              shard_params)
+
+    cfg = tiny_blip2_config()
+    params = blip2.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lora = blip2.init_lora(jax.random.PRNGKey(1), cfg)
+    mesh = make_mesh("data:-1")
+    params = place_blip2_params(mesh, params)
+    lora_r = shard_params(mesh, lora)
+    manifest = build_manifest(data_root)
+    b = Blip2Batcher(manifest, get_tokenizer("opt", vocab_dir=vocab),
+                     workers=2)
+    aft = answer_first_token_table(b, manifest.classes)
+    step = make_eval_step(cfg, params, aft, mesh=mesh,
+                          compute_dtype=jnp.float32)
+    acc, labels, preds, _ = vlm_eval_multiprocess(step, lora_r, b, 8, mesh)
+
+    # one epoch of accum windows: 12 samples / micro 8 -> 2 microbatches,
+    # acc_steps=4 -> ONE padded window (the valid=0 padding microbatches
+    # must contribute exactly zero gradient)
+    opt, tstep = make_lora_train_step(cfg, params, acc_steps=4, mesh=mesh,
+                                      compute_dtype=jnp.float32)
+    opt_state = shard_params(mesh, opt.init(jax.device_get(lora_r)))
+    l2 = lora_r
+    losses = []
+    for stacked in vlm_train_stream(b, 8, 4, mesh, seed=5):
+        l2, opt_state, loss = tstep(l2, opt_state, stacked, None)
+        losses.append(float(loss))
+    b.close()
+    flat = np.concatenate([np.asarray(l, np.float32).ravel() for l in
+                           jax.tree_util.tree_leaves(jax.device_get(l2))])
+    if pid == 0:
+        np.savez(out, acc=acc, labels=labels, preds=preds, lora=flat,
+                 n_windows=len(losses))
+    jax.distributed.shutdown()
+""")
+
+
+@pytest.mark.slow
+def test_two_process_vlm_eval_and_train_match_single_process(tiny_dataset,
+                                                             tmp_path):
+    """The lifted BLIP-2/Q-Former multi-host guard, proven: 2 OS processes
+    x 4 CPU devices run the 1-token eval and a padded accum window through
+    the VLM wiring; acc/label/pred streams and the trained adapters match
+    the single-process oracle."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "mh_vlm_worker.py"
+    script.write_text(VLM_WORKER)
+    out = tmp_path / "vlm_result.npz"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port), str(out),
+         str(tiny_dataset), BPE_VOCAB],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"vlm worker failed:\n{log[-4000:]}"
+    got = np.load(out)
+
+    # single-process oracle on this process's 8 virtual devices
+    from garbage_classification_rca_tpu.cli.blip2_common import (
+        Blip2Batcher, vlm_train_stream)
+    from garbage_classification_rca_tpu.cli.blip2_train import (
+        answer_first_token_table, make_eval_step, make_lora_train_step)
+    from garbage_classification_rca_tpu.data.tokenizer import get_tokenizer
+    from garbage_classification_rca_tpu.models.vlm import blip2
+
+    mesh = make_mesh("data:-1")
+    cfg, params, lora = _tiny_blip2(mesh, jnp.float32)
+    manifest = build_manifest(str(tiny_dataset))
+    b = Blip2Batcher(manifest, get_tokenizer("opt", vocab_dir=BPE_VOCAB),
+                     workers=2)
+    try:
+        step = make_eval_step(cfg, params, answer_first_token_table(
+            b, manifest.classes), mesh=mesh, compute_dtype=jnp.float32)
+        correct, all_p, all_l = 0, [], []
+        for batch in b.iter_batches(8):
+            preds, c = step(lora, batch)
+            correct += int(c)
+            valid = np.asarray(batch["valid"]).astype(bool)
+            all_p.append(np.asarray(preds)[valid])
+            all_l.append(np.asarray(batch["label"])[valid])
+        acc = 100.0 * correct / len(manifest)
+        assert float(got["acc"]) == acc
+        np.testing.assert_array_equal(got["labels"], np.concatenate(all_l))
+        np.testing.assert_array_equal(got["preds"], np.concatenate(all_p))
+
+        # train oracle: the single-process stream yields a trailing
+        # PARTIAL window where the worker's was padded — gradients (and so
+        # the updated adapters) must agree anyway
+        opt, tstep = make_lora_train_step(cfg, params, acc_steps=4,
+                                          mesh=mesh,
+                                          compute_dtype=jnp.float32)
+        opt_state = shard_params(mesh, opt.init(jax.device_get(lora)))
+        l2 = lora
+        n = 0
+        for stacked in vlm_train_stream(b, 8, 4, mesh, seed=5):
+            l2, opt_state, _ = tstep(l2, opt_state, stacked, None)
+            n += 1
+    finally:
+        b.close()
+    assert int(got["n_windows"]) == n == 1
+    flat = np.concatenate([np.asarray(l, np.float32).ravel() for l in
+                           jax.tree_util.tree_leaves(jax.device_get(l2))])
+    np.testing.assert_allclose(got["lora"], flat, rtol=1e-4, atol=2e-5)

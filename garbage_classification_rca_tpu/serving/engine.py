@@ -209,7 +209,7 @@ class GenerationServer:
                                    [:, None])).astype(jnp.int32)
             emb = opt_mod.embed_tokens(params, tok).astype(emb_dtype)
             h, caches = opt_mod.decode_step(params, caches, emb, write, pos,
-                                            attn, self.cfg, lora=self.lora,
+                                            attn, self.cfg, lora=lora,
                                             lora_scale=self.lora_scale)
             logits = opt_mod.lm_head(params, h)
             if greedy:
@@ -228,7 +228,6 @@ class GenerationServer:
 
         (caches, tok, n_fed), fed = jax.lax.scan(
             step, (caches, tok, n_fed), None, length=n_steps)
-        del lora  # threaded for shardings only; used via self in trace
         return caches, tok, n_fed, fed
 
     # ---- host scheduler --------------------------------------------------

@@ -272,7 +272,7 @@ def iter_accum_windows(batcher, batch_size: int, acc_steps: int, *,
 
 
 def vlm_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
-                     seed: int):
+                     seed: int, prefetch_depth: int = 2):
     """The trainer input stream, multi-host aware: single-process it is
     iter_accum_windows (trailing PARTIAL window, reference /acc_steps
     semantics); under multi-process it is multihost.stacked_train_stream
@@ -289,13 +289,14 @@ def vlm_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
         from ..parallel.multihost import stacked_train_stream
 
         return stacked_train_stream(batcher, batch_size, acc_steps, mesh,
-                                    seed=seed, keys=BATCH_KEYS)
+                                    seed=seed, keys=BATCH_KEYS,
+                                    prefetch_depth=prefetch_depth)
     return iter_accum_windows(batcher, batch_size, acc_steps, shuffle=True,
                               seed=seed)
 
 
 def vlm_eval_multiprocess(eval_step, trainable, batcher, batch_size: int,
-                          mesh):
+                          mesh, prefetch_depth: int = 2):
     """Multi-host twin of the VLM eval loops: adapts the CLIs'
     ``eval_step(trainable, batch)`` contract to
     multihost.run_eval_multiprocess (each host decodes only its rows;
@@ -308,7 +309,33 @@ def vlm_eval_multiprocess(eval_step, trainable, batcher, batch_size: int,
         return eval_step(t, batch)
 
     return run_eval_multiprocess(step, trainable, None, batcher,
-                                 batch_size, mesh, keys=BATCH_KEYS)
+                                 batch_size, mesh, keys=BATCH_KEYS,
+                                 prefetch_depth=prefetch_depth)
+
+
+def vlm_eval(eval_step, trainable, batcher, batch_size: int, mesh,
+             n_total: int, prefetch_depth: int = 2):
+    """THE VLM eval loop — the test CLIs and the trainers' per-epoch
+    evaluate all go through here so the valid-mask bookkeeping and the
+    acc denominator (actual dataset size, not the reference's hard-coded
+    2000 — blip_2_test_set.py:162) cannot drift between call sites.
+    Dispatches to run_eval_multiprocess under multi-process JAX;
+    tests/test_multihost.py proves both branches agree at one process.
+    Returns (acc, labels, preds) with padding rows masked out."""
+    if jax.process_count() > 1:
+        acc, labels, preds, _ = vlm_eval_multiprocess(
+            eval_step, trainable, batcher, batch_size, mesh,
+            prefetch_depth=prefetch_depth)
+        return acc, labels, preds
+    correct, all_p, all_l = 0, [], []
+    for batch in batcher.iter_batches(batch_size):
+        preds, c = eval_step(trainable, batch)
+        correct += int(c)
+        valid = np.asarray(batch["valid"]).astype(bool)
+        all_p.append(np.asarray(preds)[valid])
+        all_l.append(np.asarray(batch["label"])[valid])
+    acc = 100.0 * correct / n_total
+    return acc, np.concatenate(all_l), np.concatenate(all_p)
 
 
 def vlm_multihost_mesh_check(mesh):

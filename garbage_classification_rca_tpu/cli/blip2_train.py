@@ -37,7 +37,7 @@ from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            class_logits_from_next_token, make_accum_step,
                            normalize_clip, place_blip2_params,
-                           setup_pipeline, vlm_eval_multiprocess,
+                           setup_pipeline, vlm_eval,
                            vlm_multihost_mesh_check, vlm_train_stream)
 
 TRAIN_SUFFIX = "_Train"
@@ -271,16 +271,10 @@ def main(argv=None):
                            config=vars(args))
 
     def evaluate(lora, batcher, manifest):
-        if jax.process_count() > 1:
-            # each host decodes only its rows; acc identical on every host
-            acc, _, _, _ = vlm_eval_multiprocess(
-                eval_step, lora, batcher, args.batch_size, mesh)
-            return acc
-        correct = 0
-        for batch in batcher.iter_batches(args.batch_size):
-            _, c = eval_step(lora, batch)
-            correct += int(c)
-        return 100.0 * correct / len(manifest)
+        acc, _, _ = vlm_eval(eval_step, lora, batcher, args.batch_size,
+                             mesh, len(manifest),
+                             prefetch_depth=args.prefetch_depth)
+        return acc
 
     best = PhaseResult(0.0, 0, None)
     rng = jax.random.PRNGKey(args.seed)
@@ -345,7 +339,8 @@ def main(argv=None):
         t0 = time.time()
         losses = []
         for stacked in vlm_train_stream(train_b, micro, BLIP2_ACC, mesh,
-                                        seed=args.seed + epoch):
+                                        seed=args.seed + epoch,
+                                        prefetch_depth=args.prefetch_depth):
             rng, srng = jax.random.split(rng)
             lora, opt_state, loss = step(lora, opt_state, stacked, srng)
             losses.append(float(loss))

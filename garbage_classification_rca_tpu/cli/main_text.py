@@ -134,10 +134,11 @@ def main(argv=None):
     else:
         params, state = mdef.init(jax.random.PRNGKey(args.seed),
                                   num_classes=NUM_CLASSES)
-    from ..utils.dtype import cast_float_params, resolve_param_dtype
+    from ..utils.dtype import cast_for_training
     # fp32 master weights unless --param_dtype overrides (bf16 halves
-    # param HBM; optimizer moments follow via opt.init)
-    params = cast_float_params(params, resolve_param_dtype(args, "float32"))
+    # param HBM; optimizer moments follow via opt.init); full resume
+    # keeps the checkpoint dtype when the flag is left empty
+    params = cast_for_training(args, params, plan.resume is not None)
     params = place(params)
     state = place(state)
 

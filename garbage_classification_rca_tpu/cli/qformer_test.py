@@ -78,24 +78,11 @@ def main(argv=None):
         compute_dtype=jnp_compute_dtype(args.compute_dtype))
 
     bs = clamp_eval_batch(args.eval_batch_size or 16, len(m), mesh)
-    if jax.process_count() > 1:
-        # each host decodes only its rows of every global batch; the
-        # acc/label/pred streams equal the single-process run's
-        from .blip2_common import vlm_eval_multiprocess
-        acc, labels, preds, _ = vlm_eval_multiprocess(eval_step, trainable,
-                                                      b, bs, mesh)
-        b.close()
-    else:
-        correct, all_p, all_l = 0, [], []
-        for batch in b.iter_batches(bs):
-            preds, c = eval_step(trainable, batch)
-            correct += int(c)
-            valid = np.asarray(batch["valid"]).astype(bool)
-            all_p.append(np.asarray(preds)[valid])
-            all_l.append(np.asarray(batch["label"])[valid])
-        b.close()
-        acc = 100.0 * correct / len(m)
-        labels, preds = np.concatenate(all_l), np.concatenate(all_p)
+    from .blip2_common import vlm_eval
+    acc, labels, preds = vlm_eval(eval_step, trainable, b, bs, mesh,
+                                  len(m),
+                                  prefetch_depth=args.prefetch_depth)
+    b.close()
     if jax.process_index() == 0:   # one report writer on multi-host runs
         report = generate_report_and_image(
             labels, preds, acc, os.path.join(BASE_PATH, "qformer"),

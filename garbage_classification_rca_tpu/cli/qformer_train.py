@@ -26,7 +26,7 @@ from ..train.engine import (MetricsLogger, PhaseResult, maybe_load_resume,
 from ..train.loss import cross_entropy_loss
 from .blip2_common import (BATCH_KEYS, Blip2Batcher, build_blip2,
                            make_accum_step, normalize_clip,
-                           place_blip2_params, vlm_eval_multiprocess,
+                           place_blip2_params, vlm_eval,
                            vlm_multihost_mesh_check, vlm_train_stream)
 
 TRAIN_SUFFIX = "_Train"
@@ -120,16 +120,10 @@ def main(argv=None):
                            config=vars(args))
 
     def evaluate(trainable, batcher, manifest):
-        if jax.process_count() > 1:
-            # each host decodes only its rows; acc identical on every host
-            acc, _, _, _ = vlm_eval_multiprocess(
-                eval_step, trainable, batcher, args.batch_size, mesh)
-            return acc
-        correct = 0
-        for batch in batcher.iter_batches(args.batch_size):
-            _, c = eval_step(trainable, batch)
-            correct += int(c)
-        return 100.0 * correct / len(manifest)
+        acc, _, _ = vlm_eval(eval_step, trainable, batcher,
+                             args.batch_size, mesh, len(manifest),
+                             prefetch_depth=args.prefetch_depth)
+        return acc
 
     best = PhaseResult(0.0, 0, None)
     start_epoch = 0
@@ -154,7 +148,8 @@ def main(argv=None):
         t0 = time.time()
         losses = []
         for stacked in vlm_train_stream(train_b, args.batch_size, QF_ACC,
-                                        mesh, seed=args.seed + epoch):
+                                        mesh, seed=args.seed + epoch,
+                                        prefetch_depth=args.prefetch_depth):
             trainable, opt_state, loss = train_step(trainable, opt_state,
                                                     stacked)
             losses.append(float(loss))

@@ -220,17 +220,26 @@ def device_prefetch(host_iter, mesh=None, depth: int = 2, sharding=None):
                 lambda a: jax.device_put(a, sharding), b)
         return jax.tree_util.tree_map(jax.device_put, b)
 
+    return lookahead(map(put, host_iter), depth)
+
+
+def lookahead(it, depth: int = 2):
+    """Generic pull-ahead buffer: materialize up to ``depth`` upcoming
+    items while the caller consumes the current one. device_prefetch
+    without the put — for iterators whose items are already
+    device-placed (the multihost streams yield put_global results), so
+    host decode + H2D of the next batch overlaps the in-flight step."""
     buf: List = []
-    it = iter(host_iter)
+    it = iter(it)
     try:
         for _ in range(max(1, depth)):   # depth<1 would yield nothing
-            buf.append(put(next(it)))
+            buf.append(next(it))
     except StopIteration:
         pass
     while buf:
         nxt = buf.pop(0)
         try:
-            buf.append(put(next(it)))
+            buf.append(next(it))
         except StopIteration:
             pass
         yield nxt

@@ -81,7 +81,8 @@ def run_eval(step, params, state, batcher: ImageTextBatcher,
 
         return run_eval_multiprocess(step, params, state, batcher,
                                      batch_size, mesh, keys=keys,
-                                     progress=progress)
+                                     progress=progress,
+                                     prefetch_depth=prefetch_depth)
     n_total = len(batcher.m)
     all_preds, all_labels = [], []
     correct = 0

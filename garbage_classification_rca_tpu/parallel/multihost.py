@@ -142,7 +142,7 @@ def allgather_to_host(x):
 def stacked_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
                          seed: int, order=None,
                          keys=("image", "input_ids", "attention_mask",
-                               "label", "valid")):
+                               "label", "valid"), prefetch_depth: int = 2):
     """Multi-process twin of train/engine.stacked_batches + the
     device_put(microbatch_sharding) wrap: yields globally-sharded
     [acc, B, ...] microbatch stacks with each host decoding ONLY its rows.
@@ -156,7 +156,7 @@ def stacked_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
     stacked_batches). Every process must drain the stream fully (the
     train step's psums are collective).
     """
-    from ..data.pipeline import batch_indices
+    from ..data.pipeline import batch_indices, lookahead
     from ..train.loop import microbatch_sharding
 
     acc = max(acc_steps, 1)
@@ -176,20 +176,26 @@ def stacked_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
         mb = batcher.make_batch(local_idx, n_local)
         return {k: v for k, v in mb.items() if k in keys}
 
-    buf = []
-    for plan in plans:
-        buf.append(local_mb(plan))
-        if len(buf) == acc:
+    def windows():
+        buf = []
+        for plan in plans:
+            buf.append(local_mb(plan))
+            if len(buf) == acc:
+                yield put_global(sb, {k: np.stack([x[k] for x in buf])
+                                      for k in buf[0]})
+                buf = []
+        if buf:
+            pad = dict(buf[-1])
+            pad["valid"] = np.zeros_like(pad["valid"])
+            while len(buf) < acc:
+                buf.append(pad)
             yield put_global(sb, {k: np.stack([x[k] for x in buf])
                                   for k in buf[0]})
-            buf = []
-    if buf:
-        pad = dict(buf[-1])
-        pad["valid"] = np.zeros_like(pad["valid"])
-        while len(buf) < acc:
-            buf.append(pad)
-        yield put_global(sb, {k: np.stack([x[k] for x in buf])
-                              for k in buf[0]})
+
+    # decode the next window(s) while the current train step runs
+    # (--prefetch_depth); identical pull order on every process keeps the
+    # collective schedule aligned
+    return lookahead(windows(), prefetch_depth)
 
 
 def is_primary() -> bool:
@@ -202,7 +208,7 @@ def is_primary() -> bool:
 
 def run_eval_multiprocess(step, params, state, batcher, batch_size: int,
                           mesh, keys=("image", "label", "valid"),
-                          progress: bool = True
+                          progress: bool = True, prefetch_depth: int = 2
                           ) -> Tuple[float, np.ndarray, np.ndarray, Dict]:
     """Multi-process twin of the single-host eval loops (eval/harness.py
     run_image_eval, cli/test_text.py, cli/test_both.py): same jitted
@@ -227,15 +233,25 @@ def run_eval_multiprocess(step, params, state, batcher, batch_size: int,
     n_steps = (n_total + batch_size - 1) // batch_size
     all_preds, all_labels = [], []
     correct = 0
+
+    def global_batches():
+        # decode + put_global of batch s+1.. overlaps the in-flight step
+        # via the lookahead wrap (--prefetch_depth); per-process placement
+        # is deterministic and identical across hosts, so pulling ahead
+        # keeps every process on the same collective schedule
+        for s in range(n_steps):
+            base = s * batch_size
+            n_valid = min(batch_size, n_total - base)
+            local_idx = np.asarray(
+                [base + r for r in my_rows if r < n_valid], dtype=np.int64)
+            local = batcher.make_batch(local_idx, len(my_rows))
+            local = {k: v for k, v in local.items() if k in keys}
+            yield base, n_valid, put_global(rs, local)
+
+    from ..data.pipeline import lookahead
     t0 = time.perf_counter()
-    for s in range(n_steps):
-        base = s * batch_size
-        n_valid = min(batch_size, n_total - base)
-        local_idx = np.asarray([base + r for r in my_rows if r < n_valid],
-                               dtype=np.int64)
-        local = batcher.make_batch(local_idx, len(my_rows))
-        local = {k: v for k, v in local.items() if k in keys}
-        batch = put_global(rs, local)
+    for s, (base, n_valid, batch) in enumerate(
+            lookahead(global_batches(), prefetch_depth)):
         preds, c = step(params, state, batch)
         correct += int(jax.device_get(c))  # replicated => addressable
         preds_np = allgather_to_host(preds)[:n_valid]

@@ -403,7 +403,8 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
             # to the single-process stream — parallel/multihost.py
             host = stacked_train_stream(
                 batcher, batch_size, acc_steps, mesh,
-                seed=args.seed * 77 + epoch, order=order, keys=keys)
+                seed=args.seed * 77 + epoch, order=order, keys=keys,
+                prefetch_depth=args.prefetch_depth)
         else:
             host = stacked_batches(batcher, batch_size, acc_steps,
                                    seed=args.seed * 77 + epoch, order=order,

@@ -22,6 +22,19 @@ def cast_float_params(params, dtype):
     return jax.tree_util.tree_map(cast, params)
 
 
+def cast_for_training(args, params, resumed: bool):
+    """Param storage cast for the train CLIs: fp32 master weights unless
+    --param_dtype overrides. A FULL resume with the flag left empty keeps
+    the checkpoint's own dtype — casting there would silently change the
+    run's precision mid-training (a --param_dtype=bfloat16 run resumed
+    with default flags would upcast params to fp32 while restore_opt_state
+    reloads the checkpoint's bf16 moments) and break the bit-identical
+    continuation contract (train/engine.py resume tests)."""
+    if resumed and not args.param_dtype:
+        return params
+    return cast_float_params(params, resolve_param_dtype(args, "float32"))
+
+
 def resolve_param_dtype(args, default: str):
     """--param_dtype -> jnp storage dtype, falling back to the calling
     path's policy when the flag is left empty (eval CLIs pass

@@ -118,9 +118,16 @@ def test_every_flag_has_a_consumer():
         __import__("garbage_classification_rca_tpu").__file__).parent
     src = "\n".join(
         p.read_text() for p in pkg.rglob("*.py") if p.name != "config.py")
-    flags = re.findall(r"add_argument\(\s*['\"]--(\w+)['\"]",
-                       (pkg / "config.py").read_text())
-    assert len(flags) > 40, flags   # the parser moved? keep this honest
+    cfg_text = (pkg / "config.py").read_text()
+    flags = re.findall(r"add_argument\(\s*['\"]--(\w+)['\"]", cfg_text)
+    # _add_bool_flag builds its --name via f-string, so the add_argument
+    # scan is blind to every boolean flag — audit those too (this gap hid
+    # 11 flags from the original audit, e.g. --balanced_sampler).
+    bool_flags = re.findall(r"_add_bool_flag\(p,\s*['\"](\w+)['\"]",
+                            cfg_text)
+    assert len(bool_flags) >= 10, bool_flags
+    flags += bool_flags
+    assert len(flags) > 50, flags   # the parser moved? keep this honest
     # base_path parses and is ignored BY THE REFERENCE TOO (options.py:59
     # declares it; no reference script reads it) — parity says keep it.
     # vocab_dir's consumer is config.resolve_vocab_dir itself (called by

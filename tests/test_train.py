@@ -207,3 +207,28 @@ def test_stack_microbatches():
     b = [{"a": np.ones((4, 2))}, {"a": np.zeros((4, 2))}]
     s = stack_microbatches(b)
     assert s["a"].shape == (2, 4, 2)
+
+
+def test_cast_for_training_resume_keeps_checkpoint_dtype():
+    """A FULL resume with --param_dtype left empty must keep the
+    checkpoint's own dtype: casting would silently upcast a bf16 run to
+    fp32 mid-training while restore_opt_state reloads bf16 moments,
+    breaking the bit-identical continuation contract. An explicit flag
+    still wins; fresh starts default to fp32 master weights."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from garbage_classification_rca_tpu.utils.dtype import cast_for_training
+
+    bf16 = {"w": jnp.ones((2, 2), jnp.bfloat16), "step": jnp.array(3)}
+    # resumed, flag empty -> untouched
+    out = cast_for_training(SimpleNamespace(param_dtype=""), bf16, True)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["step"].dtype == bf16["step"].dtype
+    # resumed, explicit flag -> user asked for the cast
+    out = cast_for_training(SimpleNamespace(param_dtype="float32"), bf16,
+                            True)
+    assert out["w"].dtype == jnp.float32
+    # fresh start, flag empty -> fp32 master weights
+    out = cast_for_training(SimpleNamespace(param_dtype=""), bf16, False)
+    assert out["w"].dtype == jnp.float32

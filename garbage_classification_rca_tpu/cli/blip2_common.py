@@ -291,8 +291,14 @@ def vlm_train_stream(batcher, batch_size: int, acc_steps: int, mesh, *,
         return stacked_train_stream(batcher, batch_size, acc_steps, mesh,
                                     seed=seed, keys=BATCH_KEYS,
                                     prefetch_depth=prefetch_depth)
-    return iter_accum_windows(batcher, batch_size, acc_steps, shuffle=True,
-                              seed=seed)
+    from ..data.pipeline import lookahead
+
+    # single-process: same --prefetch_depth pull-ahead (host decode/stack
+    # of the next window overlaps the in-flight accum step; ADVICE r3
+    # flagged the flag as silently inert on exactly this branch)
+    return lookahead(iter_accum_windows(batcher, batch_size, acc_steps,
+                                        shuffle=True, seed=seed),
+                     prefetch_depth)
 
 
 def vlm_eval_multiprocess(eval_step, trainable, batcher, batch_size: int,
@@ -327,8 +333,13 @@ def vlm_eval(eval_step, trainable, batcher, batch_size: int, mesh,
             eval_step, trainable, batcher, batch_size, mesh,
             prefetch_depth=prefetch_depth)
         return acc, labels, preds
+    from ..data.pipeline import lookahead
+
     correct, all_p, all_l = 0, [], []
-    for batch in batcher.iter_batches(batch_size):
+    # --prefetch_depth on the single-process branch too: decode of the
+    # next batch overlaps the in-flight eval step (ADVICE r3)
+    for batch in lookahead(batcher.iter_batches(batch_size),
+                           prefetch_depth):
         preds, c = eval_step(trainable, batch)
         correct += int(c)
         valid = np.asarray(batch["valid"]).astype(bool)

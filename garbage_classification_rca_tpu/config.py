@@ -297,7 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--eval_batch_size', type=int, default=d.eval_batch_size)
     p.add_argument('--seed', type=int, default=d.seed)
     _add_bool_flag(p, 'wandb', d.wandb, "log to wandb")
-    p.add_argument('--prefetch_depth', type=int, default=d.prefetch_depth)
+    p.add_argument('--prefetch_depth', type=int, default=d.prefetch_depth,
+                   help="host->device lookahead window; 0 disables "
+                        "pull-ahead entirely")
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     p.add_argument('--resume_from', type=str, default=d.resume_from)

@@ -228,11 +228,18 @@ def lookahead(it, depth: int = 2):
     items while the caller consumes the current one. device_prefetch
     without the put — for iterators whose items are already
     device-placed (the multihost streams yield put_global results), so
-    host decode + H2D of the next batch overlaps the in-flight step."""
+    host decode + H2D of the next batch overlaps the in-flight step.
+
+    depth <= 0 means OFF: the iterator is passed through untouched (no
+    pull-ahead at all), so --prefetch_depth=0 really disables lookahead
+    when debugging batch ordering or HBM pressure (ADVICE r3)."""
+    if depth <= 0:
+        yield from it
+        return
     buf: List = []
     it = iter(it)
     try:
-        for _ in range(max(1, depth)):   # depth<1 would yield nothing
+        for _ in range(depth):
             buf.append(next(it))
     except StopIteration:
         pass

@@ -238,8 +238,8 @@ def test_decode_error_raises_not_truncates(tiny_dataset):
 
 def test_device_prefetch_depth_lookahead():
     """--prefetch_depth plumbing: depth N pulls N host batches before the
-    first yield (lookahead window), depth<1 is clamped so the stream still
-    yields everything."""
+    first yield (lookahead window); depth<=0 disables pull-ahead entirely
+    (pure passthrough — still device_puts, never reads ahead, ADVICE r3)."""
     from garbage_classification_rca_tpu.data.pipeline import device_prefetch
 
     pulled = []
@@ -256,7 +256,12 @@ def test_device_prefetch_depth_lookahead():
     rest = list(it)
     assert [int(np.asarray(b["x"])[0]) for b in rest] == [1, 2, 3, 4]
 
-    assert len(list(device_prefetch(src(3), depth=0))) == 3
+    pulled.clear()
+    it = device_prefetch(src(3), depth=0)
+    first = next(it)
+    assert int(np.asarray(first["x"])[0]) == 0
+    assert pulled == [0]               # no pull-ahead at depth 0
+    assert len(list(it)) == 2
 
 
 def test_resolve_param_dtype_policy():

@@ -201,7 +201,8 @@ BATCH_KEYS = ("image", "input_ids", "attention_mask", "label_tokens",
 
 
 def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None,
-                    inherit_trainable: bool = False):
+                    inherit_trainable: bool = False,
+                    with_rng: bool = False):
     """The grad-accumulating optimizer step shared by the BLIP-2 LoRA and
     Q-Former classifier trainers (they differ only in the loss).
 
@@ -209,6 +210,11 @@ def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None,
     Returns a jitted ``(frozen, trainable, opt_state, stacked_batch) ->
     (trainable, opt_state, mean_loss)`` where stacked_batch has a leading
     microbatch dim of W <= acc_steps.
+
+    ``with_rng=True``: grad_fn is loss(trainable, frozen, mb, rng) and the
+    returned step takes a trailing rng argument; each microbatch gets
+    fold_in(rng, i) (--hf_internal_dropout threads its dropout keys this
+    way).
 
     Reference semantics (blip_2_training.py:274-293,
     q_former_training.py:294-301): the optimizer steps every ``acc_steps``
@@ -221,19 +227,25 @@ def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None,
     """
     import optax
 
-    def _fn(frozen, trainable, opt_state, batch):
+    def _fn(frozen, trainable, opt_state, batch, rng=None):
         acc = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
-        def micro(carry, mb):
+        def micro(carry, xs):
+            mb, i = xs
             grads_acc, loss_acc = carry
-            loss, grads = grad_fn(trainable, frozen, mb)
+            if with_rng:
+                loss, grads = grad_fn(trainable, frozen, mb,
+                                      jax.random.fold_in(rng, i))
+            else:
+                loss, grads = grad_fn(trainable, frozen, mb)
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(jnp.float32), grads_acc, grads)
             return (grads_acc, loss_acc + loss), None
 
         zero = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), batch)
+        (grads, loss_sum), _ = jax.lax.scan(
+            micro, (zero, 0.0), (batch, jnp.arange(acc)))
         grads = jax.tree_util.tree_map(lambda g: g / acc_steps, grads)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         return (optax.apply_updates(trainable, updates), opt_state,
@@ -251,7 +263,8 @@ def make_accum_step(grad_fn, opt, acc_steps: int, mesh=None,
     # inherit_trainable=True does the same for trainable+opt_state — the
     # GPipe path commits stage-stacked adapters sharded over 'pipe'
     rs_t = None if inherit_trainable else rs
-    return jax.jit(_fn, in_shardings=(None, rs_t, rs_t, shard),
+    in_sh = (None, rs_t, rs_t, shard) + ((rs,) if with_rng else ())
+    return jax.jit(_fn, in_shardings=in_sh,
                    out_shardings=(rs_t, rs_t, rs))
 
 

@@ -79,26 +79,42 @@ def _blip2_adamw():
 
 
 def make_lora_train_step(cfg, params, acc_steps: int = BLIP2_ACC,
-                         mesh=None, compute_dtype=jnp.bfloat16):
+                         mesh=None, compute_dtype=jnp.bfloat16,
+                         hf_internal_dropout: bool = False):
     """Grad-accumulating LoRA step: the reference steps AdamW every 8
     microbatches (blip_2_training.py:280-293); here the 8 microbatches are
     one lax.scan inside a single device program. With a mesh, the
     microbatch axis stays replicated and the batch axis is sharded over
-    'data' (XLA psums the LoRA grads across chips)."""
+    'data' (XLA psums the LoRA grads across chips).
+
+    ``hf_internal_dropout``: reproduce the reference trainer's stochastic
+    internals (Q-Former/OPT p=0.1 dropout + peft lora_dropout=0.05 — the
+    peft model runs in train() mode there); the per-microbatch rng the
+    step already receives is threaded into blip2.lm_loss."""
     opt = _blip2_adamw()
 
-    def loss_fn(lora, frozen, mb):
-        x, ids, mask, full_labels = _assemble_lm_batch(mb, compute_dtype)
-        return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg, lora)
+    if hf_internal_dropout:
+        def loss_fn(lora, frozen, mb, rng):
+            x, ids, mask, full_labels = _assemble_lm_batch(mb, compute_dtype)
+            return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg,
+                                 lora, rng=rng, hf_internal_dropout=True)
+    else:
+        def loss_fn(lora, frozen, mb):
+            x, ids, mask, full_labels = _assemble_lm_batch(mb, compute_dtype)
+            return blip2.lm_loss(frozen, x, ids, mask, full_labels, cfg, lora)
 
     # accumulation machinery (scan, /acc_steps partial-window semantics,
     # frozen-params-as-jit-arg, mesh shardings) shared with qformer_train
     _step = make_accum_step(jax.value_and_grad(loss_fn), opt, acc_steps,
-                            mesh=mesh)
+                            mesh=mesh, with_rng=hf_internal_dropout)
 
-    def step(lora, opt_state, batch, rng):
-        del rng
-        return _step(params, lora, opt_state, batch)
+    if hf_internal_dropout:
+        def step(lora, opt_state, batch, rng):
+            return _step(params, lora, opt_state, batch, rng)
+    else:
+        def step(lora, opt_state, batch, rng):
+            del rng
+            return _step(params, lora, opt_state, batch)
 
     step.raw = _step   # (frozen, lora, opt_state, batch) — for callers that
     return opt, step   # nest this in a larger jit (e.g. bench scan loops)
@@ -246,6 +262,10 @@ def main(argv=None):
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_pipe = sizes.get("pipe", 1)
     dtype = jnp_compute_dtype(args.compute_dtype)
+    if n_pipe > 1 and args.hf_internal_dropout:
+        raise SystemExit("--hf_internal_dropout is not supported on a pipe "
+                         "mesh (the GPipe loss path is deterministic); "
+                         "use a data/data,model mesh")
     if n_pipe > 1:
         # GPipe: the OPT decoder lives stage-sharded over 'pipe';
         # adapters train stage-stacked (blip2_common.setup_pipeline)
@@ -262,8 +282,9 @@ def main(argv=None):
     else:
         params = place_blip2_params(mesh, params)
         lora = shard_params(mesh, lora)
-        opt, step = make_lora_train_step(cfg, params, mesh=mesh,
-                                         compute_dtype=dtype)
+        opt, step = make_lora_train_step(
+            cfg, params, mesh=mesh, compute_dtype=dtype,
+            hf_internal_dropout=args.hf_internal_dropout)
         eval_step = make_eval_step(cfg, params, aft, mesh=mesh,
                                    compute_dtype=dtype)
         opt_state = shard_params(mesh, opt.init(lora))

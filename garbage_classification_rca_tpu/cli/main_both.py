@@ -143,7 +143,8 @@ def main(argv=None):
         step = make_train_step(fusion_apply, opt, class_weights=class_weights,
                                label_smoothing=args.label_smoothing,
                                compute_dtype=dtype, mesh=mesh,
-                               batch_to_inputs=batch_to_inputs, donate=True)
+                               batch_to_inputs=batch_to_inputs, donate=True,
+                               log_norms=True)
         return opt, step
 
     eval_step_cache = {}

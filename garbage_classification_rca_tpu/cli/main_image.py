@@ -142,7 +142,8 @@ def main(argv=None):
         step = make_train_step(
             mdef.apply, opt, class_weights=class_weights,
             label_smoothing=args.label_smoothing, compute_dtype=dtype,
-            mesh=mesh, batch_to_inputs=batch_to_inputs, donate=True)
+            mesh=mesh, batch_to_inputs=batch_to_inputs, donate=True,
+            log_norms=True)
         return opt, step
 
     def eval_fn_factory(bs):

@@ -145,12 +145,20 @@ def main(argv=None):
     def batch_to_inputs(mb, rng=None):
         return (mb["input_ids"], mb["attention_mask"])
 
+    train_apply = mdef.apply
+    if args.hf_internal_dropout:
+        # reference towers stay in train() mode -> HF-internal p=0.1
+        # dropout active during training (text_models.py:23-34)
+        import functools
+        train_apply = functools.partial(mdef.apply, hf_internal_dropout=True)
+
     def make_step(mask, lr):
         opt = make_optimizer(args.opt, lr, args.reg, mask)
-        step = make_train_step(mdef.apply, opt, class_weights=class_weights,
+        step = make_train_step(train_apply, opt, class_weights=class_weights,
                                label_smoothing=args.label_smoothing,
                                compute_dtype=jnp.float32, mesh=mesh,
-                               batch_to_inputs=batch_to_inputs, donate=True)
+                               batch_to_inputs=batch_to_inputs, donate=True,
+                               log_norms=True)
         return opt, step
 
     eval_step = make_text_eval_step(mdef.apply, mesh,

@@ -36,7 +36,8 @@ QF_ACC = 8               # reference q_former_training.py:241
 
 
 def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16,
+               hf_internal_dropout: bool = False):
     """Classifier-only training is EXACT reference parity, not a cut: the
     reference peft-wraps the model (q_former_training.py:230-240) but its
     LoRA targets q_proj/k_proj, which only exist in the OPT decoder — the
@@ -56,16 +57,32 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
 
     # frozen BLIP-2 params enter as a jit ARGUMENT: closing over them
     # would embed GBs of weights in the executable as captured constants
-    def loss_fn(trainable, frozen, batch):
-        x = normalize_clip(batch["image"], compute_dtype)
-        feat = blip2.qformer_cls_feature(frozen, x, cfg).astype(jnp.float32)
-        logits = nn.linear(trainable["classifier"], feat)
-        return cross_entropy_loss(logits, batch["label"],
-                                  valid=batch["valid"])
+    if hf_internal_dropout:
+        # reference q_former_training keeps the (peft-wrapped) model in
+        # train() mode, so the Q-Former's HF-internal p=0.1 dropout is
+        # active while its features feed the classifier loss (the OPT
+        # tower never runs on this path)
+        def loss_fn(trainable, frozen, batch, rng):
+            x = normalize_clip(batch["image"], compute_dtype)
+            feat = blip2.qformer_cls_feature(
+                frozen, x, cfg,
+                drop=nn.HFDropout(rng)).astype(jnp.float32)
+            logits = nn.linear(trainable["classifier"], feat)
+            return cross_entropy_loss(logits, batch["label"],
+                                      valid=batch["valid"])
+    else:
+        def loss_fn(trainable, frozen, batch):
+            x = normalize_clip(batch["image"], compute_dtype)
+            feat = blip2.qformer_cls_feature(frozen, x,
+                                             cfg).astype(jnp.float32)
+            logits = nn.linear(trainable["classifier"], feat)
+            return cross_entropy_loss(logits, batch["label"],
+                                      valid=batch["valid"])
 
     # accumulation machinery shared with blip2_train (blip2_common)
     _train_step = make_accum_step(jax.value_and_grad(loss_fn), opt,
-                                  acc_steps, mesh=mesh)
+                                  acc_steps, mesh=mesh,
+                                  with_rng=hf_internal_dropout)
 
     def _eval_fn(frozen, trainable, batch):
         x = normalize_clip(batch["image"], compute_dtype)
@@ -85,8 +102,12 @@ def make_steps(cfg, params, acc_steps: int = QF_ACC, mesh=None,
         _eval_step = jax.jit(_eval_fn, in_shardings=(None, rsh, shard),
                              out_shardings=(bsh, rsh))
 
-    def train_step(trainable, opt_state, batch):
-        return _train_step(params, trainable, opt_state, batch)
+    if hf_internal_dropout:
+        def train_step(trainable, opt_state, batch, rng):
+            return _train_step(params, trainable, opt_state, batch, rng)
+    else:
+        def train_step(trainable, opt_state, batch, rng=None):
+            return _train_step(params, trainable, opt_state, batch)
 
     def eval_step(trainable, batch):
         return _eval_step(params, trainable, batch)
@@ -114,7 +135,8 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed + 2), cfg)})
     opt, train_step, eval_step = make_steps(
         cfg, params, mesh=mesh,
-        compute_dtype=jnp_compute_dtype(args.compute_dtype))
+        compute_dtype=jnp_compute_dtype(args.compute_dtype),
+        hf_internal_dropout=args.hf_internal_dropout)
     opt_state = shard_params(mesh, opt.init(jax.device_get(trainable)))
     logger = MetricsLogger(args.name or "qformer_cls", use_wandb=args.wandb,
                            config=vars(args))
@@ -147,11 +169,15 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
-        for stacked in vlm_train_stream(train_b, args.batch_size, QF_ACC,
-                                        mesh, seed=args.seed + epoch,
-                                        prefetch_depth=args.prefetch_depth):
+        for w, stacked in enumerate(vlm_train_stream(
+                train_b, args.batch_size, QF_ACC, mesh,
+                seed=args.seed + epoch,
+                prefetch_depth=args.prefetch_depth)):
+            # per-window key only consumed under --hf_internal_dropout
+            wkey = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch), w)
             trainable, opt_state, loss = train_step(trainable, opt_state,
-                                                    stacked)
+                                                    stacked, wkey)
             losses.append(float(loss))
         val_acc = evaluate(trainable, val_b, val_m)
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),

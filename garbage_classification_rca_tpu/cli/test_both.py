@@ -52,6 +52,7 @@ def fusion_config_from_args(args) -> FusionConfig:
         cross_attention_only=args.cross_attention_only,
         use_pallas_rca=(jax.default_backend() == "tpu"
                         and args.late_fusion == "MM_RCA"),
+        hf_internal_dropout=getattr(args, "hf_internal_dropout", False),
     )
 
 

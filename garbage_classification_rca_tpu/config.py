@@ -150,6 +150,22 @@ class RunConfig:
                                        # host syncs (swept on-chip: 16
                                        # best for throughput, lower =
                                        # lower queue-to-slot latency)
+    resume_every_steps: int = 0        # >0: also write the RESUME
+                                       # checkpoint every N optimizer
+                                       # windows (mid-epoch preemption on
+                                       # long FT epochs replays at most N
+                                       # windows instead of the whole
+                                       # epoch); bit-identical continuation
+                                       # like the per-epoch RESUME
+    hf_internal_dropout: bool = False  # reproduce the reference's
+                                       # HF-encoder-internal train-mode
+                                       # dropout (the frozen towers stay
+                                       # in train() mode, CVPR_code/
+                                       # text_models.py:23-34, so p=0.1
+                                       # hidden/attention dropout is
+                                       # ACTIVE during training there);
+                                       # opt-in — eval + default train
+                                       # trajectories are unchanged
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -303,6 +319,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--data_workers', type=int, default=d.data_workers)
     p.add_argument('--profile_dir', type=str, default=d.profile_dir)
     p.add_argument('--resume_from', type=str, default=d.resume_from)
+    p.add_argument('--resume_every_steps', type=int,
+                   default=d.resume_every_steps,
+                   help="also checkpoint RESUME every N optimizer windows "
+                        "(0 = per-epoch only)")
     p.add_argument('--seq_len', type=int, default=d.seq_len)
     p.add_argument('--max_new_tokens', type=int, default=d.max_new_tokens)
     p.add_argument('--gen_temperature', type=float,
@@ -318,6 +338,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--max_prompt', type=int, default=d.max_prompt)
     p.add_argument('--steps_per_sync', type=int, default=d.steps_per_sync)
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
+    _add_bool_flag(p, 'hf_internal_dropout', d.hf_internal_dropout,
+                   "activate HF-encoder-internal p=0.1 train-mode dropout "
+                   "(reference keeps frozen towers in train() mode)")
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")
     return p

@@ -18,6 +18,14 @@ Parameter ranges mirror albumentations defaults: Rotate limit 90deg,
 RandomBrightnessContrast +-0.2, Sharpen alpha (0.2, 0.5) lightness
 (0.5, 1.0), Perspective scale (0.05, 0.1), ShiftScaleRotate scale_limit
 0.5, GaussianBlur ksize 3..7.
+
+Rotate reproduces the reference's crop_border=True (main_image.py:445-447):
+the largest-inscribed-rectangle crop + resize is folded into the same
+homography (``rotate_crop_matrix``), so a fired rotation zooms into the
+valid region exactly like albumentations instead of leaving black
+corners. Remaining (documented) order difference: the reference crops
+BEFORE its host pad-AR+resize while this warp runs after them — the
+framing distribution matches, the padding bars rotate with the content.
 """
 
 from __future__ import annotations
@@ -33,6 +41,53 @@ def _rand(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
 
 
+def inscribed_rect(theta, h, w):
+    """Largest axis-aligned rectangle fully inside an h x w image rotated
+    by ``theta`` (radians) — the closed form albumentations'
+    Rotate._rotated_rect_with_max_area uses for crop_border=True
+    (reference main_image.py:445-447). Returns traced (hr, wr)."""
+    sa = jnp.abs(jnp.sin(theta))
+    ca = jnp.abs(jnp.cos(theta))
+    side_long = float(max(w, h))
+    side_short = float(min(w, h))
+    half = (side_short <= 2.0 * sa * ca * side_long) | (jnp.abs(sa - ca)
+                                                        < 1e-10)
+    x = 0.5 * side_short
+    sa_s = jnp.maximum(sa, 1e-6)
+    ca_s = jnp.maximum(ca, 1e-6)
+    if w >= h:
+        wr_h, hr_h = x / sa_s, x / ca_s
+    else:
+        wr_h, hr_h = x / ca_s, x / sa_s
+    cos2a = ca * ca - sa * sa
+    cos2a = jnp.where(jnp.abs(cos2a) < 1e-10, 1e-10, cos2a)
+    wr_g = (w * ca - h * sa) / cos2a
+    hr_g = (h * ca - w * sa) / cos2a
+    hr = jnp.where(half, hr_h, hr_g)
+    wr = jnp.where(half, wr_h, wr_g)
+    # albumentations clamps its crop bounds to the canvas (max(0,.)/min(w,.))
+    # — at large angles on non-square images the formula's rect is taller/
+    # wider than the clipped rotated canvas, and the REAL reference crop
+    # (black corners included) is the clamped one. Preserve that quirk.
+    return jnp.minimum(hr, float(h)), jnp.minimum(wr, float(w))
+
+
+def rotate_crop_matrix(theta, h, w):
+    """Inverse-warp matrix (centered coords) for the reference's
+    Rotate(crop_border=True): rotate by ``theta`` then crop the largest
+    inscribed rectangle and resize it back to h x w. The crop+resize is
+    folded in as an anisotropic scale (hr/h, wr/w) BEFORE the inverse
+    rotation — equivalent to albumentations' rotate -> integer crop ->
+    (downstream) Resize, up to its <=1 px int-truncated crop bounds
+    (tests/test_augment.py pins it against a cv2 replica of the
+    albumentations pipeline)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    hr, wr = inscribed_rect(theta, h, w)
+    crop = jnp.diag(jnp.array([hr / h, wr / w, 1.0]))
+    return rot @ crop
+
+
 def _homography(keys, h, w, p):
     """Compose rotate / zoom / perspective / flips into a 3x3 matrix that
     maps OUTPUT pixel coords -> SOURCE coords (inverse warp)."""
@@ -42,11 +97,12 @@ def _homography(keys, h, w, p):
     def maybe(kp, mat):
         return jnp.where(jax.random.uniform(kp) < p, mat, jnp.eye(3))
 
-    # rotation (A.Rotate limit=90); inverse rotation = rotation by -theta
+    # rotation (A.Rotate limit=90 crop_border=True, main_image.py:445-447):
+    # inverse rotation composed with the inscribed-rect crop scale, so a
+    # fired rotation shows exactly the region the reference keeps (no
+    # zero corners) instead of rotating in place with black borders
     theta = _rand(k_rot, -math.pi / 2, math.pi / 2)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
-    rot = maybe(k_rotp, rot)
+    rot = maybe(k_rotp, rotate_crop_matrix(theta, h, w))
 
     # zoom (ShiftScaleRotate scale_limit=0.5): source = out / scale
     scale = 1.0 + _rand(k_scale, -0.5, 0.5)

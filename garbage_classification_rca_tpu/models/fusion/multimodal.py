@@ -78,6 +78,10 @@ class FusionConfig:
     features_only: bool = False              # --features_only
     cross_attention_only: bool = False       # --cross_attention_only
     use_pallas_rca: bool = False
+    # --hf_internal_dropout: reference main_both keeps the frozen HF text
+    # tower in train() mode, so its internal p=0.1 dropout regularizes
+    # training (PARITY.md); opt-in here, eval unaffected
+    hf_internal_dropout: bool = False
 
     @property
     def text_hidden(self) -> int:
@@ -96,30 +100,36 @@ _TEXT_MODS = {"distilbert": distil_mod, "bert": bert_mod, "bart": bart_mod}
 
 
 def _text_encode(cfg: FusionConfig, params, input_ids, attention_mask,
-                 need_hiddens: bool = False, train: bool = False):
-    """-> (cls_features [B, hid], hidden_states list or None)."""
+                 need_hiddens: bool = False, train: bool = False,
+                 drop=None):
+    """-> (cls_features [B, hid], hidden_states list or None).
+
+    `drop`: optional nn.HFDropout threaded into the tower's HF-internal
+    dropout sites (--hf_internal_dropout)."""
     if cfg.text_model_name == "distilbert":
         if need_hiddens:
             h, hiddens = _distil_encode_hiddens(params, input_ids,
-                                                attention_mask, train=train)
+                                                attention_mask, train=train,
+                                                drop=drop)
             return h[:, 0], hiddens
         return distil_mod.encode(params, input_ids, attention_mask,
-                                 train=train)[:, 0], None
+                                 train=train, drop=drop)[:, 0], None
     if cfg.text_model_name == "bert":
         if need_hiddens:
             h, hiddens = bert_mod.encode(params, input_ids, attention_mask,
                                          output_hidden_states=True,
-                                         train=train)
+                                         train=train, drop=drop)
             return h[:, 0], hiddens
         return bert_mod.encode(params, input_ids, attention_mask,
-                               train=train)[:, 0], None
+                               train=train, drop=drop)[:, 0], None
     if cfg.text_model_name == "bart":
-        return bart_mod.encode_decoder(params, input_ids, attention_mask)[:, 0], None
+        return bart_mod.encode_decoder(params, input_ids, attention_mask,
+                                       drop=drop)[:, 0], None
     raise ValueError(f"Wrong text model: {cfg.text_model_name}")
 
 
 def _distil_encode_hiddens(params, input_ids, attention_mask,
-                           train: bool = False):
+                           train: bool = False, drop=None):
     """DistilBERT encode that also returns per-layer hidden states
     (hierarchical fusion taps layers 2 and 4, multimodal_model.py:755-757)."""
     from ..text.encoder_common import attention_bias, postnorm_layer
@@ -128,11 +138,15 @@ def _distil_encode_hiddens(params, input_ids, attention_mask,
     h = nn.embedding(params["word_emb"], input_ids)
     h = h + nn.embedding(params["pos_emb"], jnp.arange(l)[None, :])
     h = nn.layernorm(params["ln_emb"], h, eps=distil_mod.LN_EPS)
+    if drop is not None:
+        h = drop(h, distil_mod.DROPOUT)
     bias = attention_bias(attention_mask)
     hiddens = [h]
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, distil_mod.HEADS, distil_mod.LN_EPS,
-                           mask=attention_mask, train=train)
+                           mask=attention_mask, train=train, drop=drop,
+                           attn_p=distil_mod.ATTN_DROPOUT,
+                           hidden_p=distil_mod.DROPOUT)
         hiddens.append(h)
     return h, hiddens
 
@@ -275,9 +289,14 @@ def _towers(cfg, params, state, images, input_ids, attention_mask, *,
             train, rng, need_stages=False, need_hiddens=False,
             keeps=(None, None)):
     img_keep, txt_keep = keeps
+    drop = None
+    if cfg.hf_internal_dropout and train and rng is not None:
+        # fold_in (not split) keeps the image tower's rng stream — and
+        # therefore all flag-off trajectories — byte-identical
+        drop = nn.HFDropout(jax.random.fold_in(rng, 0x4F1D))
     text_cls, hiddens = _text_encode(cfg, params["text"], input_ids,
                                      attention_mask, need_hiddens,
-                                     train=train)
+                                     train=train, drop=drop)
     s3, s6, pooled, img_state = effv2.extractor_features(
         params["image"], state["image"], images, effv2.CONFIGS["eff_v2_medium"],
         train=train, rng=rng)

@@ -38,9 +38,15 @@ LN_EPS = 1e-5
 PAD_ID = 1
 EOS_ID = 2
 START_ID = 2
+# facebook/bart-large hub config.json: dropout / attention_dropout /
+# activation_dropout all 0.1 (the BartConfig DEFAULTS are 0.1/0.0/0.0 —
+# the shipped checkpoint overrides them)
+DROPOUT = 0.1
+ATTN_DROPOUT = 0.1
+ACT_DROPOUT = 0.1
 
 
-def _attn(p, x_q, x_kv, bias):
+def _attn(p, x_q, x_kv, bias, drop=None):
     q = nn.linear(p["q"], x_q)
     k = nn.linear(p["k"], x_kv)
     v = nn.linear(p["v"], x_kv)
@@ -54,22 +60,47 @@ def _attn(p, x_q, x_kv, bias):
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if drop is not None:                  # HF BartAttention probs dropout
+        w = drop(w, ATTN_DROPOUT)
     return jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, lq, d)
 
 
-def _enc_layer(p, x, bias):
-    h = _attn(p["self"], x, x, bias)
-    x = nn.layernorm(p["ln_self"], x + nn.linear(p["self"]["out"], h), eps=LN_EPS)
-    h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], x)))
+def _ffn(p, x, drop):
+    """fc1 -> gelu -> activation_dropout -> fc2 -> dropout (HF
+    Bart{Encoder,Decoder}Layer FFN order)."""
+    h = nn.gelu(nn.linear(p["fc1"], x))
+    if drop is not None:
+        h = drop(h, ACT_DROPOUT)
+    h = nn.linear(p["fc2"], h)
+    if drop is not None:
+        h = drop(h, DROPOUT)
+    return h
+
+
+def _res(p_out, h, drop):
+    """attention out-projection + post-attention dropout (pre-residual)."""
+    h = nn.linear(p_out, h)
+    if drop is not None:
+        h = drop(h, DROPOUT)
+    return h
+
+
+def _enc_layer(p, x, bias, drop=None):
+    h = _attn(p["self"], x, x, bias, drop=drop)
+    x = nn.layernorm(p["ln_self"], x + _res(p["self"]["out"], h, drop),
+                     eps=LN_EPS)
+    h = _ffn(p, x, drop)
     return nn.layernorm(p["ln_final"], x + h, eps=LN_EPS)
 
 
-def _dec_layer(p, x, enc, self_bias, cross_bias):
-    h = _attn(p["self"], x, x, self_bias)
-    x = nn.layernorm(p["ln_self"], x + nn.linear(p["self"]["out"], h), eps=LN_EPS)
-    h = _attn(p["cross"], x, enc, cross_bias)
-    x = nn.layernorm(p["ln_cross"], x + nn.linear(p["cross"]["out"], h), eps=LN_EPS)
-    h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], x)))
+def _dec_layer(p, x, enc, self_bias, cross_bias, drop=None):
+    h = _attn(p["self"], x, x, self_bias, drop=drop)
+    x = nn.layernorm(p["ln_self"], x + _res(p["self"]["out"], h, drop),
+                     eps=LN_EPS)
+    h = _attn(p["cross"], x, enc, cross_bias, drop=drop)
+    x = nn.layernorm(p["ln_cross"], x + _res(p["cross"]["out"], h, drop),
+                     eps=LN_EPS)
+    h = _ffn(p, x, drop)
     return nn.layernorm(p["ln_final"], x + h, eps=LN_EPS)
 
 
@@ -78,7 +109,7 @@ def shift_tokens_right(input_ids: jnp.ndarray) -> jnp.ndarray:
     return shifted.at[:, 0].set(START_ID)
 
 
-def encode_decoder(params, input_ids, attention_mask):
+def encode_decoder(params, input_ids, attention_mask, drop=None):
     """BartModel forward -> decoder last hidden state [B, L, 1024]."""
     l = input_ids.shape[1]
     shared = params["shared"]["w"]
@@ -87,10 +118,12 @@ def encode_decoder(params, input_ids, attention_mask):
     h = jnp.take(shared, input_ids, axis=0)
     h = h + params["enc_pos"]["w"][POS_OFFSET:POS_OFFSET + l][None]
     h = nn.layernorm(params["enc_ln_emb"], h, eps=LN_EPS)
+    if drop is not None:                 # HF BartEncoder embeddings dropout
+        h = drop(h, DROPOUT)
     enc_bias = ((1.0 - attention_mask.astype(jnp.float32))
                 * jnp.finfo(jnp.float32).min)[:, None, None, :]
     for lp in params["enc_layers"]:
-        h = _enc_layer(lp, h, enc_bias)
+        h = _enc_layer(lp, h, enc_bias, drop=drop)
     enc_out = h
 
     # decoder
@@ -98,16 +131,18 @@ def encode_decoder(params, input_ids, attention_mask):
     d = jnp.take(shared, dec_ids, axis=0)
     d = d + params["dec_pos"]["w"][POS_OFFSET:POS_OFFSET + l][None]
     d = nn.layernorm(params["dec_ln_emb"], d, eps=LN_EPS)
+    if drop is not None:                 # HF BartDecoder embeddings dropout
+        d = drop(d, DROPOUT)
     causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
     self_bias = (1.0 - causal) * jnp.finfo(jnp.float32).min
     for lp in params["dec_layers"]:
-        d = _dec_layer(lp, d, enc_out, self_bias, enc_bias)
+        d = _dec_layer(lp, d, enc_out, self_bias, enc_bias, drop=drop)
     return d
 
 
-def eos_pooled(params, input_ids, attention_mask):
+def eos_pooled(params, input_ids, attention_mask, drop=None):
     """Decoder hidden state at the LAST eos position of input_ids."""
-    h = encode_decoder(params, input_ids, attention_mask)
+    h = encode_decoder(params, input_ids, attention_mask, drop=drop)
     is_eos = (input_ids == EOS_ID).astype(jnp.int32)
     pos = jnp.arange(input_ids.shape[1])[None, :]
     last_eos = jnp.max(jnp.where(is_eos == 1, pos, -1), axis=1)
@@ -116,11 +151,15 @@ def eos_pooled(params, input_ids, attention_mask):
 
 
 def apply(params, state, batch, *, train=False, rng=None,
-          drop_ratio: float = 0.6):
+          drop_ratio: float = 0.6, hf_internal_dropout: bool = False):
     # HF BartClassificationHead: dropout -> dense -> tanh -> dropout -> out
     # (reference swaps in its own dropout p at text_models.py:115)
     input_ids, attention_mask = batch
-    pooled = eos_pooled(params, input_ids, attention_mask)
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        rng, r_int = jax.random.split(rng)
+        drop = nn.HFDropout(r_int)
+    pooled = eos_pooled(params, input_ids, attention_mask, drop=drop)
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     h = nn.dropout(r1, pooled, drop_ratio, train)
     h = jnp.tanh(nn.linear(params["head_dense"], h))

@@ -35,6 +35,10 @@ VOCAB = 30522
 MAX_POS = 512
 TYPE_VOCAB = 2
 LN_EPS = 1e-12
+# HF bert-base-uncased config: hidden_dropout_prob / attention_probs_
+# dropout_prob (active in the reference's train-mode towers)
+HIDDEN_DROPOUT = 0.1
+ATTN_DROPOUT = 0.1
 
 
 def init_encoder(key, dtype=jnp.float32):
@@ -50,25 +54,33 @@ def init_encoder(key, dtype=jnp.float32):
 
 
 def encode(params, input_ids, attention_mask, *, output_hidden_states=False,
-           train=False):
+           train=False, drop=None):
+    """`drop`: optional nn.HFDropout — HF BERT internal dropout sites:
+    embeddings output, attention probs, attention output (BertSelfOutput),
+    FFN output (BertOutput)."""
     l = input_ids.shape[1]
     h = nn.embedding(params["word_emb"], input_ids)
     h = h + nn.embedding(params["pos_emb"], jnp.arange(l)[None, :])
     h = h + params["type_emb"]["w"][0][None, None, :]   # token_type_ids = 0
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
+    if drop is not None:
+        h = drop(h, HIDDEN_DROPOUT)
     bias = attention_bias(attention_mask)
     hiddens = [h]
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
-                           train=train)
+                           train=train, drop=drop, attn_p=ATTN_DROPOUT,
+                           attn_out_p=HIDDEN_DROPOUT,
+                           hidden_p=HIDDEN_DROPOUT)
         hiddens.append(h)
     if output_hidden_states:
         return h, hiddens
     return h
 
 
-def cls_feature(params, input_ids, attention_mask, train=False):
-    return encode(params, input_ids, attention_mask, train=train)[:, 0]
+def cls_feature(params, input_ids, attention_mask, train=False, drop=None):
+    return encode(params, input_ids, attention_mask, train=train,
+                  drop=drop)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32):
@@ -78,10 +90,14 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 
 
 def apply(params, state, batch, *, train=False, rng=None,
-          drop_ratio: float = 0.6):
+          drop_ratio: float = 0.6, hf_internal_dropout: bool = False):
     input_ids, attention_mask = batch
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        rng, r_int = jax.random.split(rng)
+        drop = nn.HFDropout(r_int)
     pooled = cls_feature(params["encoder"], input_ids, attention_mask,
-                         train=train)
+                         train=train, drop=drop)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

@@ -33,6 +33,10 @@ FFN = 3072
 VOCAB = 30522
 MAX_POS = 512
 LN_EPS = 1e-12
+# HF distilbert-base-uncased config: dropout / attention_dropout — active
+# in the reference's train-mode towers (--hf_internal_dropout reproduces)
+DROPOUT = 0.1
+ATTN_DROPOUT = 0.1
 
 
 def init_encoder(key, dtype=jnp.float32):
@@ -46,23 +50,31 @@ def init_encoder(key, dtype=jnp.float32):
     }
 
 
-def encode(params, input_ids, attention_mask, train=False):
-    """-> last_hidden_state [B, L, 768] (HF output[0] parity)."""
+def encode(params, input_ids, attention_mask, train=False, drop=None):
+    """-> last_hidden_state [B, L, 768] (HF output[0] parity).
+
+    `drop`: optional nn.HFDropout reproducing HF DistilBERT's internal
+    train-mode dropout — embeddings output, attention probs, FFN output
+    (modeling_distilbert has NO attention-output dropout site)."""
     l = input_ids.shape[1]
     h = nn.embedding(params["word_emb"], input_ids)
     pos = jnp.arange(l)[None, :]
     h = h + nn.embedding(params["pos_emb"], pos)
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
+    if drop is not None:
+        h = drop(h, DROPOUT)
     bias = attention_bias(attention_mask)
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
-                           train=train)
+                           train=train, drop=drop, attn_p=ATTN_DROPOUT,
+                           hidden_p=DROPOUT)
     return h
 
 
-def cls_feature(params, input_ids, attention_mask, train=False):
+def cls_feature(params, input_ids, attention_mask, train=False, drop=None):
     """hidden_state[:, 0] — reference text_models.py:30-31."""
-    return encode(params, input_ids, attention_mask, train=train)[:, 0]
+    return encode(params, input_ids, attention_mask, train=train,
+                  drop=drop)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32, drop_ratio: float = 0.6):
@@ -75,10 +87,17 @@ def init(key, num_classes: int = 4, dtype=jnp.float32, drop_ratio: float = 0.6):
 
 
 def apply(params, state, batch, *, train: bool = False,
-          rng: Optional[jax.Array] = None, drop_ratio: float = 0.6):
+          rng: Optional[jax.Array] = None, drop_ratio: float = 0.6,
+          hf_internal_dropout: bool = False):
     input_ids, attention_mask = batch
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        # reference text_models.py:23-34 keeps the frozen tower in train
+        # mode, so HF-internal p=0.1 dropout is active during training
+        rng, r_int = jax.random.split(rng)
+        drop = nn.HFDropout(r_int)
     pooled = cls_feature(params["encoder"], input_ids, attention_mask,
-                         train=train)
+                         train=train, drop=drop)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

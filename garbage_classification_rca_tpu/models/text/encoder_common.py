@@ -30,14 +30,20 @@ def attention_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
 
 
 def multi_head_attention(q, k, v, bias, heads: int, mask=None,
-                         train: bool = False):
+                         train: bool = False, drop=None,
+                         attn_p: float = 0.0):
     """[B, L, D] x3 + additive bias -> [B, L, D]; fp32 softmax.
 
     When the raw [B, L] key mask is also given, TPU EVAL runs the fused
     Pallas kernel (kernels/mha_fused.py — scores never hit HBM); `bias` is
     the fallback for the unfused graph and is DCE'd in the fused branch.
     Training keeps the pure-XLA graph: the kernel's recompute-VJP backward
-    measured ~2x slower than XLA fwd+bwd (ViT train 890 -> 472 img/s)."""
+    measured ~2x slower than XLA fwd+bwd (ViT train 890 -> 472 img/s).
+
+    `drop`/`attn_p`: optional nn.HFDropout on the softmax weights (HF
+    attention-probs dropout, --hf_internal_dropout); identity when drop
+    is None/inactive — never reaches the fused-eval branch (train only).
+    """
     if mask is not None and not train and \
             mha_fused.fused_attention_enabled() and q.shape == k.shape:
         return mha_fused.mha_trainable(q, k, v, heads=heads, mask=mask)
@@ -50,20 +56,37 @@ def multi_head_attention(q, k, v, bias, heads: int, mask=None,
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if drop is not None:
+        w = drop(w, attn_p)
     out = jnp.einsum("bhnm,bmhd->bnhd", w, v)
     return out.reshape(b, l, d)
 
 
 def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
                    ln_eps: float, act=nn.gelu, mask=None,
-                   train: bool = False) -> jnp.ndarray:
-    """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm."""
+                   train: bool = False, drop=None, attn_p: float = 0.0,
+                   attn_out_p: float = 0.0,
+                   hidden_p: float = 0.0) -> jnp.ndarray:
+    """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm.
+
+    HF-internal dropout sites (active only when `drop` is an active
+    nn.HFDropout): attention probs (attn_p), attention output pre-
+    residual (attn_out_p — BERT/RoBERTa BertSelfOutput; DistilBERT has
+    NO such site, pass 0), FFN output pre-residual (hidden_p — both
+    families). Order matches the HF forward call order exactly
+    (tests/test_hf_dropout.py)."""
     q = nn.linear(p["q"], x)
     k = nn.linear(p["k"], x)
     v = nn.linear(p["v"], x)
-    att = multi_head_attention(q, k, v, bias, heads, mask=mask, train=train)
-    x = nn.layernorm(p["ln_att"], x + nn.linear(p["out"], att), eps=ln_eps)
+    att = multi_head_attention(q, k, v, bias, heads, mask=mask, train=train,
+                               drop=drop, attn_p=attn_p)
+    out = nn.linear(p["out"], att)
+    if drop is not None:
+        out = drop(out, attn_out_p)
+    x = nn.layernorm(p["ln_att"], x + out, eps=ln_eps)
     h = nn.linear(p["fc2"], act(nn.linear(p["fc1"], x)))
+    if drop is not None:
+        h = drop(h, hidden_p)
     return nn.layernorm(p["ln_ffn"], x + h, eps=ln_eps)
 
 

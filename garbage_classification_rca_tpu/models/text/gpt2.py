@@ -32,9 +32,15 @@ VOCAB = 50257
 MAX_POS = 1024
 LN_EPS = 1e-5
 PAD_ID = 50256  # eos (reference text_models.py:138)
+# HF gpt2 config: embd_pdrop / attn_pdrop / resid_pdrop
+EMBD_PDROP = 0.1
+ATTN_PDROP = 0.1
+RESID_PDROP = 0.1
 
 
-def _block(p, x, bias):
+def _block(p, x, bias, drop=None):
+    """HF-internal dropout sites (GPT2Attention / GPT2MLP): attention
+    probs, attention c_proj output (resid), MLP c_proj output (resid)."""
     b, l, d = x.shape
     h = nn.layernorm(p["ln_1"], x, eps=LN_EPS)
     qkv = nn.linear(p["c_attn"], h)
@@ -47,30 +53,40 @@ def _block(p, x, bias):
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     scores = scores + bias
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if drop is not None:
+        w = drop(w, ATTN_PDROP)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, l, d)
-    x = x + nn.linear(p["c_proj"], att)
+    att = nn.linear(p["c_proj"], att)
+    if drop is not None:
+        att = drop(att, RESID_PDROP)
+    x = x + att
     h = nn.layernorm(p["ln_2"], x, eps=LN_EPS)
     h = nn.linear(p["mlp_fc"], h)
     h = nn.gelu(h, approximate=True)        # gelu_new
-    return x + nn.linear(p["mlp_proj"], h)
+    h = nn.linear(p["mlp_proj"], h)
+    if drop is not None:
+        h = drop(h, RESID_PDROP)
+    return x + h
 
 
-def encode(params, input_ids, attention_mask):
+def encode(params, input_ids, attention_mask, drop=None):
     """-> last hidden state [B, L, 768] after ln_f."""
     l = input_ids.shape[1]
     h = nn.embedding(params["wte"], input_ids)
     h = h + nn.embedding(params["wpe"], jnp.arange(l)[None, :])
+    if drop is not None:
+        h = drop(h, EMBD_PDROP)
     causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
     pad = attention_mask.astype(jnp.float32)[:, None, None, :]
     bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
     for lp in params["layers"]:
-        h = _block(lp, h, bias)
+        h = _block(lp, h, bias, drop=drop)
     return nn.layernorm(params["ln_f"], h, eps=LN_EPS)
 
 
-def pooled_feature(params, input_ids, attention_mask):
+def pooled_feature(params, input_ids, attention_mask, drop=None):
     """Hidden state at the last non-pad token (HF sequence classification)."""
-    h = encode(params, input_ids, attention_mask)
+    h = encode(params, input_ids, attention_mask, drop=drop)
     seq_len = jnp.sum((input_ids != PAD_ID).astype(jnp.int32), axis=-1) - 1
     seq_len = jnp.clip(seq_len, 0, h.shape[1] - 1)
     return h[jnp.arange(h.shape[0]), seq_len]
@@ -99,9 +115,13 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
     return params, {}
 
 
-def apply(params, state, batch, *, train=False, rng=None):
+def apply(params, state, batch, *, train=False, rng=None,
+          hf_internal_dropout: bool = False):
     input_ids, attention_mask = batch
-    pooled = pooled_feature(params, input_ids, attention_mask)
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        drop = nn.HFDropout(jax.random.fold_in(rng, 0x4F02))
+    pooled = pooled_feature(params, input_ids, attention_mask, drop=drop)
     return jnp.matmul(pooled, params["score"]["w"]), state
 
 

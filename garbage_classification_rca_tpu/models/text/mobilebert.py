@@ -36,13 +36,17 @@ FFN = 512
 N_FFN = 3            # extra ffn modules (num_feedforward_networks=4)
 VOCAB = 30522
 MAX_POS = 512
+# google/mobilebert-uncased config: hidden_dropout_prob=0.0 (distillation
+# recipe), attention_probs_dropout_prob=0.1 — so the ONLY active
+# HF-internal train-mode dropout site is the attention probs
+ATTN_DROPOUT = 0.1
 
 
 def nonorm(p, x):
     return x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
-def _self_attention(p, q_in, k_in, v_in, layer_input, bias):
+def _self_attention(p, q_in, k_in, v_in, layer_input, bias, drop=None):
     q = nn.linear(p["q"], q_in)
     k = nn.linear(p["k"], k_in)
     v = nn.linear(p["v"], v_in)
@@ -53,16 +57,18 @@ def _self_attention(p, q_in, k_in, v_in, layer_input, bias):
                         k.reshape(b, l, HEADS, hd),
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
+    if drop is not None:
+        w = drop(w, ATTN_DROPOUT)
     att = jnp.einsum("bhnm,bmhd->bnhd", w,
                      v.reshape(b, l, HEADS, hd)).reshape(b, l, d)
     return nonorm(p["out_norm"], nn.linear(p["out"], att) + layer_input)
 
 
-def _layer(p, hidden, bias):
+def _layer(p, hidden, bias, drop=None):
     bottleneck = nonorm(p["bn_in_norm"], nn.linear(p["bn_in"], hidden))
     shared_qk = nonorm(p["bn_att_norm"], nn.linear(p["bn_att"], hidden))
     att = _self_attention(p["att"], shared_qk, shared_qk, hidden,
-                          bottleneck, bias)
+                          bottleneck, bias, drop=drop)
     for f in p["ffn"]:
         h = jax.nn.relu(nn.linear(f["fc1"], att))
         att = nonorm(f["norm"], nn.linear(f["fc2"], h) + att)
@@ -72,7 +78,7 @@ def _layer(p, hidden, bias):
     return nonorm(p["bn_out_norm"], out + hidden)
 
 
-def encode(params, input_ids, attention_mask):
+def encode(params, input_ids, attention_mask, drop=None):
     emb = nn.embedding(params["word_emb"], input_ids)       # [B, L, 128]
     left = jnp.pad(emb[:, 1:], ((0, 0), (0, 1), (0, 0)))
     right = jnp.pad(emb[:, :-1], ((0, 0), (1, 0), (0, 0)))
@@ -85,14 +91,18 @@ def encode(params, input_ids, attention_mask):
     bias = ((1.0 - attention_mask.astype(jnp.float32))
             * jnp.finfo(jnp.float32).min)[:, None, None, :]
     for lp in params["layers"]:
-        h = _layer(lp, h, bias)
+        h = _layer(lp, h, bias, drop=drop)
     return h
 
 
 def apply(params, state, batch, *, train=False, rng=None,
-          drop_ratio: float = 0.0):
+          drop_ratio: float = 0.0, hf_internal_dropout: bool = False):
     input_ids, attention_mask = batch
-    pooled = encode(params, input_ids, attention_mask)[:, 0]
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        rng, r_int = jax.random.split(rng)
+        drop = nn.HFDropout(r_int)
+    pooled = encode(params, input_ids, attention_mask, drop=drop)[:, 0]
     # MobileBertPooler: tanh(dense(.)) when classifier_activation=True,
     # identity otherwise (google/mobilebert-uncased ships False)
     if "pooler" in params:

@@ -27,24 +27,32 @@ VOCAB = 50265
 MAX_POS = 514
 LN_EPS = 1e-12
 PAD_IDX = 1
+# HF roberta-base config: hidden_dropout_prob / attention_probs_dropout_prob
+HIDDEN_DROPOUT = 0.1
+ATTN_DROPOUT = 0.1
 
 
-def encode(params, input_ids, attention_mask, train=False):
+def encode(params, input_ids, attention_mask, train=False, drop=None):
     mask = attention_mask.astype(jnp.int32)
     pos_ids = jnp.cumsum(mask, axis=1) * mask + PAD_IDX
     h = nn.embedding(params["word_emb"], input_ids)
     h = h + nn.embedding(params["pos_emb"], pos_ids)
     h = h + params["type_emb"]["w"][0][None, None, :]
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
+    if drop is not None:                 # same BERT-layout sites
+        h = drop(h, HIDDEN_DROPOUT)
     bias = attention_bias(attention_mask)
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
-                           train=train)
+                           train=train, drop=drop, attn_p=ATTN_DROPOUT,
+                           attn_out_p=HIDDEN_DROPOUT,
+                           hidden_p=HIDDEN_DROPOUT)
     return h
 
 
-def cls_feature(params, input_ids, attention_mask, train=False):
-    return encode(params, input_ids, attention_mask, train=train)[:, 0]
+def cls_feature(params, input_ids, attention_mask, train=False, drop=None):
+    return encode(params, input_ids, attention_mask, train=train,
+                  drop=drop)[:, 0]
 
 
 def init(key, num_classes: int = 4, dtype=jnp.float32):
@@ -58,10 +66,14 @@ def init(key, num_classes: int = 4, dtype=jnp.float32):
 
 
 def apply(params, state, batch, *, train=False, rng=None,
-          drop_ratio: float = 0.6):
+          drop_ratio: float = 0.6, hf_internal_dropout: bool = False):
     input_ids, attention_mask = batch
+    drop = None
+    if hf_internal_dropout and train and rng is not None:
+        rng, r_int = jax.random.split(rng)
+        drop = nn.HFDropout(r_int)
     pooled = cls_feature(params["encoder"], input_ids, attention_mask,
-                         train=train)
+                         train=train, drop=drop)
     pooled = nn.dropout(rng, pooled, drop_ratio, train)
     return nn.linear(params["head"], pooled), state
 

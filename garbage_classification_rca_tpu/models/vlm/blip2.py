@@ -92,20 +92,24 @@ def init_classifier(key, cfg: Blip2Config, num_classes: int = 4,
     return nn.init_linear(key, cfg.qformer.hidden, num_classes, dtype)
 
 
-def query_features(params, pixel_values, cfg: Blip2Config):
-    """pixel_values NHWC (already BLIP-normalized fp) -> [B, 32, 768]."""
+def query_features(params, pixel_values, cfg: Blip2Config, drop=None):
+    """pixel_values NHWC (already BLIP-normalized fp) -> [B, 32, 768].
+
+    `drop`: optional nn.HFDropout for the Q-Former's internal train-mode
+    dropout (--hf_internal_dropout). The EVA vision tower has NO dropout
+    sites (Blip2VisionConfig attention_dropout=0.0)."""
     img = vision.encode(params["vision"], pixel_values, cfg.vision)
-    return qf.encode(params["qformer"], img, cfg.qformer)
+    return qf.encode(params["qformer"], img, cfg.qformer, drop=drop)
 
 
-def qformer_cls_feature(params, pixel_values, cfg: Blip2Config):
-    return query_features(params, pixel_values, cfg)[:, 0]
+def qformer_cls_feature(params, pixel_values, cfg: Blip2Config, drop=None):
+    return query_features(params, pixel_values, cfg, drop=drop)[:, 0]
 
 
 def _lm_hidden(params, pixel_values, input_ids, attention_mask,
-               cfg: Blip2Config, lora=None, train=False):
+               cfg: Blip2Config, lora=None, train=False, drop=None):
     """-> OPT final hidden [B, 32 + L, H] over the combined sequence."""
-    q = query_features(params, pixel_values, cfg)
+    q = query_features(params, pixel_values, cfg, drop=drop)
     q_emb = nn.linear(params["projection"], q)            # [B, 32, 2560]
     t_emb = opt_mod.embed_tokens(params["opt"], input_ids).astype(q_emb.dtype)
     embeds = jnp.concatenate([q_emb, t_emb], axis=1)
@@ -113,7 +117,8 @@ def _lm_hidden(params, pixel_values, input_ids, attention_mask,
     mask = jnp.concatenate([q_mask, attention_mask], axis=1)
     return opt_mod.decode_hidden(params["opt"], embeds, mask, cfg.opt,
                                  lora=lora, lora_scale=cfg.lora_scale,
-                                 train=train)
+                                 train=train, drop=drop,
+                                 lora_p=cfg.lora_dropout)
 
 
 def forward_lm(params, pixel_values, input_ids, attention_mask,
@@ -124,15 +129,26 @@ def forward_lm(params, pixel_values, input_ids, attention_mask,
 
 
 def lm_loss(params, pixel_values, input_ids, attention_mask, labels,
-            cfg: Blip2Config, lora=None):
+            cfg: Blip2Config, lora=None, rng=None,
+            hf_internal_dropout: bool = False):
     """HF Blip2ForConditionalGeneration loss: next-token CE over the text
     segment, ignoring -100 labels (blip_2_training.py collate builds
-    labels = input_ids with pads masked)."""
+    labels = input_ids with pads masked).
+
+    ``hf_internal_dropout`` + ``rng``: reproduce the reference trainer's
+    stochastic internals — the peft-wrapped model runs in train() mode,
+    so Q-Former p=0.1 hidden/attention dropout, OPT p=0.1
+    hidden dropout and the peft lora_dropout=0.05 are all active there
+    (blip_2_training.py:210-217, HF model internals). Default: off,
+    deterministic (the documented divergence, PARITY.md)."""
+    drop = None
+    if hf_internal_dropout and rng is not None:
+        drop = nn.HFDropout(rng)
     # train path: fused eval kernels off in the OPT tower (LoRA grads
     # flow through its attention; recompute-VJP backward is ~2x slower)
     logits = opt_mod.lm_head(params["opt"], _lm_hidden(
         params, pixel_values, input_ids, attention_mask, cfg, lora,
-        train=True))
+        train=True, drop=drop))
     n_query = cfg.qformer.n_query
     return opt_mod.shifted_ce(logits[:, n_query:, :], labels)
 

@@ -34,6 +34,11 @@ class OPTConfig:
     max_pos: int = 2048
     ln_eps: float = 1e-5
     pos_offset: int = 2
+    # facebook/opt-2.7b config: dropout=0.1, attention_dropout=0.0 —
+    # applied ONLY when an nn.HFDropout is threaded in
+    # (--hf_internal_dropout); the default paths stay deterministic
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
 
 
 def init(key, cfg: OPTConfig, dtype=jnp.float32):
@@ -60,31 +65,46 @@ def init(key, cfg: OPTConfig, dtype=jnp.float32):
     return params
 
 
-def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0):
-    """Add the low-rank update for projection `name` when adapters exist."""
+def _apply_lora(p, name, x, base_out, lora=None, lora_scale=1.0,
+                drop=None, lora_p=0.0):
+    """Add the low-rank update for projection `name` when adapters exist.
+
+    `drop`/`lora_p`: peft LoraLayer applies lora_B(lora_A(dropout(x))) —
+    the reference's lora_dropout=0.05 (blip_2_training.py:210-217) is
+    reproduced under --hf_internal_dropout; identity otherwise."""
     if lora is None or name not in lora:
         return base_out
     a, b = lora[name]["a"], lora[name]["b"]
+    if drop is not None:
+        x = drop(x, lora_p)
     return base_out + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * lora_scale
 
 
-def _qkv(p, h, lora, lora_scale):
-    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale)
-    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale)
+def _qkv(p, h, lora, lora_scale, drop=None, lora_p=0.0):
+    q = _apply_lora(p, "q", h, nn.linear(p["q"], h), lora, lora_scale,
+                    drop, lora_p)
+    k = _apply_lora(p, "k", h, nn.linear(p["k"], h), lora, lora_scale,
+                    drop, lora_p)
     return q, k, nn.linear(p["v"], h)
 
 
 def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
-           mask=None, train=False, return_kv=False):
+           mask=None, train=False, return_kv=False, drop=None,
+           lora_p=0.0):
     """One pre-LN decoder layer. ``return_kv=True`` additionally returns
     the (pre-reshape) K/V projections — the serving prefill
     (``layer_prefill``) shares this exact body so the attention math and
     fused-kernel gating cannot drift between the train/eval and serving
-    paths."""
+    paths.
+
+    HF-internal dropout sites (active only with an nn.HFDropout `drop`;
+    modeling_opt OPTDecoderLayer): attention probs (cfg.attention_dropout
+    — 0.0 for opt-2.7b), attention output pre-residual (cfg.dropout),
+    FFN output pre-residual (cfg.dropout)."""
     b_, n, d = x.shape
     hd = d // cfg.heads
     h = nn.layernorm(p["ln1"], x, eps=cfg.ln_eps)
-    q, k, v = _qkv(p, h, lora, lora_scale)
+    q, k, v = _qkv(p, h, lora, lora_scale, drop, lora_p)
     if mask is not None and not train \
             and mha_fused.fused_attention_enabled():
         att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
@@ -96,10 +116,18 @@ def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
         scores = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
                             preferred_element_type=jnp.float32) / np.sqrt(hd)
         w = jax.nn.softmax(scores + bias, axis=-1).astype(vh.dtype)
+        if drop is not None:
+            w = drop(w, cfg.attention_dropout)
         att = jnp.einsum("bhnm,bmhd->bnhd", w, vh).reshape(b_, n, d)
-    x = x + nn.linear(p["out"], att)
+    att = nn.linear(p["out"], att)
+    if drop is not None:
+        att = drop(att, cfg.dropout)
+    x = x + att
     h = nn.layernorm(p["ln2"], x, eps=cfg.ln_eps)
-    x = x + nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
+    h = nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], h)))
+    if drop is not None:
+        h = drop(h, cfg.dropout)
+    x = x + h
     return (x, k, v) if return_kv else x
 
 
@@ -124,15 +152,18 @@ def prompt_prologue(params, inputs_embeds, attention_mask, cfg: OPTConfig):
 
 
 def decode_hidden(params, inputs_embeds, attention_mask, cfg: OPTConfig,
-                  lora=None, lora_scale=1.0, train=False):
+                  lora=None, lora_scale=1.0, train=False, drop=None,
+                  lora_p=0.0):
     """inputs_embeds [B, L, H] + mask [B, L] -> final hidden [B, L, H]
-    (post final_layer_norm; project with ``lm_head`` for logits)."""
+    (post final_layer_norm; project with ``lm_head`` for logits).
+    No embeddings-dropout site: HF OPTDecoder applies none (verified
+    against modeling_opt — dropout lives inside the layers only)."""
     h, mask, bias = prompt_prologue(params, inputs_embeds, attention_mask,
                                     cfg)
     for i, lp in enumerate(params["layers"]):
         layer_lora = None if lora is None else lora.get(str(i))
         h = _layer(lp, h, bias, cfg, layer_lora, lora_scale, mask=mask,
-                   train=train)
+                   train=train, drop=drop, lora_p=lora_p)
     return nn.layernorm(params["final_ln"], h, eps=cfg.ln_eps)
 
 

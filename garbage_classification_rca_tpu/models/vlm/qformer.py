@@ -22,6 +22,11 @@ from ...nn import core as nn
 from ..text.encoder_common import lin, ln_
 
 LN_EPS = 1e-12
+# Salesforce/blip2-opt-2.7b qformer config: hidden_dropout_prob /
+# attention_probs_dropout_prob (modeling_blip_2 Blip2QFormer*) — active
+# only when an nn.HFDropout is threaded in (--hf_internal_dropout)
+HIDDEN_DROPOUT = 0.1
+ATTN_DROPOUT = 0.1
 
 
 @dataclass(frozen=True)
@@ -68,7 +73,10 @@ def init(key, cfg: QFormerConfig, dtype=jnp.float32):
     return params
 
 
-def _mha(p, x_q, x_kv, heads):
+def _mha(p, x_q, x_kv, heads, drop=None):
+    """HF Blip2QFormer{Self,Cross}Attention + SelfOutput: dropout on the
+    attention probs and on the out-projection pre-residual (both p=0.1,
+    active only with an nn.HFDropout)."""
     b, nq, d = x_q.shape[0], x_q.shape[1], p["q"]["w"].shape[1]
     nk = x_kv.shape[1]
     hd = d // heads
@@ -78,21 +86,34 @@ def _mha(p, x_q, x_kv, heads):
     scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
     w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if drop is not None:
+        w = drop(w, ATTN_DROPOUT)
     att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, nq, d)
-    return nn.layernorm(p["ln"], x_q + nn.linear(p["out"], att), eps=LN_EPS)
+    att = nn.linear(p["out"], att)
+    if drop is not None:
+        att = drop(att, HIDDEN_DROPOUT)
+    return nn.layernorm(p["ln"], x_q + att, eps=LN_EPS)
 
 
-def encode(params, image_embeds, cfg: QFormerConfig):
-    """image_embeds [B, 257, vision_hidden] -> query outputs [B, 32, 768]."""
+def encode(params, image_embeds, cfg: QFormerConfig, drop=None):
+    """image_embeds [B, 257, vision_hidden] -> query outputs [B, 32, 768].
+
+    HF-internal dropout sites (Blip2QFormerModel, --hf_internal_dropout):
+    embeddings output post-LN, then per layer self-attn probs/out,
+    cross-attn probs/out (every cross_frequency layers), FFN output."""
     b = image_embeds.shape[0]
     h = jnp.broadcast_to(params["query_tokens"].astype(image_embeds.dtype),
                          (b, cfg.n_query, cfg.hidden))
     h = nn.layernorm(params["ln_emb"], h, eps=LN_EPS)
+    if drop is not None:
+        h = drop(h, HIDDEN_DROPOUT)
     for lp in params["layers"]:
-        h = _mha(lp["att"], h, h, cfg.heads)
+        h = _mha(lp["att"], h, h, cfg.heads, drop=drop)
         if "cross" in lp:
-            h = _mha(lp["cross"], h, image_embeds, cfg.heads)
+            h = _mha(lp["cross"], h, image_embeds, cfg.heads, drop=drop)
         ff = nn.linear(lp["fc2_q"], nn.gelu(nn.linear(lp["fc1_q"], h)))
+        if drop is not None:
+            ff = drop(ff, HIDDEN_DROPOUT)
         h = nn.layernorm(lp["ln_ffn_q"], h + ff, eps=LN_EPS)
     return h
 

@@ -240,6 +240,49 @@ def dropout(key: Optional[PRNGKey], x: jnp.ndarray, rate: float,
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class HFDropout:
+    """Site-ordered encoder-internal dropout (``--hf_internal_dropout``).
+
+    The reference keeps its HF text towers in train() mode during
+    training even though their weights are frozen
+    (/root/reference/CVPR_code/text_models.py:23-34 never calls .eval()
+    on self.model inside forward), so the HF-internal p=0.1
+    hidden/attention dropout stays ACTIVE and regularizes the head.
+    Our towers were deterministic inside (PARITY.md "HF-internal
+    dropout" divergence); this class reproduces the reference behavior
+    as an opt-in.
+
+    Semantics: identity when constructed with ``rng=None`` (the default
+    everywhere — eval paths and all existing parity tests are
+    byte-unchanged). With an rng, each call with p>0 folds an
+    incrementing site counter into the base key, giving every dropout
+    site an independent, deterministic mask. Inverted dropout (x/keep on
+    kept elements) — identical to torch's F.dropout scaling.
+
+    Placement parity with the torch models is proven by
+    tests/test_hf_dropout.py: torch.nn.functional.dropout and this
+    class are both monkeypatched to consume one shared host-side mask
+    stream, and the train-mode outputs must match — that pins the exact
+    call ORDER, shape, and p of every site against HF.
+    """
+
+    __slots__ = ("rng", "_n")
+
+    def __init__(self, rng: Optional[PRNGKey] = None):
+        self.rng = rng
+        self._n = 0
+
+    @property
+    def active(self) -> bool:
+        return self.rng is not None
+
+    def __call__(self, x: jnp.ndarray, p: float) -> jnp.ndarray:
+        if self.rng is None or p <= 0.0:
+            return x
+        self._n += 1
+        return dropout(jax.random.fold_in(self.rng, self._n), x, p, True)
+
+
 def stochastic_depth(key: Optional[PRNGKey], x: jnp.ndarray, rate: float,
                      train: bool) -> jnp.ndarray:
     """torchvision stochastic_depth, mode='row' (per-sample)."""

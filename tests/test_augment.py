@@ -35,3 +35,100 @@ def test_output_range_and_dtype():
     out = np.asarray(augment_batch(jax.random.PRNGKey(3), jnp.asarray(x), 1.0))
     assert out.dtype == np.uint8
     assert out.min() >= 0 and out.max() <= 255
+
+
+def _albu_rotate_crop_resize(img, angle_deg, h, w):
+    """Executable cv2 replica of the reference's
+    A.Rotate(limit=90, crop_border=True) followed by the pipeline Resize
+    (main_image.py:445-453): cv2.warpAffine around ((w-1)/2, (h-1)/2),
+    then albumentations Rotate._rotated_rect_with_max_area's closed form
+    with its max(0,.)/min(.,w) clamped INT crop bounds, then bilinear
+    resize back to (w, h). Transcribed from the albumentations source
+    (albumentations not installed here — cv2 is)."""
+    import math
+
+    import cv2
+
+    m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle_deg, 1.0)
+    rot = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    a = math.radians(angle_deg)
+    sa, ca = abs(math.sin(a)), abs(math.cos(a))
+    side_long, side_short = max(w, h), min(w, h)
+    if side_short <= 2 * sa * ca * side_long or abs(sa - ca) < 1e-10:
+        x = 0.5 * side_short
+        wr, hr = (x / sa, x / ca) if w >= h else (x / ca, x / sa)
+    else:
+        c2 = ca * ca - sa * sa
+        wr, hr = (w * ca - h * sa) / c2, (h * ca - w * sa) / c2
+    x0 = max(0, int(w / 2 - wr / 2))
+    x1 = min(w, int(w / 2 + wr / 2))
+    y0 = max(0, int(h / 2 - hr / 2))
+    y1 = min(h, int(h / 2 + hr / 2))
+    return cv2.resize(rot[y0:y1, x0:x1], (w, h),
+                      interpolation=cv2.INTER_LINEAR)
+
+
+def test_rotate_crop_border_matches_albumentations_oracle():
+    """VERDICT r3 next #4: the fused homography's rotation reproduces
+    Rotate(crop_border=True) — inscribed-rect crop + resize folded into
+    the matrix. Pinned against the cv2/albumentations replica on smooth
+    structured images over square, landscape and portrait geometries and
+    the full +-90deg range (incl. the >55deg clamped-crop quirk region).
+    Residual is the replica's <=1px int-truncated crop bounds + bilinear
+    resample differences: mean < 4/255, max < 16/255 on the interior."""
+    import math
+
+    from garbage_classification_rca_tpu.data.augment import (
+        _warp_bilinear, inscribed_rect, rotate_crop_matrix)
+
+    for (h, w) in ((64, 96), (64, 64), (80, 48)):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([yy / h * 255, xx / w * 255,
+                        (yy + 2 * xx) / (h + 2 * w) * 255], -1)
+        for deg in (5, 30, -25, 45, 60, 80, -88):
+            want = _albu_rotate_crop_resize(img, deg, h, w)
+            # our inverse warp rotates by -theta relative to cv2's
+            # angle convention ((y, x) row-major coords vs cv2 (x, y))
+            mat = rotate_crop_matrix(jnp.float32(-math.radians(deg)), h, w)
+            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+            center = np.array([[1, 0, cy], [0, 1, cx], [0, 0, 1.0]])
+            uncenter = np.array([[1, 0, -cy], [0, 1, -cx], [0, 0, 1.0]])
+            full = center @ np.asarray(mat) @ uncenter
+            got = np.asarray(_warp_bilinear(jnp.asarray(img),
+                                            jnp.asarray(full), h, w))
+            d = np.abs(got[3:-3, 3:-3] - want[3:-3, 3:-3])
+            assert d.mean() < 4.0, (h, w, deg, d.mean())
+            assert d.max() < 16.0, (h, w, deg, d.max())
+
+    # closed form sanity: 45deg square -> side / sqrt(2)
+    hr, wr = inscribed_rect(jnp.float32(math.pi / 4), 64, 64)
+    np.testing.assert_allclose(float(hr), 64 / math.sqrt(2), rtol=1e-5)
+    np.testing.assert_allclose(float(wr), 64 / math.sqrt(2), rtol=1e-5)
+    # theta -> 0: no crop
+    hr, wr = inscribed_rect(jnp.float32(0.0), 64, 96)
+    np.testing.assert_allclose([float(hr), float(wr)], [64.0, 96.0],
+                               rtol=1e-5)
+
+
+def test_rotation_leaves_no_black_corners_at_moderate_angles():
+    """The crop fold really removes the zero borders a plain in-place
+    rotation leaves (old behavior): a constant image stays (nearly)
+    constant after rotate+crop for angles where the inscribed rect is
+    unclamped."""
+    import math
+
+    from garbage_classification_rca_tpu.data.augment import (
+        _warp_bilinear, rotate_crop_matrix)
+
+    h = w = 64
+    full = np.full((h, w, 3), 200.0, np.float32)
+    for deg in (15, 40, 70, 89):
+        mat = rotate_crop_matrix(jnp.float32(math.radians(deg)), h, w)
+        cy = cx = (h - 1) / 2.0
+        center = np.array([[1, 0, cy], [0, 1, cx], [0, 0, 1.0]])
+        uncenter = np.array([[1, 0, -cy], [0, 1, -cx], [0, 0, 1.0]])
+        out = np.asarray(_warp_bilinear(
+            jnp.asarray(full), jnp.asarray(center @ np.asarray(mat)
+                                           @ uncenter), h, w))
+        assert out.min() > 150.0, (deg, out.min())

@@ -223,6 +223,40 @@ def test_blip2_train_pp_matches_dp(tiny_dataset, tmp_path, monkeypatch):
     assert set(restored["lora"]["0"].keys()) == {"q", "k"}
 
 
+def test_vlm_train_hf_internal_dropout_reaches_loss(tiny_dataset, tmp_path,
+                                                    monkeypatch):
+    """--hf_internal_dropout on the VLM trainers: runs end-to-end and the
+    per-epoch loss DIFFERS from the deterministic default at the same
+    seed (the stochastic internals really reach the loss); the flag-off
+    run is unchanged (same CLI, same loss twice)."""
+    import json
+
+    from garbage_classification_rca_tpu.cli import blip2_train, qformer_train
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+
+    def run(main, sub, extra):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        monkeypatch.chdir(d)
+        main([f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+              "--batch_size=4", "--epochs=1"] + extra)
+        monkeypatch.chdir(tmp_path)
+        losses = [json.loads(l)["avg_loss"]
+                  for p in glob.glob(str(d / "runs" / "*.jsonl"))
+                  for l in open(p) if "avg_loss" in l]
+        assert len(losses) == 1 and np.isfinite(losses[0])
+        return losses[0]
+
+    for main, name in ((blip2_train.main, "blip2"),
+                       (qformer_train.main, "qf")):
+        off1 = run(main, f"{name}_off1", [])
+        off2 = run(main, f"{name}_off2", [])
+        on = run(main, f"{name}_on", ["--hf_internal_dropout"])
+        assert off1 == off2, name                   # determinism baseline
+        assert on != off1, (name, on, off1)         # flag reaches the loss
+
+
 def test_blip2_train_full_resume_bit_identical(tiny_dataset, tmp_path,
                                                monkeypatch):
     """Interrupt-after-epoch-0 + --resume_from == uninterrupted 2-epoch

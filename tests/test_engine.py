@@ -158,6 +158,101 @@ def test_full_resume_bit_identical(tiny_dataset, tmp_path):
     assert bestA.best_val_acc == bestB.best_val_acc
 
 
+def test_step_level_resume_bit_identical(tiny_dataset, tmp_path):
+    """--resume_every_steps (VERDICT r3 next #10): kill MID-epoch after k
+    optimizer windows + resume == the uninterrupted run, exactly — params,
+    scheduler, best, AND the resumed epoch's logged loss stats (the
+    epoch-so-far loss stream rides in the RESUME meta)."""
+    import json
+
+    from garbage_classification_rca_tpu.train.engine import (
+        load_train_state, restore_opt_state, run_phase)
+    from garbage_classification_rca_tpu.train.optim import PlateauScheduler
+
+    args = RunConfig(lr=0.05, reg=0.0, opt="sgd", seed=7,
+                     resume_every_steps=1)
+    # 12 samples / bs2 / acc2 -> 3 optimizer windows per epoch
+    kw = dict(batch_size=2, acc_steps=2, args=args, mesh=None,
+              model_name="step_resume", fine_tuning=True)
+
+    # uninterrupted 2-epoch run
+    b1, apply, params, opt, step, eval_fn = _toy_phase_setup(tiny_dataset,
+                                                             tmp_path)
+    lg1 = MetricsLogger("s1", out_dir=str(tmp_path / "s1"))
+    pB, sB, oB, bestB = run_phase(
+        phase_name="fine_tune", epochs=2, params=params, state={},
+        opt=opt, opt_state=opt.init(params), train_step=step,
+        eval_fn=eval_fn, batcher=b1, logger=lg1,
+        scheduler=PlateauScheduler(0.05, factor=0.4, patience=0),
+        out_root=str(tmp_path / "runB"), save_resume=True, **kw)
+    b1.close()
+
+    # "killed" run: the train step raises after 2 windows of epoch 1 —
+    # RESUME then holds the step=2 mid-epoch state of epoch 1
+    b2, apply, params, opt, step, eval_fn = _toy_phase_setup(tiny_dataset,
+                                                             tmp_path)
+    calls = {"n": 0}
+    n_windows_epoch = None
+
+    def dying_step(*a):
+        calls["n"] += 1
+        if calls["n"] == n_windows_epoch + 3:   # 3rd window of epoch 1
+            raise KeyboardInterrupt
+        return step(*a)
+
+    # first learn the per-epoch window count from a dry count
+    import math as _math
+    n_windows_epoch = _math.ceil(
+        _math.ceil(len(b2.m) / kw["batch_size"]) / kw["acc_steps"])
+    lg2 = MetricsLogger("s2", out_dir=str(tmp_path / "s2"))
+    with np.testing.assert_raises(KeyboardInterrupt):
+        run_phase(
+            phase_name="fine_tune", epochs=2, params=params, state={},
+            opt=opt, opt_state=opt.init(params), train_step=dying_step,
+            eval_fn=eval_fn, batcher=b2, logger=lg2,
+            scheduler=PlateauScheduler(0.05, factor=0.4, patience=0),
+            out_root=str(tmp_path / "runA"), save_resume=True, **kw)
+    b2.close()
+
+    payload = load_train_state(
+        str(tmp_path / "runA" / "model_weights" / "step_resume" / "RESUME"))
+    assert payload["meta"]["epoch"] == 1
+    assert payload["meta"]["step"] == 2
+    assert len(payload["meta"]["losses"]) == 2
+
+    # resume mid-epoch to completion
+    b3, apply, _, opt, step, eval_fn = _toy_phase_setup(tiny_dataset,
+                                                        tmp_path)
+    lg3 = MetricsLogger("s3", out_dir=str(tmp_path / "s3"))
+    sched3 = PlateauScheduler(0.05, factor=0.4, patience=0)
+    params_r = payload["params"]
+    pA, sA, oA, bestA = run_phase(
+        phase_name="fine_tune", epochs=2, params=params_r, state={},
+        opt=opt, opt_state=restore_opt_state(opt, params_r,
+                                             payload["opt_state"]),
+        train_step=step, eval_fn=eval_fn, batcher=b3, logger=lg3,
+        scheduler=sched3, out_root=str(tmp_path / "runA"),
+        save_resume=True, resume=payload, **kw)
+    b3.close()
+
+    np.testing.assert_array_equal(np.asarray(pA["head"]["w"]),
+                                  np.asarray(pB["head"]["w"]))
+    np.testing.assert_array_equal(np.asarray(pA["head"]["b"]),
+                                  np.asarray(pB["head"]["b"]))
+    assert bestA.best_val_acc == bestB.best_val_acc
+
+    # resumed epoch-1 metrics row == uninterrupted run's epoch-1 row
+    def rows(d):
+        path = glob.glob(str(d / "*.jsonl"))[0]
+        return [json.loads(l) for l in open(path) if l.strip()]
+
+    import glob
+    rB = [r for r in rows(tmp_path / "s1") if r["epoch"] == 1][0]
+    rA = [r for r in rows(tmp_path / "s3") if r["epoch"] == 1][0]
+    for k in ("avg_loss", "max_loss", "min_loss"):
+        np.testing.assert_allclose(rA[k], rB[k], rtol=1e-7)
+
+
 def test_save_best_top_k_retention(tmp_path):
     params = {"w": jnp.ones((2,))}
     args = RunConfig(lr=0.01, reg=0.1, opt="sgd")

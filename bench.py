@@ -432,7 +432,10 @@ def bench_serving(slots: int = 8, n_requests: int = 24,
 
 def bench_train_vit_b16(batch_size: int = 128, steps: int = 8):
     """Train-path bench (VERDICT r1 item 7): full fine-tune SGD step at
-    the reference train envelope (main_image.py transformer_B16 bs128)."""
+    the reference train envelope (main_image.py transformer_B16 bs128).
+    v5e 2026-08-20: 887.6 img/s with XLA's backward, 1003.6 with the
+    flash train backward (kernels/mha_fused.mha_flash_train — the TPU
+    default since round 4; GC_RCA_FLASH_BWD=0 restores XLA)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -107,6 +107,15 @@ def _encoder_layer(p, x, heads: int, eps: float,
     h = nn.layernorm(p["ln_1"], x, eps=eps)
     qkv = nn.linear(p["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if train and mha_fused.flash_train_enabled():
+        # GC_RCA_FLASH_BWD=1 experiment (VERDICT r3 weak #3): fused fwd
+        # saving logsumexp + one-kernel flash backward instead of XLA's
+        # unfused train attention fwd+bwd
+        att = mha_fused.mha_flash_train(q, k, v, heads=heads)
+        x = x + nn.linear(p["out"], att)
+        h = nn.layernorm(p["ln_2"], x, eps=eps)
+        h = nn.linear(p["fc2"], nn.gelu(nn.linear(p["fc1"], h)))
+        return x + h
     hd = d // heads
     q = q.reshape(b, n, heads, hd)
     k = k.reshape(b, n, heads, hd)

@@ -47,6 +47,11 @@ def multi_head_attention(q, k, v, bias, heads: int, mask=None,
     if mask is not None and not train and \
             mha_fused.fused_attention_enabled() and q.shape == k.shape:
         return mha_fused.mha_trainable(q, k, v, heads=heads, mask=mask)
+    if mask is not None and train and drop is None \
+            and mha_fused.flash_train_enabled() and q.shape == k.shape:
+        # GC_RCA_FLASH_BWD train path (no attention-probs dropout site —
+        # --hf_internal_dropout runs keep the XLA graph)
+        return mha_fused.mha_flash_train(q, k, v, heads=heads, mask=mask)
     b, l, d = q.shape
     hd = d // heads
     q = q.reshape(b, l, heads, hd)

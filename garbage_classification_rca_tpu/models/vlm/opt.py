@@ -109,6 +109,14 @@ def _layer(p, x, bias, cfg: OPTConfig, lora=None, lora_scale=1.0,
             and mha_fused.fused_attention_enabled():
         att = mha_fused.mha_trainable(q, k, v, heads=cfg.heads, mask=mask,
                                       causal=True)
+    elif mask is not None and train and drop is None \
+            and mha_fused.flash_train_enabled():
+        # GC_RCA_FLASH_BWD train path: flash backward kernel (lse save +
+        # tile-local recompute); attention-probs dropout (0.0 for
+        # opt-2.7b anyway) would need the weights, so --hf_internal_
+        # dropout runs keep the XLA graph
+        att = mha_fused.mha_flash_train(q, k, v, heads=cfg.heads,
+                                        mask=mask, causal=True)
     else:
         qh = q.reshape(b_, n, cfg.heads, hd)
         kh = k.reshape(b_, n, cfg.heads, hd)

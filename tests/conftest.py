@@ -39,7 +39,7 @@ SLOW_MODULES = {
     # ~230 s quick pass at builder-host speed — VERDICT r2 weak #4)
     "test_legacy", "test_rca_vjp", "test_transformer_block",
     "test_train_trajectory", "test_blip2_trajectory", "test_serving",
-    "test_cli_train_flags", "test_hf_dropout",
+    "test_cli_train_flags", "test_hf_dropout", "test_aug_ab",
 }
 
 

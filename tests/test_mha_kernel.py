@@ -186,6 +186,119 @@ def test_mha_trainable_grads_match_reference():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mask_on,causal", [(False, False), (True, False),
+                                            (True, True)])
+def test_mha_flash_train_grads_match_reference(mask_on, causal):
+    """Flash-backward kernel (GC_RCA_FLASH_BWD experiment, VERDICT r3
+    weak #3): forward saves lse, backward recomputes scores tile-locally
+    — dq/dk/dv must equal the XLA reference VJP."""
+    from garbage_classification_rca_tpu.kernels.mha_fused import (
+        mha_flash_train)
+
+    b, n, heads, dh = 2, 13, 3, 8
+    d = heads * dh
+    q = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    g = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    mask = None
+    if mask_on:
+        m = np.ones((b, n), np.int32)
+        m[0, -4:] = 0
+        mask = jnp.asarray(m)
+
+    want_o, vjp_r = jax.vjp(lambda q, k, v: mha_reference(
+        q, k, v, heads=heads, mask=mask, causal=causal), q, k, v)
+    got_o, vjp_f = jax.vjp(lambda q, k, v: mha_flash_train(
+        q, k, v, heads=heads, mask=mask, causal=causal), q, k, v)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(vjp_f(g), vjp_r(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_vit_flash_train_path_matches_unfused(monkeypatch):
+    """GC_RCA_FLASH_BWD=1 routes the ViT TRAIN forward through the flash
+    kernel; train logits and input grads must match the unfused graph."""
+    import dataclasses
+
+    from garbage_classification_rca_tpu.models.image import vit
+
+    cfg = dataclasses.replace(vit.CONFIGS["transformer_B16"],
+                              image_size=32, layers=2)
+    params, state = vit.init(jax.random.PRNGKey(0), cfg, num_classes=4)
+    x = jnp.asarray(RNG.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+    def loss(params):
+        logits, _ = vit.apply(params, state, x, cfg=cfg, train=True,
+                              rng=jax.random.PRNGKey(1))
+        return jnp.sum(logits ** 2)
+
+    monkeypatch.delenv("GC_RCA_FLASH_BWD", raising=False)
+    want_l, want_g = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("GC_RCA_FLASH_BWD", "1")
+    got_l, got_g = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(got_g),
+                     jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_text_and_opt_flash_train_paths_match_unfused(monkeypatch):
+    """GC_RCA_FLASH_BWD=1 also routes the BERT-family and OPT TRAIN
+    attention through the flash kernel (masked / masked+causal variants);
+    outputs and grads must match the unfused graphs."""
+    from garbage_classification_rca_tpu.models.text import distilbert as jd
+    from garbage_classification_rca_tpu.models.vlm import opt
+
+    saved = jd.LAYERS
+    jd.LAYERS = 2
+    try:
+        dparams = jd.init_encoder(jax.random.PRNGKey(0))
+        ids = jnp.asarray(RNG.integers(5, 30000, (2, 12)).astype(np.int32))
+        m = np.ones((2, 12), np.int32)
+        m[0, -3:] = 0
+        mask = jnp.asarray(m)
+
+        def d_loss(p):
+            return jnp.sum(jd.encode(p, ids, mask, train=True) ** 2)
+
+        monkeypatch.delenv("GC_RCA_FLASH_BWD", raising=False)
+        want_l, want_g = jax.value_and_grad(d_loss)(dparams)
+        monkeypatch.setenv("GC_RCA_FLASH_BWD", "1")
+        got_l, got_g = jax.value_and_grad(d_loss)(dparams)
+        np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(got_g),
+                         jax.tree_util.tree_leaves(want_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        jd.LAYERS = saved
+
+    cfg = opt.OPTConfig(layers=2, hidden=64, heads=4, ffn=128, vocab=100)
+    oparams = opt.init(jax.random.PRNGKey(2), cfg)
+    emb = jnp.asarray(RNG.normal(size=(2, 10, 64)).astype(np.float32))
+    om = np.ones((2, 10), np.int32)
+    om[1, :3] = 0
+    omask = jnp.asarray(om)
+
+    def o_loss(p):
+        h = opt.decode_hidden(p, emb, omask, cfg, train=True)
+        return jnp.sum((h * omask[:, :, None]) ** 2)
+
+    monkeypatch.delenv("GC_RCA_FLASH_BWD", raising=False)
+    want_l, want_g = jax.value_and_grad(o_loss)(oparams)
+    monkeypatch.setenv("GC_RCA_FLASH_BWD", "1")
+    got_l, got_g = jax.value_and_grad(o_loss)(oparams)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(got_g),
+                     jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_opt_fused_prefill_matches_unfused(monkeypatch):
     """The serving prefill (opt.prefill -> layer_prefill) routes through
     the fused kernel too; hidden AND the cached K/V must be unchanged,

@@ -347,10 +347,18 @@ def main(argv=None):
                 opt, jax.device_get(lora), resume["opt_state"]))
         rng = jnp.asarray(resume["rng"])
         m = resume["meta"]
-        start_epoch = int(m["epoch"]) + 1
+        start_step = int(m.get("step", 0) or 0)
+        # mid-epoch checkpoint (--resume_every_steps): re-enter the same
+        # epoch and skip its completed windows (stream is deterministic
+        # per seed+epoch); epoch-so-far losses ride in the meta
+        start_epoch = int(m["epoch"]) + (0 if start_step else 1)
+        resume_losses = [float(l) for l in (m.get("losses") or [])]
         best = PhaseResult(float(m["best_val_acc"]), int(m["best_epoch"]),
                            m["best_path"] or None)
-        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
+        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']}"
+              + (f" step {start_step}" if start_step else "") + ")")
+    else:
+        start_step, resume_losses = 0, []
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (blip_2_training.py:197-201,229)
     from ..parallel.multihost import is_primary
@@ -359,12 +367,26 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
-        for stacked in vlm_train_stream(train_b, micro, BLIP2_ACC, mesh,
-                                        seed=args.seed + epoch,
-                                        prefetch_depth=args.prefetch_depth):
+        stream = vlm_train_stream(train_b, micro, BLIP2_ACC, mesh,
+                                  seed=args.seed + epoch,
+                                  prefetch_depth=args.prefetch_depth)
+        skip = 0
+        if epoch == start_epoch and start_step > 0:
+            skip, losses = start_step, list(resume_losses)
+            import itertools
+            stream = itertools.islice(stream, skip, None)
+        for w, stacked in enumerate(stream):
             rng, srng = jax.random.split(rng)
             lora, opt_state, loss = step(lora, opt_state, stacked, srng)
             losses.append(float(loss))
+            done = skip + w + 1
+            if args.resume_every_steps and primary \
+                    and done % args.resume_every_steps == 0:
+                save_train_state(out_root=".", model_name="blip2_lora",
+                                 params=lora, state={},
+                                 opt_state=opt_state, rng=rng, epoch=epoch,
+                                 phase_name="train", scheduler=None,
+                                 best=best, step=done, losses=losses)
         val_acc = evaluate(lora, val_b, val_m)
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),
                     "val_acc": val_acc,

@@ -153,15 +153,19 @@ def main(argv=None):
     # epoch (this loop draws no RNG; the constant seed key is saved for
     # payload-shape parity with the other trainers)
     resume = maybe_load_resume(args.resume_from)
+    start_step, resume_losses = 0, []
     if resume is not None:
         trainable = shard_params(mesh, resume["params"])
         opt_state = shard_params(mesh, restore_opt_state(
             opt, jax.device_get(trainable), resume["opt_state"]))
         m = resume["meta"]
-        start_epoch = int(m["epoch"]) + 1
+        start_step = int(m.get("step", 0) or 0)
+        start_epoch = int(m["epoch"]) + (0 if start_step else 1)
+        resume_losses = [float(l) for l in (m.get("losses") or [])]
         best = PhaseResult(float(m["best_val_acc"]), int(m["best_epoch"]),
                            m["best_path"] or None)
-        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']})")
+        print(f"Full-resume from {args.resume_from} (epoch={m['epoch']}"
+              + (f" step {start_step}" if start_step else "") + ")")
     # reference semantics: --batch_size is the DataLoader (micro)batch and
     # the optimizer steps every 8 of them (q_former_training.py:241,299)
     from ..parallel.multihost import is_primary
@@ -169,16 +173,36 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
-        for w, stacked in enumerate(vlm_train_stream(
-                train_b, args.batch_size, QF_ACC, mesh,
-                seed=args.seed + epoch,
-                prefetch_depth=args.prefetch_depth)):
-            # per-window key only consumed under --hf_internal_dropout
+        stream = vlm_train_stream(train_b, args.batch_size, QF_ACC, mesh,
+                                  seed=args.seed + epoch,
+                                  prefetch_depth=args.prefetch_depth)
+        skip = 0
+        if epoch == start_epoch and start_step > 0:
+            # mid-epoch resume (--resume_every_steps): the stream is
+            # deterministic per seed+epoch, skip the completed windows
+            skip, losses = start_step, list(resume_losses)
+            import itertools
+            stream = itertools.islice(stream, skip, None)
+        for w, stacked in enumerate(stream):
+            # per-window key only consumed under --hf_internal_dropout;
+            # derived (not carried), so it survives mid-epoch resume
             wkey = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch), w)
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                skip + w)
             trainable, opt_state, loss = train_step(trainable, opt_state,
                                                     stacked, wkey)
             losses.append(float(loss))
+            done = skip + w + 1
+            if args.resume_every_steps and primary \
+                    and done % args.resume_every_steps == 0:
+                save_train_state(out_root=".",
+                                 model_name="qformer_classifier",
+                                 params=trainable, state={},
+                                 opt_state=opt_state,
+                                 rng=jax.random.PRNGKey(args.seed),
+                                 epoch=epoch, phase_name="train",
+                                 scheduler=None, best=best, step=done,
+                                 losses=losses)
         val_acc = evaluate(trainable, val_b, val_m)
         logger.log({"epoch": epoch, "avg_loss": float(np.mean(losses)),
                     "val_acc": val_acc,

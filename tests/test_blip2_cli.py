@@ -257,6 +257,88 @@ def test_vlm_train_hf_internal_dropout_reaches_loss(tiny_dataset, tmp_path,
         assert on != off1, (name, on, off1)         # flag reaches the loss
 
 
+def test_blip2_train_step_level_resume_bit_identical(tiny_dataset, tmp_path,
+                                                     monkeypatch):
+    """--resume_every_steps on the VLM trainer: kill MID-epoch after k
+    optimizer windows + --resume_from == the uninterrupted run exactly
+    (adapters, opt state, rng stream, logged epoch losses). 12 samples /
+    bs1 / acc8 -> 2 windows per epoch."""
+    import json
+
+    import jax
+
+    from garbage_classification_rca_tpu.cli import blip2_train
+    from garbage_classification_rca_tpu.train.engine import load_train_state
+
+    tree = _train_tree(tiny_dataset, tmp_path)
+    flags = [f"--dataset_folder_name={tree}", f"--vocab_dir={BPE_VOCAB}",
+             "--batch_size=1", "--epochs=2", "--resume_every_steps=1"]
+
+    calls = {"n": 0, "die_at": None}
+    orig_make = blip2_train.make_lora_train_step
+
+    def make_wrapped(*a, **kw):
+        opt, step = orig_make(*a, **kw)
+
+        def wrapped(lora, opt_state, batch, rng):
+            calls["n"] += 1
+            if calls["die_at"] is not None and calls["n"] == calls["die_at"]:
+                raise KeyboardInterrupt
+            return step(lora, opt_state, batch, rng)
+
+        wrapped.raw = step.raw
+        return opt, wrapped
+
+    monkeypatch.setattr(blip2_train, "make_lora_train_step", make_wrapped)
+
+    def run(sub, extra, expect_die=False):
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        monkeypatch.chdir(d)
+        if expect_die:
+            with pytest.raises(KeyboardInterrupt):
+                blip2_train.main(flags + extra)
+        else:
+            blip2_train.main(flags + extra)
+        monkeypatch.chdir(tmp_path)
+        return d
+
+    d_straight = run("straight", [])
+    n_total = calls["n"]
+    assert n_total == 4, n_total          # 2 windows x 2 epochs
+
+    calls["n"], calls["die_at"] = 0, 4    # die on epoch 1's 2nd window
+    d_killed = run("killed", [], expect_die=True)
+    resume_dir = d_killed / "model_weights" / "blip2_lora" / "RESUME"
+    payload = load_train_state(str(resume_dir))
+    assert payload["meta"]["epoch"] == 1
+    assert payload["meta"]["step"] == 1
+    assert len(payload["meta"]["losses"]) == 1
+
+    calls["n"], calls["die_at"] = 0, None
+    run("killed", [f"--resume_from={resume_dir}"])
+    assert calls["n"] == 1                # only the remaining window ran
+
+    ps = load_train_state(str(d_straight / "model_weights" / "blip2_lora"
+                              / "RESUME"))
+    pr = load_train_state(str(resume_dir))
+    assert pr["meta"]["epoch"] == 1 and pr["meta"]["step"] == 0
+    a = jax.tree_util.tree_leaves(ps["params"])
+    b = jax.tree_util.tree_leaves(pr["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def epoch_rows(d):
+        rows = [json.loads(l)
+                for p in glob.glob(str(d / "runs" / "*.jsonl"))
+                for l in open(p) if l.strip()]
+        return {r["epoch"]: r["avg_loss"] for r in rows if "avg_loss" in r}
+
+    rs, rk = epoch_rows(d_straight), epoch_rows(d_killed)
+    assert rs[1] == pytest.approx(rk[1], rel=1e-6)
+
+
 def test_blip2_train_full_resume_bit_identical(tiny_dataset, tmp_path,
                                                monkeypatch):
     """Interrupt-after-epoch-0 + --resume_from == uninterrupted 2-epoch

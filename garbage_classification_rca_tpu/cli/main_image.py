@@ -59,6 +59,15 @@ def main(argv=None):
     if args.opt not in ("sgd", "adamw"):
         print("Invalid optimizer!")   # reference wording, main_image.py:536
         raise SystemExit(1)
+    if args.hf_internal_dropout:
+        # the flag reproduces HF-*text*-encoder-internal dropout; the image
+        # towers have no such sites, so accepting it here would be a silent
+        # no-op (ADVICE r4)
+        raise SystemExit(
+            "--hf_internal_dropout has no effect on image-only training "
+            "(it reproduces the HF text/VLM encoders' internal train-mode "
+            "dropout) — it is consumed by main_text/main_both/blip2_train/"
+            "qformer_train only. Remove the flag.")
     from . import resolve_model, train_mesh
     mdef = resolve_model(get_image_model, args.image_model)
     spec = IMAGE_ARCHS[args.image_model]

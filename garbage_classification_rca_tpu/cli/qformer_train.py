@@ -180,6 +180,17 @@ def main(argv=None):
         if epoch == start_epoch and start_step > 0:
             # mid-epoch resume (--resume_every_steps): the stream is
             # deterministic per seed+epoch, skip the completed windows
+            import math
+            n_windows = math.ceil(math.ceil(len(train_m) / args.batch_size)
+                                  / QF_ACC)
+            if start_step >= n_windows:
+                # stale RESUME / changed batch geometry would silently
+                # exhaust the islice (ADVICE r4)
+                raise SystemExit(
+                    f"RESUME step {start_step} >= {n_windows} optimizer "
+                    f"windows in epoch {epoch} — stale RESUME dir or "
+                    "changed --batch_size/dataset? Delete the RESUME "
+                    "directory to start the epoch over.")
             skip, losses = start_step, list(resume_losses)
             import itertools
             stream = itertools.islice(stream, skip, None)

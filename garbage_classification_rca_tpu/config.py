@@ -340,7 +340,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--vocab_dir', type=str, default=d.vocab_dir)
     _add_bool_flag(p, 'hf_internal_dropout', d.hf_internal_dropout,
                    "activate HF-encoder-internal p=0.1 train-mode dropout "
-                   "(reference keeps frozen towers in train() mode)")
+                   "(reference keeps frozen towers in train() mode); "
+                   "consumed by main_text/main_both/blip2_train/"
+                   "qformer_train — main_image rejects it (no such sites)")
     _add_bool_flag(p, 'fsdp', d.fsdp,
                    "shard params + optimizer state over the data axis")
     return p

@@ -94,12 +94,16 @@ def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
                  scale=scale, causal=causal)
 
 
-def _pick_tile(b: int, n: int, heads: int, d: int = 0) -> int:
+def _pick_tile(b: int, n: int, heads: int, d: int = 0,
+               itemsize: int = 2) -> int:
     """Largest batch tile fitting VMEM (~16 MB/core): q/k/v/out blocks are
-    double-buffered (8 copies of [t, n, d] bf16) plus one head's fp32
-    scores/weights; budget 9 MB leaves headroom for Mosaic's scratch."""
+    double-buffered (8 copies of [t, n, d] at the operand itemsize) plus
+    one head's fp32 scores/weights; budget 9 MB leaves headroom for
+    Mosaic's scratch. `itemsize` must be the real operand dtype width —
+    fp32 training (main_text compute_dtype=float32, seq up to 512) doubles
+    the block bytes vs the bf16 default (ADVICE r4)."""
     d = d or heads * 64
-    per_sample = 8 * n * d * 2 + 4 * n * n * 4
+    per_sample = 8 * n * d * itemsize + 4 * n * n * 4
     tile = max(1, int(9 * 1024 * 1024) // max(per_sample, 1))
     tile = min(tile, b, 64)
     while b % tile:
@@ -124,7 +128,7 @@ def mha(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
         raise ValueError(f"D={d} not divisible by heads={heads}")
     if scale == 0.0:
         scale = 1.0 / np.sqrt(d // heads)
-    t = tile if tile > 0 else _pick_tile(b, n, heads, d)
+    t = tile if tile > 0 else _pick_tile(b, n, heads, d, q.dtype.itemsize)
     pad = (-b) % t
     if pad:
         zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
@@ -311,10 +315,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _pick_tile_bwd(b: int, n: int, d: int) -> int:
+def _pick_tile_bwd(b: int, n: int, d: int, itemsize: int = 2) -> int:
     """8 [t, n, d] blocks double-buffered + ~4 fp32 [n, n] per-head
-    intermediates; same 9 MB budget as _pick_tile."""
-    per_sample = 16 * n * d * 2 + 4 * n * n * 4
+    intermediates; same 9 MB budget as _pick_tile. `itemsize` = operand
+    dtype width (fp32 doubles the block bytes — ADVICE r4)."""
+    per_sample = 16 * n * d * itemsize + 4 * n * n * 4
     tile = max(1, int(9 * 1024 * 1024) // max(per_sample, 1))
     tile = min(tile, b, 64)
     while b % tile:
@@ -329,7 +334,7 @@ def _mha_fwd_lse(q, k, v, *, heads, scale, mask=None, causal=False,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, d = q.shape
-    t = _pick_tile(b, n, heads, d)
+    t = _pick_tile(b, n, heads, d, q.dtype.itemsize)
     pad = (-b) % t
     if pad:
         zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
@@ -372,7 +377,7 @@ def _mha_flash_bwd(q, k, v, o, do, lse, *, heads, scale, mask=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, d = q.shape
-    t = _pick_tile_bwd(b, n, d)
+    t = _pick_tile_bwd(b, n, d, q.dtype.itemsize)
     pad = (-b) % t
     if pad:
         zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))

@@ -479,6 +479,18 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
             # uninterrupted run exactly (bit-identity test in
             # tests/test_engine.py)
             skip = start_step
+            # guard against a stale RESUME (or a changed --batch_size /
+            # dataset): skipping >= the epoch's window count would make
+            # islice exhaust silently and log the restored partial loss
+            # list as the full epoch (ADVICE r4)
+            n_windows = math.ceil(n_batches / max(acc_steps, 1))
+            if skip >= n_windows:
+                raise SystemExit(
+                    f"RESUME step {skip} >= {n_windows} optimizer windows "
+                    f"in epoch {epoch} ({n_batches} batches / "
+                    f"acc_steps={max(acc_steps, 1)}) — stale RESUME dir or "
+                    "changed --batch_size/--gradient_acc_steps/dataset? "
+                    "Delete the RESUME directory to start the epoch over.")
             losses = list(resume_meta.get("losses") or [])
             grad_norms = list(resume_meta.get("grad_norms") or [])
             param_norm = resume_meta.get("param_norm")

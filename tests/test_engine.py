@@ -346,3 +346,42 @@ def test_check_loaded_tree_mismatch_readable():
         check_loaded_tree(
             sn_params, lambda: sn.init(jax.random.PRNGKey(0), num_classes=7),
             "--image_model=shuffle_net")
+
+
+def test_stale_mid_epoch_resume_rejected(tiny_dataset, tmp_path):
+    """ADVICE r4: a RESUME whose step >= the epoch's optimizer-window
+    count (stale dir, or changed batch geometry) must fail loudly instead
+    of silently exhausting the islice and logging the restored partial
+    loss list as the full epoch."""
+    import pytest
+
+    from garbage_classification_rca_tpu.train.engine import (
+        restore_opt_state, run_phase)
+    from garbage_classification_rca_tpu.train.optim import PlateauScheduler
+
+    args = RunConfig(lr=0.05, reg=0.0, opt="sgd", seed=7,
+                     resume_every_steps=1)
+    kw = dict(batch_size=2, acc_steps=2, args=args, mesh=None,
+              model_name="stale_resume", fine_tuning=True)
+    b, apply, params, opt, step, eval_fn = _toy_phase_setup(tiny_dataset,
+                                                            tmp_path)
+    # 12 samples / bs2 / acc2 -> 3 windows per epoch; a meta claiming
+    # step=3 mid-epoch means every window is "already done" — stale
+    payload = {"params": params, "opt_state": opt.init(params),
+               "rng": np.asarray(jax.random.PRNGKey(0)),
+               "meta": {"phase_name": "fine_tune", "epoch": 0, "step": 3,
+                        "losses": [0.1, 0.2, 0.3],
+                        "grad_norms": [], "param_norm": None,
+                        "best_val_acc": 0.0, "best_epoch": -1,
+                        "best_path": None, "scheduler": None}}
+    lg = MetricsLogger("stale", out_dir=str(tmp_path / "stale"))
+    with pytest.raises(SystemExit, match="stale RESUME"):
+        run_phase(
+            phase_name="fine_tune", epochs=1, params=params, state={},
+            opt=opt, opt_state=restore_opt_state(opt, params,
+                                                 payload["opt_state"]),
+            train_step=step, eval_fn=eval_fn, batcher=b, logger=lg,
+            scheduler=PlateauScheduler(0.05, factor=0.4, patience=0),
+            out_root=str(tmp_path / "stale_run"), save_resume=False,
+            resume=payload, **kw)
+    b.close()

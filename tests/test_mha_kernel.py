@@ -334,3 +334,68 @@ def test_opt_fused_prefill_matches_unfused(monkeypatch):
                                       np.asarray(want_c[key]) * cm)
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_flash_train_dp_sharded_step_matches_single(monkeypatch):
+    """ADVICE r4: flash_train_enabled() is the TPU train default, but no
+    prior test exercised the flash fwd+bwd pallas_call inside a
+    dp-sharded train jit. On the 8-virtual-device mesh (interpret mode),
+    one full make_train_step (grad-accum scan included) with
+    GC_RCA_FLASH_BWD=1 must produce the same params/loss dp-sharded as
+    single-device, and the same as the XLA backward."""
+    import dataclasses
+
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from garbage_classification_rca_tpu.models.image import vit
+    from garbage_classification_rca_tpu.train.loop import (
+        make_train_step, microbatch_sharding)
+
+    cfg = dataclasses.replace(vit.CONFIGS["transformer_B16"],
+                              image_size=32, layers=2)
+    params0, state0 = vit.init(jax.random.PRNGKey(0), cfg, num_classes=4)
+    apply_fn = lambda p, s, x, train, rng: vit.apply(
+        p, s, x, cfg=cfg, train=train, rng=rng)
+
+    acc, b = 2, 16
+    batch = {
+        "image": RNG.integers(0, 255, (acc, b, 32, 32, 3)).astype(np.uint8),
+        "label": RNG.integers(0, 4, (acc, b)).astype(np.int32),
+        "valid": np.ones((acc, b), np.float32),
+    }
+    rng_step = jax.random.PRNGKey(7)
+
+    def run(flash: str, mesh=None):
+        monkeypatch.setenv("GC_RCA_FLASH_BWD", flash)
+        step = make_train_step(apply_fn, optax.sgd(0.05),
+                               compute_dtype=jnp.float32, mesh=mesh)
+        opt_state = optax.sgd(0.05).init(params0)
+        if mesh is None:
+            bt = jax.device_put(batch)
+            p, s, o = params0, state0, opt_state
+        else:
+            rep = NamedSharding(mesh, P())
+            p, s, o = (jax.device_put(t, rep)
+                       for t in (params0, state0, opt_state))
+            bt = jax.device_put(batch, microbatch_sharding(mesh))
+        p, s, o, loss, _ = step(p, s, o, bt, rng_step)
+        return jax.device_get(p), float(loss)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    assert len(jax.devices()) == 8
+    p_single, l_single = run("1")
+    p_dp, l_dp = run("1", mesh)
+    p_xla, l_xla = run("0", mesh)
+
+    np.testing.assert_allclose(l_dp, l_single, rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p_dp),
+                     jax.tree_util.tree_leaves(p_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    # and the flash backward agrees with XLA's own VJP under the mesh
+    np.testing.assert_allclose(l_dp, l_xla, rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p_dp),
+                     jax.tree_util.tree_leaves(p_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

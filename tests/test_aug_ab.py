@@ -1,16 +1,24 @@
-"""Augmentation A/B experiment (VERDICT r3 weak #5): the device pipeline
-(data/augment.py, fused homography + photometric ops) is claimed
-"capability-equivalent" to the reference's host albumentations stack
-(main_image.py:444-468). This backs the claim empirically: train the same
-tiny convnet on a learnable synthetic dataset under
+"""Augmentation A/B experiment (VERDICT r3 weak #5; hardened per VERDICT
+r4 weak #5 / next #7): the device pipeline (data/augment.py, fused
+homography + photometric ops) is claimed "capability-equivalent" to the
+reference's host albumentations stack (main_image.py:444-468). This backs
+the claim empirically ON A TASK WHERE AUGMENTATION BINDS: class = SHAPE
+of a small object; the train split shows every shape at ONE fixed
+orientation only, while the clean val split rotates them uniformly — a
+model must generalize across the geometric group, which only the
+augmentations (rotate/flip/zoom/perspective) can teach. Three arms, same
+tiny convnet and schedule, >=5 seeds each:
 
-  A) a host cv2 REPLICA of the albumentations train pipeline
+  0) NO augmentation        — must fail on the rotated val (proves the
+                              task binds on augmentation),
+  A) host cv2 REPLICA of the albumentations train pipeline
      (rotate crop_border -> blur -> flips -> brightness/contrast ->
-     sharpen -> perspective -> zoom, each at p=prob), and
-  B) the device augment_batch,
+     sharpen -> A.Perspective-exact 4-corner warp -> zoom, each at
+     p=prob),
+  B) the device augment_batch.
 
-same schedule, 3 seeds each; final clean-val accuracies must be high and
-within noise of each other. Slow module.
+A and B must both beat the no-aug arm by a wide margin and agree within
+noise (mean +- std recorded in PARITY.md). Slow module.
 """
 
 import math
@@ -25,20 +33,49 @@ N_CLASSES = 4
 PROB = 0.6
 
 
-def _make_dataset(rng, n_per_class):
-    """Class = dominant color of a filled rectangle on a noisy background
-    — a signal every augmentation in the pipeline preserves."""
-    colors = np.array([[200, 40, 40], [40, 200, 40], [40, 40, 200],
-                       [200, 200, 40]], np.float32)
+def _shape_vertices(cls: int):
+    """Canonical unit-scale vertex sets (filled polygons): square,
+    equilateral triangle, plus-cross, elongated bar. Distinct under any
+    rotation/flip — rotating one never produces another class."""
+    if cls == 0:                                       # square
+        return [np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float32)]
+    if cls == 1:                                       # triangle
+        a = np.array([[0, -1.15], [1.0, 0.85], [-1.0, 0.85]], np.float32)
+        return [a]
+    if cls == 2:                                       # plus-cross
+        t = 0.34
+        return [np.array([[-t, -1], [t, -1], [t, 1], [-t, 1]], np.float32),
+                np.array([[-1, -t], [1, -t], [1, t], [-1, t]], np.float32)]
+    t = 0.3                                            # bar
+    return [np.array([[-1.3, -t], [1.3, -t], [1.3, t], [-1.3, t]],
+                     np.float32)]
+
+
+def _draw(rng, cls, angle_deg):
+    """One 64px image: noisy dark background, one bright shape of ~14 px
+    half-size at a mildly jittered center, rotated by ``angle_deg``."""
+    img = rng.integers(0, 60, (H, W, 3)).astype(np.float32)
+    color = rng.uniform(150, 255, 3)
+    cy, cx = rng.uniform(H * 0.38, H * 0.62, 2)
+    s = rng.uniform(11, 15)
+    a = math.radians(angle_deg)
+    rot = np.array([[math.cos(a), -math.sin(a)],
+                    [math.sin(a), math.cos(a)]], np.float32)
+    for poly in _shape_vertices(cls):
+        pts = (poly @ rot.T) * s + [cx, cy]
+        cv2.fillPoly(img, [np.round(pts).astype(np.int32)], color.tolist())
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _make_dataset(rng, n_per_class, rotated: bool):
+    """rotated=False: the TRAIN distribution (fixed canonical orientation
+    — augmentation must supply the rotation group). rotated=True: the
+    clean VAL distribution (uniform 0-360 orientation)."""
     xs, ys = [], []
     for c in range(N_CLASSES):
         for _ in range(n_per_class):
-            img = rng.integers(0, 60, (H, W, 3)).astype(np.float32)
-            y0, x0 = rng.integers(4, H // 2, 2)
-            hh, ww = rng.integers(H // 4, H // 2, 2)
-            jitter = rng.normal(0, 15, 3)
-            img[y0:y0 + hh, x0:x0 + ww] = np.clip(colors[c] + jitter, 0, 255)
-            xs.append(img.astype(np.uint8))
+            ang = rng.uniform(0, 360) if rotated else 0.0
+            xs.append(_draw(rng, c, ang))
             ys.append(c)
     order = rng.permutation(len(xs))
     return (np.stack(xs)[order], np.asarray(ys, np.int32)[order])
@@ -81,13 +118,26 @@ def _host_augment_one(rng, img):
         sharp = cv2.filter2D(x, -1, ident + lap * light,
                              borderType=cv2.BORDER_REPLICATE)
         x = (1 - a) * x + a * sharp
-    # Perspective(scale (0.05, 0.1)) — mild projective warp
+    # A.Perspective(scale (0.05, 0.1), keep_size) — the exact
+    # albumentations recipe: |N(0, scale)| mod 0.32 corner jitter,
+    # getPerspectiveTransform to the int-truncated max-side rect, resize
+    # back (matches data/augment.perspective_matrix's closed form)
     if rng.random() < PROB:
-        pv = rng.uniform(-0.1, 0.1, 2)
-        m = np.eye(3, dtype=np.float32)
-        m[2, 0] = pv[0] / W
-        m[2, 1] = pv[1] / H
-        x = cv2.warpPerspective(x, m, (W, H), flags=cv2.INTER_LINEAR)
+        scale = rng.uniform(0.05, 0.1)
+        jit = np.mod(np.abs(rng.normal(0, scale, (4, 2))), 0.32)
+        base = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        sign = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float32)
+        pts = ((base + sign * jit) * [W, H]).astype(np.float32)
+        tl, tr, br, bl = pts
+        mw = int(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl)))
+        mh = int(max(np.linalg.norm(tr - br), np.linalg.norm(tl - bl)))
+        dst = np.array([[0, 0], [mw - 1, 0], [mw - 1, mh - 1],
+                        [0, mh - 1]], np.float32)
+        m = cv2.getPerspectiveTransform(pts, dst)
+        x = cv2.warpPerspective(x, m, (mw, mh), flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_CONSTANT,
+                                borderValue=0)
+        x = cv2.resize(x, (W, H), interpolation=cv2.INTER_LINEAR)
     # ShiftScaleRotate(scale_limit 0.5, shift/rotate 0)
     if rng.random() < PROB:
         s = 1.0 + rng.uniform(-0.5, 0.5)
@@ -158,12 +208,17 @@ def test_device_aug_trains_like_host_albumentations_replica():
     from garbage_classification_rca_tpu.data.augment import augment_batch
 
     data_rng = np.random.default_rng(0)
-    train_x, train_y = _make_dataset(data_rng, 16)   # 64 train
-    val_x, val_y = _make_dataset(data_rng, 8)        # 32 val (clean)
+    # train: every shape at its canonical orientation ONLY; val: rotated
+    # uniformly — generalization must come from the augmentations
+    train_x, train_y = _make_dataset(data_rng, 24, rotated=False)  # 96
+    val_x, val_y = _make_dataset(data_rng, 16, rotated=True)       # 64
 
-    accs_host, accs_dev = [], []
-    for seed in (1, 2, 3):
+    accs_none, accs_host, accs_dev = [], [], []
+    for seed in (1, 2, 3, 4, 5):
         host_rng = np.random.default_rng(1000 + seed)
+
+        def no_aug(step_i, batch):
+            return batch
 
         def host_aug(step_i, batch):
             return np.stack([_host_augment_one(host_rng, im)
@@ -174,15 +229,24 @@ def test_device_aug_trains_like_host_albumentations_replica():
                                      step_i)
             return np.asarray(augment_batch(key, jnp.asarray(batch), PROB))
 
+        accs_none.append(_train_once(seed, train_x, train_y, val_x, val_y,
+                                     no_aug))
         accs_host.append(_train_once(seed, train_x, train_y, val_x, val_y,
                                      host_aug))
         accs_dev.append(_train_once(seed, train_x, train_y, val_x, val_y,
                                     dev_aug))
 
-    mh, md = float(np.mean(accs_host)), float(np.mean(accs_dev))
-    print(f"host-albumentations-replica val accs: {accs_host} (mean {mh:.3f})")
-    print(f"device-augment val accs:              {accs_dev} (mean {md:.3f})")
-    # both must LEARN under augmentation, and agree within noise
-    assert mh > 0.75, accs_host
-    assert md > 0.75, accs_dev
-    assert abs(mh - md) < 0.15, (accs_host, accs_dev)
+    m0, s0 = float(np.mean(accs_none)), float(np.std(accs_none))
+    mh, sh = float(np.mean(accs_host)), float(np.std(accs_host))
+    md, sd = float(np.mean(accs_dev)), float(np.std(accs_dev))
+    print(f"no-aug rotated-val accs:    {accs_none} ({m0:.3f}+-{s0:.3f})")
+    print(f"host-replica val accs:      {accs_host} ({mh:.3f}+-{sh:.3f})")
+    print(f"device-augment val accs:    {accs_dev} ({md:.3f}+-{sd:.3f})")
+    # the task binds on augmentation: both aug arms must beat no-aug by a
+    # wide margin ...
+    assert mh > m0 + 0.15, (accs_none, accs_host)
+    assert md > m0 + 0.15, (accs_none, accs_dev)
+    assert mh > 0.7, accs_host
+    assert md > 0.7, accs_dev
+    # ... and agree within noise of each other
+    assert abs(mh - md) < max(0.10, 2.0 * (sh + sd)), (accs_host, accs_dev)

@@ -619,7 +619,8 @@ def bench_train_mm_rca(batch_size: int = 16, acc: int = 2, steps: int = 4):
     return batch_size * acc * steps / wall
 
 
-def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
+def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2,
+                      hf_internal_dropout: bool = False):
     """BLIP-2 LoRA train step (third-pillar train path): grad-accumulated
     AdamW over the LoRA q/k adapters at the reference microbatch envelope
     (blip_2_training.py:226-229 — bs16, accumulation 8; acc=2 here keeps
@@ -639,7 +640,9 @@ def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
                                   dtype=jnp.bfloat16))
     lora = _put_repl(blip2.init_lora(jax.random.PRNGKey(1), cfg,
                                      dtype=jnp.float32))
-    opt, step = make_lora_train_step(cfg, params, acc_steps=acc)
+    opt, step = make_lora_train_step(
+        cfg, params, acc_steps=acc,
+        hf_internal_dropout=hf_internal_dropout)
     opt_state = _put_repl(opt.init(jax.device_get(lora)))
 
     rng = np.random.default_rng(0)
@@ -663,13 +666,16 @@ def bench_train_blip2(micro_bs: int = 16, acc: int = 2, steps: int = 2):
             lora, opt_state = carry
             b = dict(batch)
             b["image"] = batch["image"] + (i % 2).astype(jnp.uint8)
-            lora, opt_state, loss = step.raw(params, lora, opt_state, b)
+            if hf_internal_dropout:
+                lora, opt_state, loss = step.raw(
+                    params, lora, opt_state, b, jax.random.fold_in(key, i))
+            else:
+                lora, opt_state, loss = step.raw(params, lora, opt_state, b)
             return (lora, opt_state), loss
         (lora, _), losses = jax.lax.scan(
             body, (lora, opt_state), jnp.arange(steps))
         return losses[-1]
 
-    del key
     float(run(params, lora, opt_state, batch))
     t0 = time.perf_counter()
     float(run(params, lora, opt_state, batch))
@@ -957,6 +963,14 @@ def main():
             tb = bench_train_blip2()
             print(f"# BLIP-2 LoRA TRAIN (AdamW, mb16 acc2): {tb:.1f} "
                   f"samples/s on {n_chips} chip(s)", flush=True)
+        if os.environ.get("GC_RCA_BENCH_BLIP2_TRAIN_DROP", "0") == "1":
+            # the reference-faithful stochastic recipe
+            # (--hf_internal_dropout, blip_2_training.py:210-229) — keeps
+            # the flash backward since OPT's attention_dropout is 0.0
+            tbd = bench_train_blip2(hf_internal_dropout=True)
+            print(f"# BLIP-2 LoRA TRAIN (AdamW, mb16 acc2, "
+                  f"--hf_internal_dropout): {tbd:.1f} samples/s on "
+                  f"{n_chips} chip(s)", flush=True)
     except Exception as e:
         print(f"# train bench failed: {type(e).__name__}: {e}", flush=True)
     try:

@@ -95,7 +95,7 @@ def _kernel_masked(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, scale,
 
 
 def _pick_tile(b: int, n: int, heads: int, d: int = 0,
-               itemsize: int = 2) -> int:
+               itemsize: int = 2, extra: int = 0) -> int:
     """Largest batch tile fitting VMEM (~16 MB/core): q/k/v/out blocks are
     double-buffered (8 copies of [t, n, d] at the operand itemsize) plus
     one head's fp32 scores/weights; budget 9 MB leaves headroom for
@@ -103,7 +103,7 @@ def _pick_tile(b: int, n: int, heads: int, d: int = 0,
     fp32 training (main_text compute_dtype=float32, seq up to 512) doubles
     the block bytes vs the bf16 default (ADVICE r4)."""
     d = d or heads * 64
-    per_sample = 8 * n * d * itemsize + 4 * n * n * 4
+    per_sample = 8 * n * d * itemsize + 4 * n * n * 4 + extra
     tile = max(1, int(9 * 1024 * 1024) // max(per_sample, 1))
     tile = min(tile, b, 64)
     while b % tile:
@@ -315,11 +315,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _pick_tile_bwd(b: int, n: int, d: int, itemsize: int = 2) -> int:
+def _pick_tile_bwd(b: int, n: int, d: int, itemsize: int = 2,
+                   extra: int = 0) -> int:
     """8 [t, n, d] blocks double-buffered + ~4 fp32 [n, n] per-head
     intermediates; same 9 MB budget as _pick_tile. `itemsize` = operand
-    dtype width (fp32 doubles the block bytes — ADVICE r4)."""
-    per_sample = 16 * n * d * itemsize + 4 * n * n * 4
+    dtype width (fp32 doubles the block bytes — ADVICE r4); `extra` =
+    additional per-sample bytes (the dropout variant's keep-mask block)."""
+    per_sample = 16 * n * d * itemsize + 4 * n * n * 4 + extra
     tile = max(1, int(9 * 1024 * 1024) // max(per_sample, 1))
     tile = min(tile, b, 64)
     while b % tile:
@@ -448,6 +450,293 @@ def mha_flash_train(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
     if scale == 0.0:
         scale = 1.0 / np.sqrt(d // heads)
     return _mha_flash_train(q, k, v, heads, float(scale), causal, mask)
+
+
+# ---------------------------------------------------------------------------
+# Flash TRAINING attention WITH attention-probs dropout (VERDICT r4 weak
+# #3): the --hf_internal_dropout text towers drop the softmax weights
+# (HF p=0.1), which previously forced the whole XLA attention graph and
+# forfeited the flash backward. Here the keep-mask is generated OUTSIDE
+# the kernel with the exact jax.random.bernoulli stream the XLA path's
+# nn.dropout uses (same fold_in site key -> bit-identical masks, so the
+# fused path is directly comparable to the unfused one), passed to the
+# forward kernel as a uint8 [B, H, N, N] block operand, and REGENERATED
+# from the saved key for the backward kernel — nothing but (q, k, v, out,
+# lse, key) is held between fwd and bwd. In-kernel counter-based RNG
+# (pltpu.prng_random_bits) was rejected: it is a zeros-stub under the
+# CPU interpreter (jax 0.9.0), which would leave the mask regeneration
+# contract untestable off-hardware.
+# ---------------------------------------------------------------------------
+
+# leave ~2 MB of the 16 MB VMEM to Mosaic scratch when deciding whether a
+# single-sample tile even fits (fp32 seq-512 footprints exceed it — those
+# fall back to the XLA graph instead of overflowing VMEM on real TPU)
+_VMEM_CAP = 14 * 1024 * 1024
+
+
+def _drop_mask_bytes(n: int, heads: int) -> int:
+    return heads * n * n            # uint8 keep mask per sample
+
+
+def flash_drop_fits(shape, heads: int, itemsize: int) -> bool:
+    """True when the dropout-variant kernels fit VMEM at tile=1. Callers
+    consult this BEFORE consuming the HFDropout site key so the XLA
+    fallback sees the identical site stream."""
+    _, n, d = shape
+    extra = _drop_mask_bytes(n, heads)
+    fwd = 8 * n * d * itemsize + 4 * n * n * 4 + extra
+    bwd = 16 * n * d * itemsize + 4 * n * n * 4 + extra
+    return max(fwd, bwd) <= _VMEM_CAP
+
+
+def _apply_keep(wl, dm_h, keep: float):
+    """where(keep_mask, w / keep, 0) — nn.dropout's exact expression on
+    the already-cast weights (bit-parity with the unfused graph)."""
+    return jnp.where(dm_h != 0, wl / keep, jnp.zeros_like(wl))
+
+
+def _fwd_lse_drop_kernel(q_ref, k_ref, v_ref, m_ref, dm_ref, o_ref,
+                         lse_ref, *, heads, scale, causal, keep):
+    t, n, d = q_ref.shape
+    dh = d // heads
+    mask_bias = None
+    if m_ref is not None:
+        mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)
+    cb = _causal_bias(n) if causal else None
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale    # [T, N, N]
+        if mask_bias is not None:
+            s = s + mask_bias
+        if cb is not None:
+            s = s + cb
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        ssum = jnp.sum(e, axis=-1, keepdims=True)
+        # lse is the PRE-dropout softmax denominator (the backward
+        # recomputes the pre-dropout weights from it)
+        lse_ref[:, h, :] = (m + jnp.log(ssum))[:, :, 0]
+        wl = (e / ssum).astype(vh.dtype)
+        wld = _apply_keep(wl, dm_ref[:, h], keep)
+        o = jax.lax.dot_general(
+            wld, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd_drop_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
+                     dm_ref, dq_ref, dk_ref, dv_ref, *, heads, scale,
+                     causal, keep):
+    """Flash backward through dropout(softmax(s)) @ V: regenerate the
+    pre-dropout weights from lse, re-apply the SAME keep mask.
+
+      wld = where(dm, w/keep, 0)         (as in fwd)
+      dV  = wld^T dO
+      dP  = dO V^T ;  dW = where(dm, dP/keep, 0)
+      delta_i = sum_j dP_ij wld_ij = rowsum(dO * O)
+      dS  = W * (dW - delta)             (softmax VJP)
+    """
+    t, n, d = q_ref.shape
+    dh = d // heads
+    mask_bias = None
+    if m_ref is not None:
+        mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)
+    cb = _causal_bias(n) if causal else None
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+        oh = o_ref[:, :, sl].astype(jnp.float32)
+        doh = do_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if mask_bias is not None:
+            s = s + mask_bias
+        if cb is not None:
+            s = s + cb
+        w = jnp.exp(s - lse_ref[:, h, :][:, :, None])      # fp32 [T, N, N]
+        wld = _apply_keep(w.astype(vh.dtype), dm_ref[:, h], keep)
+        dol = doh.astype(vh.dtype)
+        dv = jax.lax.dot_general(
+            wld, dol, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [T, N(k), Dh]
+        dp = jax.lax.dot_general(
+            dol, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [T, N, N]
+        dw = jnp.where(dm_ref[:, h] != 0, dp / keep,
+                       jnp.zeros_like(dp))
+        delta = jnp.sum(doh * oh, axis=-1)[:, :, None]     # [T, N, 1]
+        ds = (w * (dw - delta)).astype(qh.dtype)
+        dq = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "causal",
+                                             "keep", "interpret"))
+def _mha_fwd_lse_drop(q, k, v, dm, *, heads, scale, mask=None,
+                      causal=False, keep=1.0, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, d = q.shape
+    t = _pick_tile(b, n, heads, d, q.dtype.itemsize,
+                   extra=_drop_mask_bytes(n, heads))
+    pad = (-b) % t
+    if pad:
+        zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        q, k, v, dm = zp(q), zp(k), zp(v), zp(dm)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=1)
+    bt = q.shape[0]
+    blk = pl.BlockSpec((t, n, d), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((t, heads, n), lambda g: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dm_blk = pl.BlockSpec((t, heads, n, n), lambda g: (g, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    args = [q, k, v]
+    in_specs = [blk, blk, blk]
+    if mask is not None:
+        args.append(mask.reshape(bt, 1, n))
+        in_specs.append(pl.BlockSpec((t, 1, n), lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        kern = functools.partial(_fwd_lse_drop_kernel, heads=heads,
+                                 scale=float(scale), causal=causal,
+                                 keep=float(keep))
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, dmr, o_r, l_r, **kw: _fwd_lse_drop_kernel(
+                qr, kr, vr, None, dmr, o_r, l_r, **kw),
+            heads=heads, scale=float(scale), causal=causal,
+            keep=float(keep))
+    args.append(dm)
+    in_specs.append(dm_blk)
+    out, lse = pl.pallas_call(
+        kern, grid=(bt // t,),
+        in_specs=in_specs,
+        out_specs=(blk, lse_blk),
+        out_shape=(jax.ShapeDtypeStruct((bt, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((bt, heads, n), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    return (out[:b], lse[:b]) if pad else (out, lse)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "causal",
+                                             "keep", "interpret"))
+def _mha_flash_bwd_drop(q, k, v, o, do, lse, dm, *, heads, scale,
+                        mask=None, causal=False, keep=1.0, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, d = q.shape
+    t = _pick_tile_bwd(b, n, d, q.dtype.itemsize,
+                       extra=_drop_mask_bytes(n, heads))
+    pad = (-b) % t
+    if pad:
+        zp = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        q, k, v, o, do, dm = zp(q), zp(k), zp(v), zp(o), zp(do), zp(dm)
+        lse = jnp.pad(lse, ((0, pad), (0, 0), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=1)
+    bt = q.shape[0]
+    blk = pl.BlockSpec((t, n, d), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((t, heads, n), lambda g: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dm_blk = pl.BlockSpec((t, heads, n, n), lambda g: (g, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    args = [q, k, v, o, do, lse]
+    in_specs = [blk, blk, blk, blk, blk, lse_blk]
+    if mask is not None:
+        args.append(mask.reshape(bt, 1, n))
+        in_specs.append(pl.BlockSpec((t, 1, n), lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        kern = functools.partial(_bwd_drop_kernel, heads=heads,
+                                 scale=float(scale), causal=causal,
+                                 keep=float(keep))
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, or_, dor, lr, dmr, dqr, dkr, dvr, **kw:
+            _bwd_drop_kernel(qr, kr, vr, or_, dor, lr, None, dmr,
+                             dqr, dkr, dvr, **kw),
+            heads=heads, scale=float(scale), causal=causal,
+            keep=float(keep))
+    args.append(dm)
+    in_specs.append(dm_blk)
+    dq, dk, dv = pl.pallas_call(
+        kern, grid=(bt // t,),
+        in_specs=in_specs,
+        out_specs=(blk, blk, blk),
+        out_shape=(jax.ShapeDtypeStruct((bt, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((bt, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((bt, n, d), q.dtype)),
+        interpret=interpret,
+    )(*args)
+    return (dq[:b], dk[:b], dv[:b]) if pad else (dq, dk, dv)
+
+
+def _drop_keep_mask(key, p: float, b: int, heads: int, n: int):
+    """The exact mask stream of nn.dropout on the [B, H, N, N] weights:
+    bernoulli(key, 1-p) — same key => bit-identical to the XLA path."""
+    return jax.random.bernoulli(key, 1.0 - p,
+                                (b, heads, n, n)).astype(jnp.uint8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _mha_flash_train_drop(q, k, v, key, mask, heads, scale, causal, p):
+    b, n, _ = q.shape
+    dm = _drop_keep_mask(key, p, b, heads, n)
+    out, _ = _mha_fwd_lse_drop(q, k, v, dm, heads=heads, scale=scale,
+                               mask=mask, causal=causal, keep=1.0 - p)
+    return out
+
+
+def _mha_flash_drop_fwd(q, k, v, key, mask, heads, scale, causal, p):
+    b, n, _ = q.shape
+    dm = _drop_keep_mask(key, p, b, heads, n)
+    out, lse = _mha_fwd_lse_drop(q, k, v, dm, heads=heads, scale=scale,
+                                 mask=mask, causal=causal, keep=1.0 - p)
+    # residuals hold the KEY, not the [B, H, N, N] mask — the backward
+    # regenerates it (bernoulli is deterministic per key)
+    return out, (q, k, v, out, lse, mask, key)
+
+
+def _mha_flash_drop_bwd(heads, scale, causal, p, res, g):
+    q, k, v, out, lse, mask, key = res
+    b, n, _ = q.shape
+    dm = _drop_keep_mask(key, p, b, heads, n)
+    dq, dk, dv = _mha_flash_bwd_drop(
+        q, k, v, out, g.astype(q.dtype), lse, dm, heads=heads, scale=scale,
+        mask=mask, causal=causal, keep=1.0 - p)
+    return dq, dk, dv, None, None
+
+
+_mha_flash_train_drop.defvjp(_mha_flash_drop_fwd, _mha_flash_drop_bwd)
+
+
+def mha_flash_train_dropout(q, k, v, *, heads: int, key, p: float,
+                            scale: float = 0.0, mask=None,
+                            causal: bool = False):
+    """mha_flash_train with HF attention-probs dropout fused into both
+    passes (--hf_internal_dropout keeps the flash backward; VERDICT r4
+    weak #3). `key` must be the HFDropout SITE key (HFDropout.site_key),
+    so the keep mask is bit-identical to the XLA path's nn.dropout at the
+    same site. Callers must check flash_drop_fits() first (no internal
+    fallback — the site key is consumed by the caller)."""
+    b, n, d = q.shape
+    if scale == 0.0:
+        scale = 1.0 / np.sqrt(d // heads)
+    return _mha_flash_train_drop(q, k, v, key, mask, heads, float(scale),
+                                 causal, float(p))
 
 
 def flash_train_enabled() -> bool:

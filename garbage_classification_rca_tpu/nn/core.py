@@ -282,6 +282,20 @@ class HFDropout:
         self._n += 1
         return dropout(jax.random.fold_in(self.rng, self._n), x, p, True)
 
+    def site_key(self, p: float):
+        """Consume one dropout site and return its fold_in key (None when
+        inactive or p<=0 — matching __call__'s no-increment early-out).
+
+        For kernels that apply this site's mask internally: the flash
+        training attention (kernels/mha_fused.mha_flash_train_dropout)
+        draws bernoulli(key, 1-p) on the [B, H, N, N] weights — the exact
+        mask __call__ would have produced at this site, so the fused and
+        unfused graphs stay bit-comparable."""
+        if self.rng is None or p <= 0.0:
+            return None
+        self._n += 1
+        return jax.random.fold_in(self.rng, self._n)
+
 
 def stochastic_depth(key: Optional[PRNGKey], x: jnp.ndarray, rate: float,
                      train: bool) -> jnp.ndarray:

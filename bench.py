@@ -923,6 +923,9 @@ def main():
         # throughput-optimal larger batches for the VLM evals (VERDICT r4
         # next #8): the config rows above stay at the reference-comparable
         # bs16; 3.74B bf16 ~ 7.5 GB leaves HBM headroom on a 16 GB v5e.
+        # Measured 2026-08-20: bs64 114.6 vs bs16 112.6 samples/s (+1.8%)
+        # — bs16 already saturates the OPT-dominated program; the row
+        # stays for regression visibility on future hardware.
         if not smoke and not _over_budget("BLIP-2 bs64"):
             b64_sps = bench_blip2(64)
             print(f"# BLIP-2 (3.74B) 1-token eval: {b64_sps:.1f} samples/s "

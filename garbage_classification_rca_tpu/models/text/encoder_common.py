@@ -37,12 +37,15 @@ def multi_head_attention(q, k, v, bias, heads: int, mask=None,
     When the raw [B, L] key mask is also given, TPU EVAL runs the fused
     Pallas kernel (kernels/mha_fused.py — scores never hit HBM); `bias` is
     the fallback for the unfused graph and is DCE'd in the fused branch.
-    Training keeps the pure-XLA graph: the kernel's recompute-VJP backward
-    measured ~2x slower than XLA fwd+bwd (ViT train 890 -> 472 img/s).
+    TPU TRAIN runs the flash lse-save backward (mha_flash_train, round 4;
+    DESIGN.md table: DistilBERT bs256 +9.2%).
 
     `drop`/`attn_p`: optional nn.HFDropout on the softmax weights (HF
     attention-probs dropout, --hf_internal_dropout); identity when drop
-    is None/inactive — never reaches the fused-eval branch (train only).
+    is None/inactive. An ACTIVE site routes through the mask-fused flash
+    kernel (mha_flash_train_dropout, round 5 — same bernoulli stream as
+    the XLA graph, +15.0% over the XLA dropout backward) when it fits
+    VMEM, else the XLA graph below.
     """
     if mask is not None and not train and \
             mha_fused.fused_attention_enabled() and q.shape == k.shape:

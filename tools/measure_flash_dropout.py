@@ -14,7 +14,12 @@ Usage (serialize with other TPU jobs):
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def bench_train_distilbert(batch_size: int, seq_len: int, steps: int,

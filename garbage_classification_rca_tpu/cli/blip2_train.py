@@ -375,12 +375,12 @@ def main(argv=None):
             import math
             n_windows = math.ceil(math.ceil(len(train_m) / micro)
                                   / BLIP2_ACC)
-            if start_step >= n_windows:
+            if start_step > n_windows:
                 # stale RESUME / changed batch geometry: islice would
                 # exhaust silently and the restored partial loss list
                 # would be logged as the full epoch (ADVICE r4)
                 raise SystemExit(
-                    f"RESUME step {start_step} >= {n_windows} optimizer "
+                    f"RESUME step {start_step} > {n_windows} optimizer "
                     f"windows in epoch {epoch} — stale RESUME dir or "
                     "changed --batch_size/dataset? Delete the RESUME "
                     "directory to start the epoch over.")

@@ -183,11 +183,11 @@ def main(argv=None):
             import math
             n_windows = math.ceil(math.ceil(len(train_m) / args.batch_size)
                                   / QF_ACC)
-            if start_step >= n_windows:
+            if start_step > n_windows:
                 # stale RESUME / changed batch geometry would silently
                 # exhaust the islice (ADVICE r4)
                 raise SystemExit(
-                    f"RESUME step {start_step} >= {n_windows} optimizer "
+                    f"RESUME step {start_step} > {n_windows} optimizer "
                     f"windows in epoch {epoch} — stale RESUME dir or "
                     "changed --batch_size/dataset? Delete the RESUME "
                     "directory to start the epoch over.")

@@ -128,6 +128,12 @@ def mha(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
         raise ValueError(f"D={d} not divisible by heads={heads}")
     if scale == 0.0:
         scale = 1.0 / np.sqrt(d // heads)
+    if tile <= 0 and \
+            8 * n * d * q.dtype.itemsize + 4 * n * n * 4 > _VMEM_CAP:
+        # a single sample's blocks exceed VMEM (fp32 long sequences) —
+        # the numerically-identical XLA graph instead of a Mosaic OOM
+        return mha_reference(q, k, v, heads=heads, scale=scale, mask=mask,
+                             causal=causal)
     t = tile if tile > 0 else _pick_tile(b, n, heads, d, q.dtype.itemsize)
     pad = (-b) % t
     if pad:
@@ -232,87 +238,21 @@ def mha_trainable(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
 # ---------------------------------------------------------------------------
 
 
-def _head_attend_lse(qh, kh, vh, scale, mask_bias, causal_bias):
-    s = jax.lax.dot_general(
-        qh, kh, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale        # [T, N, N]
-    if mask_bias is not None:
-        s = s + mask_bias
-    if causal_bias is not None:
-        s = s + causal_bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    ssum = jnp.sum(e, axis=-1, keepdims=True)
-    w = (e / ssum).astype(vh.dtype)
-    o = jax.lax.dot_general(
-        w, vh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    return o, (m + jnp.log(ssum))[:, :, 0]                 # lse [T, N]
-
-
 def _fwd_lse_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref, *, heads,
                     scale, causal):
-    t, n, d = q_ref.shape
-    dh = d // heads
-    mask_bias = None
-    if m_ref is not None:
-        mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)
-    cb = _causal_bias(n) if causal else None
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        oh, lse = _head_attend_lse(q_ref[:, :, sl], k_ref[:, :, sl],
-                                   v_ref[:, :, sl], scale, mask_bias, cb)
-        o_ref[:, :, sl] = oh.astype(o_ref.dtype)
-        lse_ref[:, h, :] = lse
+    # the plain variant IS the dropout variant with no keep mask — one
+    # shared body keeps the two train paths from diverging (review r5)
+    _fwd_lse_drop_kernel(q_ref, k_ref, v_ref, m_ref, None, o_ref, lse_ref,
+                         heads=heads, scale=scale, causal=causal, keep=1.0)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
                 dq_ref, dk_ref, dv_ref, *, heads, scale, causal):
     """Tile-local flash backward: recompute scores from q/k + lse, never
-    storing the weights. All matmuls single-batch-dim dot_generals (the
-    Mosaic constraint), fp32 accumulation, bf16 MXU operands."""
-    t, n, d = q_ref.shape
-    dh = d // heads
-    mask_bias = None
-    if m_ref is not None:
-        mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)
-    cb = _causal_bias(n) if causal else None
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh = q_ref[:, :, sl]
-        kh = k_ref[:, :, sl]
-        vh = v_ref[:, :, sl]
-        oh = o_ref[:, :, sl].astype(jnp.float32)
-        doh = do_ref[:, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale    # [T, N, N]
-        if mask_bias is not None:
-            s = s + mask_bias
-        if cb is not None:
-            s = s + cb
-        w = jnp.exp(s - lse_ref[:, h, :][:, :, None])      # fp32 [T, N, N]
-        wl = w.astype(vh.dtype)
-        dol = doh.astype(vh.dtype)
-        # dV_j = sum_i W_ij dO_i  -> contract over the query axis
-        dv = jax.lax.dot_general(
-            wl, dol, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [T, N(k), Dh]
-        # dP_ij = dO_i . V_j
-        dp = jax.lax.dot_general(
-            doh.astype(vh.dtype), vh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [T, N, N]
-        delta = jnp.sum(doh * oh, axis=-1)[:, :, None]     # [T, N, 1]
-        ds = (w * (dp - delta)).astype(qh.dtype)           # [T, N, N]
-        dq = jax.lax.dot_general(
-            ds, kh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            ds, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+    storing the weights. Shares _bwd_drop_kernel's body (no keep mask)."""
+    _bwd_drop_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
+                     None, dq_ref, dk_ref, dv_ref, heads=heads,
+                     scale=scale, causal=causal, keep=1.0)
 
 
 def _pick_tile_bwd(b: int, n: int, d: int, itemsize: int = 2,
@@ -445,10 +385,18 @@ def mha_flash_train(q, k, v, *, heads: int, scale: float = 0.0, mask=None,
     """Differentiable fused attention with the flash BACKWARD kernel:
     forward saves only (q, k, v, out, lse); the backward is one Pallas
     program per batch tile. Opt-in for training via GC_RCA_FLASH_BWD=1
-    (measured against XLA's own train backward in bench_train_vit_b16)."""
+    (measured against XLA's own train backward in bench_train_vit_b16).
+
+    Configs whose single-sample blocks exceed VMEM (fp32/long-sequence —
+    flash_train_fits) run the numerically-identical XLA graph instead:
+    a tile below one sample does not exist, and max(1, ...) would
+    otherwise hand Mosaic an unallocatable kernel."""
     b, n, d = q.shape
     if scale == 0.0:
         scale = 1.0 / np.sqrt(d // heads)
+    if not flash_train_fits(q.shape, heads, q.dtype.itemsize):
+        return mha_reference(q, k, v, heads=heads, scale=scale, mask=mask,
+                             causal=causal)
     return _mha_flash_train(q, k, v, heads, float(scale), causal, mask)
 
 
@@ -475,15 +423,36 @@ _VMEM_CAP = 14 * 1024 * 1024
 
 
 def _drop_mask_bytes(n: int, heads: int) -> int:
-    return heads * n * n            # uint8 keep mask per sample
+    # the keep-mask block is a pipelined operand: double-buffered like
+    # q/k/v (2 copies of the uint8 [t, heads, n, n] block)
+    return 2 * heads * n * n
+
+
+def _lse_bytes(n: int, heads: int) -> int:
+    # fp32 [t, heads, n] lse blocks, double-buffered
+    return 2 * heads * n * 4
+
+
+def flash_train_fits(shape, heads: int, itemsize: int) -> bool:
+    """True when the PLAIN flash-train fwd+bwd kernels fit VMEM at
+    tile=1. _pick_tile*/max(1, ...) cannot shrink below one sample, so
+    long-sequence / fp32 configs (e.g. seq-512 fp32 text training:
+    16*512*768*4 ~ 25 MB/sample) must fall back to the XLA graph instead
+    of overflowing Mosaic's VMEM allocation on real TPU."""
+    _, n, d = shape
+    lse = _lse_bytes(n, heads)
+    fwd = 8 * n * d * itemsize + 4 * n * n * 4 + lse
+    bwd = 16 * n * d * itemsize + 4 * n * n * 4 + lse
+    return max(fwd, bwd) <= _VMEM_CAP
 
 
 def flash_drop_fits(shape, heads: int, itemsize: int) -> bool:
-    """True when the dropout-variant kernels fit VMEM at tile=1. Callers
-    consult this BEFORE consuming the HFDropout site key so the XLA
-    fallback sees the identical site stream."""
+    """True when the dropout-variant kernels fit VMEM at tile=1 (the
+    plain-kernel footprint plus the double-buffered keep-mask block).
+    Callers consult this BEFORE consuming the HFDropout site key so the
+    XLA fallback sees the identical site stream."""
     _, n, d = shape
-    extra = _drop_mask_bytes(n, heads)
+    extra = _drop_mask_bytes(n, heads) + _lse_bytes(n, heads)
     fwd = 8 * n * d * itemsize + 4 * n * n * 4 + extra
     bwd = 16 * n * d * itemsize + 4 * n * n * 4 + extra
     return max(fwd, bwd) <= _VMEM_CAP
@@ -491,7 +460,10 @@ def flash_drop_fits(shape, heads: int, itemsize: int) -> bool:
 
 def _apply_keep(wl, dm_h, keep: float):
     """where(keep_mask, w / keep, 0) — nn.dropout's exact expression on
-    the already-cast weights (bit-parity with the unfused graph)."""
+    the already-cast weights (bit-parity with the unfused graph);
+    identity when there is no keep mask (the plain flash variant)."""
+    if dm_h is None:
+        return wl
     return jnp.where(dm_h != 0, wl / keep, jnp.zeros_like(wl))
 
 
@@ -520,7 +492,8 @@ def _fwd_lse_drop_kernel(q_ref, k_ref, v_ref, m_ref, dm_ref, o_ref,
         # recomputes the pre-dropout weights from it)
         lse_ref[:, h, :] = (m + jnp.log(ssum))[:, :, 0]
         wl = (e / ssum).astype(vh.dtype)
-        wld = _apply_keep(wl, dm_ref[:, h], keep)
+        wld = _apply_keep(wl, dm_ref[:, h] if dm_ref is not None else None,
+                          keep)
         o = jax.lax.dot_general(
             wld, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -558,7 +531,8 @@ def _bwd_drop_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
         if cb is not None:
             s = s + cb
         w = jnp.exp(s - lse_ref[:, h, :][:, :, None])      # fp32 [T, N, N]
-        wld = _apply_keep(w.astype(vh.dtype), dm_ref[:, h], keep)
+        dm_h = dm_ref[:, h] if dm_ref is not None else None
+        wld = _apply_keep(w.astype(vh.dtype), dm_h, keep)
         dol = doh.astype(vh.dtype)
         dv = jax.lax.dot_general(
             wld, dol, (((1,), (1,)), ((0,), (0,))),
@@ -566,8 +540,8 @@ def _bwd_drop_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, m_ref,
         dp = jax.lax.dot_general(
             dol, vh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # [T, N, N]
-        dw = jnp.where(dm_ref[:, h] != 0, dp / keep,
-                       jnp.zeros_like(dp))
+        dw = dp if dm_h is None else jnp.where(dm_h != 0, dp / keep,
+                                               jnp.zeros_like(dp))
         delta = jnp.sum(doh * oh, axis=-1)[:, :, None]     # [T, N, 1]
         ds = (w * (dw - delta)).astype(qh.dtype)
         dq = jax.lax.dot_general(

@@ -483,10 +483,13 @@ def run_phase(*, phase_name: str, epochs: int, params, state, opt, opt_state,
             # dataset): skipping >= the epoch's window count would make
             # islice exhaust silently and log the restored partial loss
             # list as the full epoch (ADVICE r4)
+            # skip == n_windows is LEGITIMATE: the in-loop save fires at
+            # the final window; resuming it skips the whole stream and
+            # logs the complete restored loss list (bit-identity test)
             n_windows = math.ceil(n_batches / max(acc_steps, 1))
-            if skip >= n_windows:
+            if skip > n_windows:
                 raise SystemExit(
-                    f"RESUME step {skip} >= {n_windows} optimizer windows "
+                    f"RESUME step {skip} > {n_windows} optimizer windows "
                     f"in epoch {epoch} ({n_batches} batches / "
                     f"acc_steps={max(acc_steps, 1)}) — stale RESUME dir or "
                     "changed --batch_size/--gradient_acc_steps/dataset? "

@@ -365,12 +365,14 @@ def test_stale_mid_epoch_resume_rejected(tiny_dataset, tmp_path):
               model_name="stale_resume", fine_tuning=True)
     b, apply, params, opt, step, eval_fn = _toy_phase_setup(tiny_dataset,
                                                             tmp_path)
-    # 12 samples / bs2 / acc2 -> 3 windows per epoch; a meta claiming
-    # step=3 mid-epoch means every window is "already done" — stale
+    # 12 samples / bs2 / acc2 -> 3 windows per epoch; step == 3 is the
+    # trainer's own final-window save (legitimate — resumes by skipping
+    # the whole stream); step = 4 can only come from a stale dir or
+    # changed batch geometry
     payload = {"params": params, "opt_state": opt.init(params),
                "rng": np.asarray(jax.random.PRNGKey(0)),
-               "meta": {"phase_name": "fine_tune", "epoch": 0, "step": 3,
-                        "losses": [0.1, 0.2, 0.3],
+               "meta": {"phase_name": "fine_tune", "epoch": 0, "step": 4,
+                        "losses": [0.1, 0.2, 0.3, 0.4],
                         "grad_norms": [], "param_norm": None,
                         "best_val_acc": 0.0, "best_epoch": -1,
                         "best_path": None, "scheduler": None}}

@@ -523,3 +523,37 @@ def test_opt_hf_dropout_keeps_flash_path(monkeypatch):
                      jax.tree_util.tree_leaves(want_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vmem_gate_fp32_long_sequence():
+    """Review r5: configs whose single-sample blocks exceed VMEM (fp32 /
+    long sequences) must take the XLA fallback instead of handing Mosaic
+    an unallocatable tile=1 kernel — and produce identical numerics."""
+    from garbage_classification_rca_tpu.kernels.mha_fused import (
+        flash_drop_fits, flash_train_fits, mha_flash_train, mha_reference)
+
+    # real geometries: production configs keep the kernel...
+    assert flash_train_fits((8, 197, 768), 12, 2)      # ViT-B16 bf16
+    assert flash_train_fits((8, 257, 1408), 16, 2)     # EVA-g bf16
+    assert flash_train_fits((8, 64, 768), 12, 4)       # text seq-64 fp32
+    # ...fp32/long-sequence text training falls back
+    assert not flash_train_fits((8, 512, 768), 12, 4)
+    assert not flash_train_fits((8, 512, 768), 12, 2)  # bf16 bwd ~16.8 MB
+    assert not flash_drop_fits((8, 384, 768), 12, 2)   # + mask buffers
+
+    b, n, heads, dh = 2, 512, 12, 64
+    d = heads * dh
+    q = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(b, n, d)).astype(np.float32))
+    m = np.ones((b, n), np.int32)
+    m[0, -7:] = 0
+    mask = jnp.asarray(m)
+    got = mha_flash_train(q, k, v, heads=heads, mask=mask)   # fallback
+    want = mha_reference(q, k, v, heads=heads, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # and it is differentiable (the XLA VJP)
+    g = jax.grad(lambda q: jnp.sum(mha_flash_train(
+        q, k, v, heads=heads, mask=mask) ** 2))(q)
+    assert bool(jnp.isfinite(g).all())

@@ -338,7 +338,12 @@ def bench_shufflenet(batch_size: int = 512):
 def bench_distilbert_text(batch_size: int = 512, seq_len: int = 64):
     """BASELINE config #2: distilbert text-only eval. seq_len=64 is the
     production bucket (identical predictions for the few-word garbage
-    texts); pass 512 for reference-exact padding."""
+    texts); pass 512 for reference-exact padding.
+
+    v5e history: attention-only fusion 18,967 samples/s (bs512, seq64);
+    fused post-norm blocks (round 5, kernels/transformer_block.py)
+    23,682 = +24.9%. seq-512 is geometry-gated to the attention-only
+    path (~2,320)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -287,3 +287,158 @@ def attn_block_trainable(x, ls, lb, wqkv, bqkv, wout, bout, *, heads,
 def mlp_block_trainable(x, ls, lb, w1, b1, w2, b2, *, eps=1e-6,
                         act="gelu"):
     return _mlp_trainable(x, ls, lb, w1, b1, w2, b2, eps, act)
+
+
+# ---------------------------------------------------------------------------
+# POST-norm fused blocks (round 5) — the BERT-family text-tower layer
+# (encoder_common.postnorm_layer: bert/distilbert/roberta, 768/3072/12,
+# LN eps 1e-12, exact gelu):
+#
+#   attn: y = LN_att(x + out_proj(MHA(x, key_mask)))
+#   mlp:  y = LN_ffn(x + W2 act(W1 x))
+#
+# Same HBM argument as the pre-norm kernels: with attention-only fusion,
+# XLA still materializes the q/k/v projections, the attention output, and
+# the [B, N, 4D] MLP hidden per layer. At the production seq-64 bucket the
+# text eval measured ~55 TF/s effective — half the chip's matmul-chain
+# ceiling — precisely because those short-sequence intermediates are
+# bandwidth, not FLOPs. The key-validity mask rides as a [t, 1, n] block
+# (same additive -1e30 bias as mha_fused).
+# ---------------------------------------------------------------------------
+
+_NEG = -1e30
+
+
+def _postnorm_attn_kernel(x_ref, m_ref, wqkv_ref, bqkv_ref, wout_ref,
+                          bout_ref, ls_ref, lb_ref, o_ref, *, heads, eps):
+    t, n, d = x_ref.shape
+    dh = d // heads
+    scale = 1.0 / np.sqrt(dh)
+    x = x_ref[:]
+    qkv = (jnp.dot(x.reshape(t * n, d), wqkv_ref[:],
+                   preferred_element_type=jnp.float32)
+           + bqkv_ref[:]).astype(x.dtype).reshape(t, n, 3 * d)
+    mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)  # [t, 1, n]
+    att = []
+    for hd in range(heads):
+        q = qkv[:, :, hd * dh:(hd + 1) * dh]
+        k = qkv[:, :, d + hd * dh:d + (hd + 1) * dh]
+        v = qkv[:, :, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + mask_bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        att.append(jax.lax.dot_general(
+            w, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    a = jnp.concatenate(att, axis=-1).reshape(t * n, d)
+    out = (jnp.dot(a, wout_ref[:], preferred_element_type=jnp.float32)
+           + bout_ref[:]).astype(x.dtype)
+    y = _ln(x + out.reshape(t, n, d), ls_ref[:], lb_ref[:], eps)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _postnorm_mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+                         lb_ref, o_ref, *, eps, act):
+    t, n, d = x_ref.shape
+    x = x_ref[:]
+    h1 = (jnp.dot(x.reshape(t * n, d), w1_ref[:],
+                  preferred_element_type=jnp.float32) + b1_ref[:])
+    if act == "gelu":
+        h1 = _gelu_exact(h1)
+    elif act == "relu":
+        h1 = jnp.maximum(h1, 0.0)
+    else:
+        raise ValueError(act)
+    h1 = h1.astype(x.dtype)
+    out = (jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+           + b2_ref[:]).astype(x.dtype)
+    y = _ln(x + out.reshape(t, n, d), ls_ref[:], lb_ref[:], eps)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def postnorm_blocks_fit(d: int, ffn: int, n: int,
+                        itemsize: int = 2) -> bool:
+    """VMEM-resident weights AND the tile=1 activations must fit both
+    sub-kernels (seq-512 MLP hidden alone is ~6 MB — rejected; the
+    seq-64 production bucket fits with room)."""
+    cap = 14 * 1024 * 1024
+    attn = (4 * d * d * itemsize                      # wqkv + wout
+            + n * n * 4 + 3 * n * d * itemsize        # scores + qkv
+            + 3 * n * d * itemsize)                   # x/out/y blocks
+    mlp = (2 * d * ffn * itemsize                     # w1 + w2
+           + n * ffn * (4 + itemsize)                 # hidden fp32+cast
+           + 3 * n * d * itemsize)
+    return max(attn, mlp) <= cap
+
+
+def _postnorm_tile(b, n, d, ffn, itemsize):
+    per_sample = max(n * n * 4 + 6 * n * d * itemsize,
+                     n * ffn * (4 + itemsize))
+    tile = max(1, (4 * 1024 * 1024) // max(per_sample, 1))
+    tile = min(tile, b, 8)
+    while b % tile:
+        tile -= 1
+    return max(tile, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "tile",
+                                             "interpret"))
+def postnorm_attn_block(x, mask, wqkv, bqkv, wout, bout, ln_scale, ln_bias,
+                        *, heads: int, eps: float = 1e-12, tile: int = 0,
+                        interpret=None):
+    """x: [B, N, D], mask: [B, N] key validity ->
+    LN(x + out_proj(MHA(x)))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, d = x.shape
+    if tile <= 0:
+        tile = _postnorm_tile(b, n, d, 4 * d, x.dtype.itemsize)
+    x_p, pad = _pad_batch(x, tile)
+    if pad:
+        mask = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=1)
+    bt = x_p.shape[0]
+    blk = pl.BlockSpec((tile, n, d), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    m_blk = pl.BlockSpec((tile, 1, n), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)]
+    out = pl.pallas_call(
+        functools.partial(_postnorm_attn_kernel, heads=heads, eps=eps),
+        grid=(bt // tile,),
+        in_specs=[blk, m_blk] + w_specs,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        interpret=interpret,
+    )(x_p, mask.reshape(bt, 1, n), wqkv, bqkv, wout, bout, ln_scale,
+      ln_bias)
+    return out[:b] if pad else out
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "act", "tile",
+                                             "interpret"))
+def postnorm_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias, *,
+                       eps: float = 1e-12, act: str = "gelu",
+                       tile: int = 0, interpret=None):
+    """x: [B, N, D] -> LN(x + W2 act(W1 x))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, d = x.shape
+    if tile <= 0:
+        tile = _postnorm_tile(b, n, d, w1.shape[1], x.dtype.itemsize)
+    x_p, pad = _pad_batch(x, tile)
+    bt = x_p.shape[0]
+    blk = pl.BlockSpec((tile, n, d), lambda g: (g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)]
+    out = pl.pallas_call(
+        functools.partial(_postnorm_mlp_kernel, eps=eps, act=act),
+        grid=(bt // tile,),
+        in_specs=[blk] + w_specs,
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        interpret=interpret,
+    )(x_p, w1, b1, w2, b2, ln_scale, ln_bias)
+    return out[:b] if pad else out

@@ -112,16 +112,24 @@ def _text_encode(cfg: FusionConfig, params, input_ids, attention_mask,
                                                 attention_mask, train=train,
                                                 drop=drop)
             return h[:, 0], hiddens
+        # fused_blocks=False: inside the fusion graph the text tower's
+        # matmuls are co-scheduled with the (data-independent) EffNetV2-M
+        # conv stream by XLA; opaque pallas text blocks serialize against
+        # it and measured 4.5% SLOWER end-to-end at bs128 despite being
+        # 28% faster standalone (v5e 2026-08-20, DESIGN.md)
         return distil_mod.encode(params, input_ids, attention_mask,
-                                 train=train, drop=drop)[:, 0], None
+                                 train=train, drop=drop,
+                                 fused_blocks=False)[:, 0], None
     if cfg.text_model_name == "bert":
         if need_hiddens:
             h, hiddens = bert_mod.encode(params, input_ids, attention_mask,
                                          output_hidden_states=True,
-                                         train=train, drop=drop)
+                                         train=train, drop=drop,
+                                         fused_blocks=False)
             return h[:, 0], hiddens
         return bert_mod.encode(params, input_ids, attention_mask,
-                               train=train, drop=drop)[:, 0], None
+                               train=train, drop=drop,
+                               fused_blocks=False)[:, 0], None
     if cfg.text_model_name == "bart":
         return bart_mod.encode_decoder(params, input_ids, attention_mask,
                                        drop=drop)[:, 0], None
@@ -146,7 +154,7 @@ def _distil_encode_hiddens(params, input_ids, attention_mask,
         h = postnorm_layer(lp, h, bias, distil_mod.HEADS, distil_mod.LN_EPS,
                            mask=attention_mask, train=train, drop=drop,
                            attn_p=distil_mod.ATTN_DROPOUT,
-                           hidden_p=distil_mod.DROPOUT)
+                           hidden_p=distil_mod.DROPOUT, fused_blocks=False)
         hiddens.append(h)
     return h, hiddens
 

@@ -54,7 +54,7 @@ def init_encoder(key, dtype=jnp.float32):
 
 
 def encode(params, input_ids, attention_mask, *, output_hidden_states=False,
-           train=False, drop=None):
+           train=False, drop=None, fused_blocks=True):
     """`drop`: optional nn.HFDropout — HF BERT internal dropout sites:
     embeddings output, attention probs, attention output (BertSelfOutput),
     FFN output (BertOutput)."""
@@ -71,7 +71,8 @@ def encode(params, input_ids, attention_mask, *, output_hidden_states=False,
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
                            train=train, drop=drop, attn_p=ATTN_DROPOUT,
                            attn_out_p=HIDDEN_DROPOUT,
-                           hidden_p=HIDDEN_DROPOUT)
+                           hidden_p=HIDDEN_DROPOUT,
+                           fused_blocks=fused_blocks)
         hiddens.append(h)
     if output_hidden_states:
         return h, hiddens

@@ -50,7 +50,8 @@ def init_encoder(key, dtype=jnp.float32):
     }
 
 
-def encode(params, input_ids, attention_mask, train=False, drop=None):
+def encode(params, input_ids, attention_mask, train=False, drop=None,
+           fused_blocks=True):
     """-> last_hidden_state [B, L, 768] (HF output[0] parity).
 
     `drop`: optional nn.HFDropout reproducing HF DistilBERT's internal
@@ -67,7 +68,7 @@ def encode(params, input_ids, attention_mask, train=False, drop=None):
     for lp in params["layers"]:
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
                            train=train, drop=drop, attn_p=ATTN_DROPOUT,
-                           hidden_p=DROPOUT)
+                           hidden_p=DROPOUT, fused_blocks=fused_blocks)
     return h
 
 

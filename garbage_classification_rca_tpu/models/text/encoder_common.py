@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...kernels import mha_fused
+from ...kernels import mha_fused, transformer_block
 from ...nn import core as nn
 
 
@@ -92,7 +92,8 @@ def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
                    ln_eps: float, act=nn.gelu, mask=None,
                    train: bool = False, drop=None, attn_p: float = 0.0,
                    attn_out_p: float = 0.0,
-                   hidden_p: float = 0.0) -> jnp.ndarray:
+                   hidden_p: float = 0.0,
+                   fused_blocks: bool = True) -> jnp.ndarray:
     """BERT/DistilBERT encoder layer: MHA -> add&norm -> FFN -> add&norm.
 
     HF-internal dropout sites (active only when `drop` is an active
@@ -101,6 +102,33 @@ def postnorm_layer(p: Dict, x: jnp.ndarray, bias, heads: int,
     NO such site, pass 0), FFN output pre-residual (hidden_p — both
     families). Order matches the HF forward call order exactly
     (tests/test_hf_dropout.py)."""
+    import os
+
+    if fused_blocks and mask is not None and not train \
+            and (drop is None or not getattr(drop, "active", True)) \
+            and act is nn.gelu \
+            and os.environ.get("GC_RCA_FUSED_TEXT_BLOCK", "1") != "0" \
+            and mha_fused.fused_attention_enabled() \
+            and transformer_block.postnorm_blocks_fit(
+                x.shape[-1], p["fc1"]["w"].shape[1], x.shape[1],
+                x.dtype.itemsize):
+        # round 5: fully fused post-norm EVAL layer — with attention-only
+        # fusion, XLA still materializes q/k/v, the attention output and
+        # the [B, N, 4D] MLP hidden per layer; at the seq-64 production
+        # bucket that HBM traffic halves the achievable TF/s (DESIGN.md).
+        # The packed-qkv concat is a 3.5 MB prep next to the >100 MB the
+        # two kernels keep on-chip per layer.
+        wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]],
+                               axis=1)
+        bqkv = jnp.concatenate([p["q"]["b"], p["k"]["b"], p["v"]["b"]])
+        h = transformer_block.postnorm_attn_block(
+            x, mask, wqkv, bqkv, p["out"]["w"], p["out"]["b"],
+            p["ln_att"]["scale"], p["ln_att"]["bias"], heads=heads,
+            eps=ln_eps)
+        return transformer_block.postnorm_mlp_block(
+            h, p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+            p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], eps=ln_eps,
+            act="gelu")
     q = nn.linear(p["q"], x)
     k = nn.linear(p["k"], x)
     v = nn.linear(p["v"], x)

@@ -32,7 +32,8 @@ HIDDEN_DROPOUT = 0.1
 ATTN_DROPOUT = 0.1
 
 
-def encode(params, input_ids, attention_mask, train=False, drop=None):
+def encode(params, input_ids, attention_mask, train=False, drop=None,
+           fused_blocks=True):
     mask = attention_mask.astype(jnp.int32)
     pos_ids = jnp.cumsum(mask, axis=1) * mask + PAD_IDX
     h = nn.embedding(params["word_emb"], input_ids)
@@ -46,7 +47,8 @@ def encode(params, input_ids, attention_mask, train=False, drop=None):
         h = postnorm_layer(lp, h, bias, HEADS, LN_EPS, mask=attention_mask,
                            train=train, drop=drop, attn_p=ATTN_DROPOUT,
                            attn_out_p=HIDDEN_DROPOUT,
-                           hidden_p=HIDDEN_DROPOUT)
+                           hidden_p=HIDDEN_DROPOUT,
+                           fused_blocks=fused_blocks)
     return h
 
 

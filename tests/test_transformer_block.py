@@ -102,3 +102,72 @@ def test_trainable_blocks_grads_match_reference():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_postnorm_fused_layer_matches_unfused():
+    """Round 5: the fully fused post-norm text layer (attn + mlp kernels,
+    key mask, LN eps 1e-12, exact gelu) == encoder_common.postnorm_layer's
+    unfused eval graph at the production DistilBERT geometry."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.kernels import transformer_block as tb
+    from garbage_classification_rca_tpu.models.text.encoder_common import (
+        attention_bias, init_postnorm_layer, postnorm_layer)
+
+    rng = np.random.default_rng(5)
+    for (b, n, d, ffn, heads) in ((3, 64, 768, 3072, 12),
+                                  (2, 24, 96, 384, 4)):
+        p = init_postnorm_layer(jax.random.PRNGKey(0), d, ffn)
+        x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32) * 0.5)
+        m = np.ones((b, n), np.int32)
+        m[0, -5:] = 0
+        mask = jnp.asarray(m)
+
+        # unfused oracle: mask=None keeps every fused branch off, the
+        # additive bias carries the same key-validity information
+        want = postnorm_layer(p, x, attention_bias(mask), heads, 1e-12,
+                              mask=None)
+        wqkv = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], 1)
+        bqkv = jnp.concatenate([p["q"]["b"], p["k"]["b"], p["v"]["b"]])
+        h = tb.postnorm_attn_block(
+            x, mask, wqkv, bqkv, p["out"]["w"], p["out"]["b"],
+            p["ln_att"]["scale"], p["ln_att"]["bias"], heads=heads,
+            eps=1e-12, interpret=True)
+        got = tb.postnorm_mlp_block(
+            h, p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+            p["ln_ffn"]["scale"], p["ln_ffn"]["bias"], eps=1e-12,
+            act="gelu", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_distilbert_eval_fused_block_path_matches_unfused(monkeypatch):
+    """GC_RCA_FUSED_ATTN=1 now routes the whole post-norm EVAL layer
+    through the fused block kernels; tower outputs must match the
+    unfused graph (and the fused path must actually engage)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.models.text import distilbert as jd
+
+    saved = jd.LAYERS
+    jd.LAYERS = 2
+    try:
+        params = jd.init_encoder(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(5, 30000, (3, 16)).astype(np.int32))
+        m = np.ones((3, 16), np.int32)
+        m[1, -4:] = 0
+        mask = jnp.asarray(m)
+
+        monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+        want = jd.encode(params, ids, mask)
+        monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+        got = jd.encode(params, ids, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+    finally:
+        jd.LAYERS = saved

@@ -171,3 +171,38 @@ def test_distilbert_eval_fused_block_path_matches_unfused(monkeypatch):
                                    rtol=3e-4, atol=3e-4)
     finally:
         jd.LAYERS = saved
+
+
+def test_bert_roberta_eval_fused_block_path_matches_unfused(monkeypatch):
+    """BERT and RoBERTa share postnorm_layer, so the fused-block eval
+    path engages for them too — tower outputs must match unfused."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from garbage_classification_rca_tpu.models.text import bert as jb
+    from garbage_classification_rca_tpu.models.text import roberta as jr
+
+    rng = np.random.default_rng(2)
+    # both towers share bert's encoder layout; depth is read from the
+    # params list, so a 2-layer bert-init encoder drives both encodes
+    for mod in (jb, jr):
+        saved = jb.LAYERS
+        jb.LAYERS = 2
+        try:
+            params = jb.init_encoder(jax.random.PRNGKey(0))
+            ids = jnp.asarray(rng.integers(5, 20000, (2, 12)
+                                           ).astype(np.int32))
+            m = np.ones((2, 12), np.int32)
+            m[0, -3:] = 0
+            mask = jnp.asarray(m)
+            monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
+            want = mod.encode(params, ids, mask)
+            monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
+            got = mod.encode(params, ids, mask)
+            if isinstance(want, tuple):
+                want, got = want[0], got[0]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=3e-4, atol=3e-4)
+        finally:
+            jb.LAYERS = saved

@@ -59,16 +59,13 @@ def _ln(x, scale, bias, eps):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref,
-                 bout_ref, o_ref, *, heads, eps):
-    t, n, d = x_ref.shape
+def _head_attention(qkv, heads, mask_bias=None):
+    """Shared per-head softmax(QK^T)V over a packed [T, N, 3D] qkv block
+    (both the pre-norm and post-norm attention kernels)."""
+    t, n, d3 = qkv.shape
+    d = d3 // 3
     dh = d // heads
     scale = 1.0 / np.sqrt(dh)
-    x = x_ref[:]
-    h = _ln(x, ls_ref[:], lb_ref[:], eps).astype(x.dtype).reshape(t * n, d)
-    qkv = (jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
-           + bqkv_ref[:]).astype(x.dtype)
-    qkv = qkv.reshape(t, n, 3 * d)
     att = []
     for hd in range(heads):
         q = qkv[:, :, hd * dh:(hd + 1) * dh]
@@ -77,13 +74,25 @@ def _attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
+        if mask_bias is not None:
+            s = s + mask_bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
         att.append(jax.lax.dot_general(
             w, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(x.dtype))
-    a = jnp.concatenate(att, axis=-1).reshape(t * n, d)
+            preferred_element_type=jnp.float32).astype(qkv.dtype))
+    return jnp.concatenate(att, axis=-1).reshape(t * n, d)
+
+
+def _attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                 bout_ref, o_ref, *, heads, eps):
+    t, n, d = x_ref.shape
+    x = x_ref[:]
+    h = _ln(x, ls_ref[:], lb_ref[:], eps).astype(x.dtype).reshape(t * n, d)
+    qkv = (jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+           + bqkv_ref[:]).astype(x.dtype)
+    a = _head_attention(qkv.reshape(t, n, 3 * d), heads)
     out = (jnp.dot(a, wout_ref[:], preferred_element_type=jnp.float32)
            + bout_ref[:])
     o_ref[:] = (x.astype(jnp.float32)
@@ -312,28 +321,12 @@ _NEG = -1e30
 def _postnorm_attn_kernel(x_ref, m_ref, wqkv_ref, bqkv_ref, wout_ref,
                           bout_ref, ls_ref, lb_ref, o_ref, *, heads, eps):
     t, n, d = x_ref.shape
-    dh = d // heads
-    scale = 1.0 / np.sqrt(dh)
     x = x_ref[:]
     qkv = (jnp.dot(x.reshape(t * n, d), wqkv_ref[:],
                    preferred_element_type=jnp.float32)
            + bqkv_ref[:]).astype(x.dtype).reshape(t, n, 3 * d)
     mask_bias = (m_ref[:].astype(jnp.float32) - 1.0) * (-_NEG)  # [t, 1, n]
-    att = []
-    for hd in range(heads):
-        q = qkv[:, :, hd * dh:(hd + 1) * dh]
-        k = qkv[:, :, d + hd * dh:d + (hd + 1) * dh]
-        v = qkv[:, :, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale + mask_bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        att.append(jax.lax.dot_general(
-            w, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(x.dtype))
-    a = jnp.concatenate(att, axis=-1).reshape(t * n, d)
+    a = _head_attention(qkv, heads, mask_bias)
     out = (jnp.dot(a, wout_ref[:], preferred_element_type=jnp.float32)
            + bout_ref[:]).astype(x.dtype)
     y = _ln(x + out.reshape(t, n, d), ls_ref[:], lb_ref[:], eps)
@@ -429,16 +422,7 @@ def postnorm_mlp_block(x, w1, b1, w2, b2, ln_scale, ln_bias, *,
     if tile <= 0:
         tile = _postnorm_tile(b, n, d, w1.shape[1], x.dtype.itemsize)
     x_p, pad = _pad_batch(x, tile)
-    bt = x_p.shape[0]
-    blk = pl.BlockSpec((tile, n, d), lambda g: (g, 0, 0),
-                       memory_space=pltpu.VMEM)
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)]
-    out = pl.pallas_call(
-        functools.partial(_postnorm_mlp_kernel, eps=eps, act=act),
-        grid=(bt // tile,),
-        in_specs=[blk] + w_specs,
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
-        interpret=interpret,
-    )(x_p, w1, b1, w2, b2, ln_scale, ln_bias)
+    out = _call(functools.partial(_postnorm_mlp_kernel, eps=eps, act=act),
+                x_p, (w1, b1, w2, b2, ln_scale, ln_bias), tile=tile,
+                interpret=interpret)
     return out[:b] if pad else out

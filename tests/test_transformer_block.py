@@ -143,10 +143,31 @@ def test_postnorm_fused_layer_matches_unfused():
                                    rtol=3e-4, atol=3e-4)
 
 
+def _spy_fused_blocks(monkeypatch):
+    """Count postnorm_attn_block invocations through encoder_common's
+    fused branch — the fits gate needs bf16 params (fp32 weights at
+    768/3072 are 18.9 MB > the 14 MB cap, review r5: the first version
+    of these tests silently compared the unfused path to itself)."""
+    from garbage_classification_rca_tpu.models.text import encoder_common
+    from garbage_classification_rca_tpu.kernels import transformer_block
+
+    calls = {"n": 0}
+    real = transformer_block.postnorm_attn_block
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(
+        encoder_common.transformer_block, "postnorm_attn_block", spy)
+    return calls
+
+
 def test_distilbert_eval_fused_block_path_matches_unfused(monkeypatch):
-    """GC_RCA_FUSED_ATTN=1 now routes the whole post-norm EVAL layer
-    through the fused block kernels; tower outputs must match the
-    unfused graph (and the fused path must actually engage)."""
+    """GC_RCA_FUSED_ATTN=1 routes the whole post-norm EVAL layer through
+    the fused block kernels (bf16 params — the production eval dtype,
+    and the one that passes the VMEM fits gate); tower outputs must
+    match the unfused graph and the branch must ACTUALLY engage."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -156,7 +177,9 @@ def test_distilbert_eval_fused_block_path_matches_unfused(monkeypatch):
     saved = jd.LAYERS
     jd.LAYERS = 2
     try:
-        params = jd.init_encoder(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16),
+            jd.init_encoder(jax.random.PRNGKey(0)))
         rng = np.random.default_rng(1)
         ids = jnp.asarray(rng.integers(5, 30000, (3, 16)).astype(np.int32))
         m = np.ones((3, 16), np.int32)
@@ -164,11 +187,12 @@ def test_distilbert_eval_fused_block_path_matches_unfused(monkeypatch):
         mask = jnp.asarray(m)
 
         monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
-        want = jd.encode(params, ids, mask)
+        want = np.asarray(jd.encode(params, ids, mask), np.float32)
+        calls = _spy_fused_blocks(monkeypatch)
         monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
-        got = jd.encode(params, ids, mask)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=3e-4, atol=3e-4)
+        got = np.asarray(jd.encode(params, ids, mask), np.float32)
+        assert calls["n"] == 2, "fused-block branch did not engage"
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
     finally:
         jd.LAYERS = saved
 
@@ -185,12 +209,15 @@ def test_bert_roberta_eval_fused_block_path_matches_unfused(monkeypatch):
 
     rng = np.random.default_rng(2)
     # both towers share bert's encoder layout; depth is read from the
-    # params list, so a 2-layer bert-init encoder drives both encodes
+    # params list, so a 2-layer bert-init encoder drives both encodes.
+    # bf16 params: the fits gate (review r5) and the production dtype.
     for mod in (jb, jr):
         saved = jb.LAYERS
         jb.LAYERS = 2
         try:
-            params = jb.init_encoder(jax.random.PRNGKey(0))
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16),
+                jb.init_encoder(jax.random.PRNGKey(0)))
             ids = jnp.asarray(rng.integers(5, 20000, (2, 12)
                                            ).astype(np.int32))
             m = np.ones((2, 12), np.int32)
@@ -198,11 +225,15 @@ def test_bert_roberta_eval_fused_block_path_matches_unfused(monkeypatch):
             mask = jnp.asarray(m)
             monkeypatch.setenv("GC_RCA_FUSED_ATTN", "0")
             want = mod.encode(params, ids, mask)
+            calls = _spy_fused_blocks(monkeypatch)
             monkeypatch.setenv("GC_RCA_FUSED_ATTN", "1")
             got = mod.encode(params, ids, mask)
             if isinstance(want, tuple):
                 want, got = want[0], got[0]
-            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                       rtol=3e-4, atol=3e-4)
+            assert calls["n"] == 2, (mod.__name__,
+                                     "fused-block branch did not engage")
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       rtol=3e-2, atol=3e-2)
         finally:
             jb.LAYERS = saved

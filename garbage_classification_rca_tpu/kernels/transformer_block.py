@@ -88,10 +88,12 @@ def _head_attention(qkv, heads, mask_bias=None):
 def _attn_kernel(x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref,
                  bout_ref, o_ref, *, heads, eps):
     # NOTE: body kept byte-stable rather than routed through
-    # _head_attention — rewriting the trace invalidated the persistent
-    # cache entry and the freshly-compiled (trace-equivalent!) executable
-    # measured 1.8% slower on v5e (3,944 vs 4,016 img/s ViT eval;
-    # Mosaic scheduling is not deterministic across equivalent traces).
+    # _head_attention so the persistent-cache key (and its compiled
+    # executable) survives refactors. A measurement scare during the
+    # round-5 cleanup looked like a 1.8% regression from the rewritten
+    # trace, but the byte-identical restored trace measured the same
+    # 3,938 img/s minutes later — device/session drift, not the code;
+    # keeping the stable bytes still avoids pointless recompiles.
     # The post-norm kernel (new this round) uses the shared helper.
     t, n, d = x_ref.shape
     dh = d // heads
